@@ -1,0 +1,226 @@
+"""Configuration system for gridmm-tpu.
+
+One typed, frozen dataclass tree replaces the reference's three disjoint config
+systems (argparse per dataset at map_nav_src/r2r/parser.py, argparse+JSON overlay
+at pretrain_src/parser.py:133-144, and yacs trees at
+VLN_CE/vlnce_baselines/config/default.py:14-229).
+
+Default values replicate the reference's released configs
+(pretrain_src/config/r2r_model_config.json and map_nav_src/r2r/parser.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Cross-modal navigator hyper-parameters.
+
+    Mirrors pretrain_src/config/r2r_model_config.json in the reference.
+    """
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+
+    # encoder depths (reference: num_l_layers=9, num_x_layers=4, num_pano_layers=2)
+    num_l_layers: int = 9
+    num_x_layers: int = 4
+    num_pano_layers: int = 2
+
+    # feature sizes
+    image_feat_size: int = 768
+    angle_feat_size: int = 4
+    obj_feat_size: int = 0
+    image_prob_size: int = 1000  # MRC soft-label classes
+    obj_prob_size: int = 0
+
+    max_action_steps: int = 100  # gmap step-id embedding table size
+
+    glocal_fuse: bool = True
+    graph_sprels: bool = True
+    use_lang2visn_attn: bool = True
+    update_lang_bert: bool = True
+    fix_lang_embedding: bool = False
+    fix_pano_embedding: bool = False
+    fix_local_branch: bool = False
+
+    # TPU-native knobs (no reference equivalent)
+    compute_dtype: str = "float32"  # "bfloat16" on real TPU runs
+    use_pallas_attention: bool = False
+    use_pallas_grid_pool: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Grid-memory-map geometry constants.
+
+    One parameterized geometry module covers the reference's three copies of the
+    grid-build algorithm (map_nav_src/r2r/env.py:267-374 "discrete",
+    pretrain_src/data/dataset.py:351-473 "offline",
+    VLN_CE/.../Policy_ViewSelection_GridMap.py:689-807 "continuous") whose
+    constants/sign conventions differ.
+    """
+
+    grid_width: int = 14
+    grid_height: int = 14
+    num_views: int = 12              # horizon views per panorama (ix 12..24)
+    patches_per_view: int = 49       # 7x7 depth patch centers
+    feature_dim: int = 768
+    max_steps: int = 15              # max episode length (r2r/parser.py max_action_len)
+
+    # depth decoding: metres = raw_uint16 / depth_scale (env.py:116)
+    depth_scale: float = 4000.0
+    # half horizontal FOV: discrete MatterSim 60deg VFOV -> tan(pi/6);
+    # continuous Habitat HFOV 90deg -> tan(pi/4) (Policy_ViewSelection_GridMap.py:632-641)
+    tan_half_hfov: float = 0.5773502691896257  # tan(pi/6)
+    # egocentric window scale: half_len = window_scale * max extent (env.py:331)
+    window_scale: float = 2.0 / 3.0
+    # cell-center distance normalizer for gridmap_pos_fts (env.py:256, MAX_DIST=30)
+    max_dist: float = 30.0
+    # heading sign convention. discrete: angle = -heading (env.py:337);
+    # continuous differs (Policy_ViewSelection_GridMap.py:785,797)
+    heading_sign: float = -1.0
+    heading_offset: float = 0.0
+
+    @property
+    def num_cells(self) -> int:
+        return self.grid_width * self.grid_height
+
+    @property
+    def points_per_step(self) -> int:
+        return self.num_views * self.patches_per_view  # 588
+
+    @property
+    def max_points(self) -> int:
+        return self.max_steps * self.points_per_step
+
+
+@dataclasses.dataclass(frozen=True)
+class NavigatorShapes:
+    """Static padded shapes for the per-step jitted navigation graph.
+
+    The reference pads dynamically to per-batch maxima (models/ops.py
+    pad_tensors_wgrad); on TPU we fix caps once so a single compiled
+    graph serves every step.
+    """
+
+    max_txt_len: int = 80       # r2r/parser.py max_instr_len (rxr: 250)
+    max_gmap_len: int = 64      # [stop] + visited + frontier nodes
+    max_vp_len: int = 40        # [stop] + <=36 views (+ objects)
+    max_obj_len: int = 0
+    num_cells: int = 196
+    max_points: int = 8832      # >= GridConfig.max_points, multiple of 128
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit.
+
+    The reference scales only via DDP data-parallelism (SURVEY.md 2.7); we keep
+    data-parallel as the primary axis and additionally support tensor sharding of
+    the FFN/attention projections over a `model` axis so XLA rides ICI.
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    dp_size: int = -1  # -1: infer from device count / mp_size
+    mp_size: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Fine-tune / pretrain optimization settings (r2r/parser.py defaults)."""
+
+    lr: float = 1e-5
+    weight_decay: float = 0.0
+    optim: str = "adamw"
+    betas: Tuple[float, float] = (0.9, 0.98)
+    grad_norm_clip: float = 40.0   # agent_base.py:205
+    ml_weight: float = 0.2
+    feedback: str = "sample"
+    max_action_len: int = 15
+    ignoreid: int = -100
+    iters: int = 100000
+    log_every: int = 1000
+    batch_size: int = 8
+    seed: int = 0
+    feat_dropout: float = 0.4      # models/model.py:18
+    # pretrain (pretrain_src/config/r2r_pretrain.json)
+    warmup_steps: int = 10000
+    num_train_steps: int = 100000
+    mrc_mask_prob: float = 0.15
+    mlm_prob: float = 0.15
+
+
+@dataclasses.dataclass(frozen=True)
+class GridMMConfig:
+    """Top-level bundle."""
+
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    grid: GridConfig = dataclasses.field(default_factory=GridConfig)
+    shapes: NavigatorShapes = dataclasses.field(default_factory=NavigatorShapes)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+def r2r_config() -> GridMMConfig:
+    """Discrete R2R preset (map_nav_src/scripts/run_r2r.sh)."""
+    return GridMMConfig()
+
+
+def reverie_config() -> GridMMConfig:
+    """REVERIE preset: object grounding enabled (map_nav_src/reverie/parser.py)."""
+    base = GridMMConfig()
+    return dataclasses.replace(
+        base,
+        model=dataclasses.replace(base.model, obj_feat_size=768, obj_prob_size=0),
+        shapes=dataclasses.replace(base.shapes, max_vp_len=60, max_obj_len=20),
+    )
+
+
+def rxr_config() -> GridMMConfig:
+    """RxR preset: xlm-roberta vocab, longer instructions (map_nav_src/rxr/parser.py)."""
+    base = GridMMConfig()
+    return dataclasses.replace(
+        base,
+        model=dataclasses.replace(base.model, vocab_size=250002, max_position_embeddings=512),
+        shapes=dataclasses.replace(base.shapes, max_txt_len=256),
+    )
+
+
+def r2r_ce_config() -> GridMMConfig:
+    """Continuous R2R-CE preset: Habitat HFOV 90deg, heading offset
+    (VLN_CE/.../Policy_ViewSelection_GridMap.py:632-641,785)."""
+    base = GridMMConfig()
+    return dataclasses.replace(
+        base,
+        grid=dataclasses.replace(
+            base.grid,
+            tan_half_hfov=1.0,           # tan(pi/4), HFOV=90
+            patches_per_view=49,
+            depth_scale=1.0,             # habitat depth already metres (after rescale)
+            max_dist=30.0,
+        ),
+    )

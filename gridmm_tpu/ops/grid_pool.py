@@ -1,0 +1,112 @@
+"""Instruction-relevance grid scatter-pool.
+
+This replaces the reference's #1 hot loop — the O(B * 196 * N) Python cell-pooling
+at map_nav_src/models/vilmodel.py:788-824 (and its pretrain twin at
+pretrain_src/model/vilmodel.py:688-715) — with a batched, static-shape op:
+
+    weight[b, i]  = max_t  f[b, i] . text_proj(txt[b, t])          (vilmodel.py:793-798)
+    pooled[b, c]  = sum_{i in cell c} softmax_cell(weight)[i] * grid_proj(f)[b, i]
+                                                                    (vilmodel.py:801-807)
+    mask[b, c]    = any point landed in cell c                      (vilmodel.py:802-806)
+
+Design notes (TPU-first):
+  * The per-cell softmax needs a per-cell max for stability; that is a scatter-max
+    over at most `num_cells` segments — tiny. The heavy lift, the weighted pooling
+    itself, is expressed as a dense (C, N) x (N, D) matmul over a probability
+    matrix so it lands on the MXU instead of a scatter.
+  * Invalid points carry cell id -1 and are routed to a trash row that is sliced
+    off, so no boolean compaction / dynamic shape is ever needed.
+  * A fused Pallas kernel (ops/pallas/grid_pool_kernel.py) implements the same
+    contract for the production path; this XLA version is the semantic reference
+    and the autodiff path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def instruction_relevance(
+    point_fts: jnp.ndarray,   # (B, N, D) raw grid point features (f32)
+    projected_txt: jnp.ndarray,  # (B, T, D) text_proj(txt_embeds)
+    txt_mask: jnp.ndarray | None = None,  # (B, T) bool; None = all tokens
+) -> jnp.ndarray:
+    """Per-point instruction-relevance weight: max over text tokens of the
+    dot product (vilmodel.py:793-798).
+
+    The reference takes the max over the padded text length without masking;
+    pass txt_mask=None to reproduce that exactly, or a mask to exclude pads.
+    """
+    scores = jnp.einsum(
+        "bnd,btd->bnt", point_fts, projected_txt, preferred_element_type=jnp.float32
+    )
+    if txt_mask is not None:
+        scores = jnp.where(txt_mask[:, None, :], scores, -jnp.inf)
+    return jnp.max(scores, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_cells",))
+def grid_scatter_pool(
+    point_fts: jnp.ndarray,   # (B, N, D) projected point features to pool
+    cell_ids: jnp.ndarray,    # (B, N) int32 in [-1, num_cells); -1 = invalid
+    weights: jnp.ndarray,     # (B, N) f32 relevance logits
+    num_cells: int = 196,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Segment-softmax pooling of points into grid cells.
+
+    Returns:
+      pooled: (B, num_cells, D) — softmax(weights within cell) . features;
+              zero for empty cells (reference zero-initializes, vilmodel.py:789).
+      cell_mask: (B, num_cells) bool — cell received >= 1 point.
+    """
+    b, n, d = point_fts.shape
+    valid = cell_ids >= 0
+    # Route invalids to trash segment `num_cells`.
+    seg = jnp.where(valid, cell_ids, num_cells).astype(jnp.int32)
+
+    # Per-cell max for a numerically stable softmax (scatter-max over <=197 rows).
+    neg = jnp.float32(-1e30)
+    w = jnp.where(valid, weights.astype(jnp.float32), neg)
+    cell_max = jnp.full((b, num_cells + 1), neg, jnp.float32)
+    cell_max = cell_max.at[jnp.arange(b)[:, None], seg].max(w)
+
+    exp_w = jnp.where(valid, jnp.exp(w - cell_max[jnp.arange(b)[:, None], seg]), 0.0)
+
+    # One-hot probability matrix -> MXU matmuls for both denominator and pooling.
+    onehot = (seg[:, :, None] == jnp.arange(num_cells)[None, None, :]).astype(jnp.float32)
+    denom = jnp.einsum("bnc,bn->bc", onehot, exp_w)  # (B, C)
+    numer = jnp.einsum(
+        "bnc,bn,bnd->bcd", onehot, exp_w, point_fts.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    cell_mask = denom > 0
+    pooled = numer / jnp.maximum(denom, 1e-30)[..., None]
+    pooled = jnp.where(cell_mask[..., None], pooled, 0.0)
+    return pooled, cell_mask
+
+
+def relevance_weighted_grid(
+    point_fts: jnp.ndarray,      # (B, N, D) raw CLIP patch features
+    cell_ids: jnp.ndarray,       # (B, N) int32, -1 invalid
+    txt_embeds: jnp.ndarray,     # (B, T, D)
+    text_proj_w: jnp.ndarray,    # (D, D)
+    text_proj_b: jnp.ndarray,    # (D,)
+    grid_proj_w: jnp.ndarray,    # (D, D)
+    grid_proj_b: jnp.ndarray,    # (D,)
+    txt_mask: jnp.ndarray | None = None,
+    num_cells: int = 196,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full fused contract: text projection -> relevance -> projection -> pool.
+
+    Mirrors vilmodel.py:793-807 end to end. Projecting the T<=256 text tokens
+    instead of the N~9k points keeps the relevance matmul cheap.
+    """
+    f32 = jnp.float32
+    proj_txt = txt_embeds.astype(f32) @ text_proj_w.astype(f32) + text_proj_b.astype(f32)
+    w = instruction_relevance(point_fts.astype(f32), proj_txt, txt_mask)
+    g = point_fts.astype(f32) @ grid_proj_w.astype(f32) + grid_proj_b.astype(f32)
+    return grid_scatter_pool(g, cell_ids, w, num_cells)
