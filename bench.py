@@ -1,0 +1,99 @@
+"""Headline benchmark: panorama-views/sec/chip for CLIP ViT encode + depth
+back-projection + grid scatter-pool (BASELINE.md north star: >=5000 on v5e).
+
+Pipeline per iteration (mirrors the reference's per-viewpoint hot path,
+preprocess/get_map_feature.py:109-137 + map_nav_src/r2r/env.py:267-374 +
+models/vilmodel.py:788-824, all fused on device):
+  12 views x 224x224 RGB -> CLIP ViT-B/32 (all 50 tokens)
+  -> patch tokens into the episode point buffer (depth back-projection)
+  -> egocentric grid assignment over the FULL buffer
+  -> instruction-relevance scatter-pool into 196 cells.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 5000 (the driver-set target; the reference repo
+publishes no numbers — BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from gridmm_tpu.config import r2r_config
+    from gridmm_tpu.models.clip_vit import ClipVisionTransformer, clip_b32
+    from gridmm_tpu.ops import geometry as G
+    from gridmm_tpu.ops.grid_pool import relevance_weighted_grid
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+
+    cfg = r2r_config()
+    gc = cfg.grid
+    ccfg = clip_b32() if on_tpu else clip_b32().__class__(
+        patch_size=32, layers=2, compute_dtype="float32")
+
+    B = 16 if on_tpu else 2           # panoramas per iteration
+    V = gc.num_views                  # 12 views each
+    T = 48                            # instruction tokens
+    D = 768
+    rng = np.random.default_rng(0)
+
+    model = ClipVisionTransformer(ccfg)
+    images = jnp.asarray(
+        rng.standard_normal((B * V, 224, 224, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), images[:1])
+
+    txt = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32) * 0.3)
+    wt = jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.02)
+    bt = jnp.zeros((D,), jnp.float32)
+    wg = jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.02)
+    bg = jnp.zeros((D,), jnp.float32)
+
+    state0 = G.PointCloudState.create(B, gc, cfg.shapes.max_points,
+                                      feature_dtype=jnp.float32)
+    depth = jnp.asarray(rng.integers(
+        0, 18000, (B, V, gc.patches_per_view)).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-4, 4, (B, 2)).astype(np.float32))
+    heading = jnp.asarray(rng.uniform(-3, 3, (B,)).astype(np.float32))
+
+    @jax.jit
+    def pipeline(params, images, state, depth, pos, heading, txt):
+        tokens = model.apply(params, images)              # (B*V, 50, 768)
+        patch = tokens[:, 1:, :].reshape(B, V * gc.patches_per_view, D)
+        state = G.append_panorama(state, depth, patch.astype(jnp.float32),
+                                  pos, gc)
+        cells, _, pos_fts = G.egocentric_grid_assignment(state, pos, heading, gc)
+        pooled, mask = relevance_weighted_grid(
+            state.features, cells, txt, wt, bt, wg, bg)
+        return state, pooled, mask
+
+    # fill the buffer so assignment+pool run at steady-state capacity
+    state = state0
+    for _ in range(gc.max_steps - 1):
+        state, pooled, mask = pipeline(params, images, state, depth, pos, heading, txt)
+    jax.block_until_ready(pooled)
+
+    iters = 20 if on_tpu else 3
+    # steady state: keep re-running the final-step workload
+    start = time.perf_counter()
+    for _ in range(iters):
+        _, pooled, mask = pipeline(params, images, state0, depth, pos, heading, txt)
+    jax.block_until_ready(pooled)
+    elapsed = time.perf_counter() - start
+
+    views_per_sec = B * V * iters / elapsed
+    target = 5000.0
+    print(json.dumps({
+        "metric": "panorama_views_per_sec_per_chip",
+        "value": round(views_per_sec, 2),
+        "unit": "views/s",
+        "vs_baseline": round(views_per_sec / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""CLIP Vision Transformer (visual tower), JAX-native.
+
+Re-implements the reference's vendored OpenAI CLIP visual encoder
+(preprocess/model_clip.py:29-98): conv patchify -> [cls] + pos embed -> ln_pre
+-> N pre-norm residual attention blocks with QuickGELU -> ln_post, returning
+ALL token hidden states (no projection/pooling — model_clip.py:126-137), which
+feed the grid memory (patch tokens) downstream.
+
+TPU-first details:
+  * patchify is an unfold+matmul (einsum) rather than a conv — identical math,
+    lands directly on the MXU with no im2col surprises;
+  * bfloat16 activations by default with f32 LayerNorm (model_clip.py:15-21
+    does the same fp32-LN trick for fp16);
+  * attention over <=~197 tokens: batch is the parallel axis; XLA fuses QKV.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipVisionConfig:
+    input_resolution: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def grid(self) -> int:
+        return self.input_resolution // self.patch_size
+
+    @property
+    def num_tokens(self) -> int:
+        return self.grid * self.grid + 1
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+def clip_b32() -> ClipVisionConfig:
+    """ViT-B/32 — produces the 7x7+1=50 grid tokens consumed by the grid memory
+    (map_nav_src/r2r/env.py:100)."""
+    return ClipVisionConfig(patch_size=32)
+
+
+def clip_b16() -> ClipVisionConfig:
+    """ViT-B/16 — 196+1 tokens (preprocess/get_map_feature.py:41-50 config)."""
+    return ClipVisionConfig(patch_size=16)
+
+
+class ClipLayerNorm(nn.Module):
+    """f32 LayerNorm (model_clip.py:15-21), eps matches torch default 1e-5."""
+
+    @nn.compact
+    def __call__(self, x):
+        dt = x.dtype
+        return nn.LayerNorm(epsilon=1e-5, name="ln")(
+            x.astype(jnp.float32)).astype(dt)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-norm attention + QuickGELU MLP (model_clip.py:29-54)."""
+
+    cfg: ClipVisionConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h, hd = c.heads, c.width // c.heads
+        dt = c.dtype
+
+        y = ClipLayerNorm(name="ln_1")(x)
+        qkv = nn.Dense(3 * c.width, dtype=dt, name="attn_in_proj")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, l, _ = q.shape
+        q = q.reshape(b, l, h, hd)
+        k = k.reshape(b, l, h, hd)
+        v = v.reshape(b, l, h, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / jnp.sqrt(
+                                jnp.float32(hd))
+        probs = jax.nn.softmax(scores, axis=-1).astype(dt)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32).astype(dt)
+        ctx = ctx.reshape(b, l, c.width)
+        x = x + nn.Dense(c.width, dtype=dt, name="attn_out_proj")(ctx)
+
+        y = ClipLayerNorm(name="ln_2")(x)
+        y = nn.Dense(4 * c.width, dtype=dt, name="mlp_c_fc")(y)
+        y = y * jax.nn.sigmoid(1.702 * y)  # QuickGELU (model_clip.py:24-26)
+        x = x + nn.Dense(c.width, dtype=dt, name="mlp_c_proj")(y)
+        return x
+
+
+class ClipVisionTransformer(nn.Module):
+    """Returns all token hiddens (B, grid^2+1, width)."""
+
+    cfg: ClipVisionConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images: (B, H, W, 3) float, already CLIP-normalized."""
+        c = self.cfg
+        dt = c.dtype
+        b = images.shape[0]
+        p, g = c.patch_size, c.grid
+
+        # patchify: (B, g, p, g, p, 3) -> (B, g*g, p*p*3) @ (p*p*3, width)
+        x = images.astype(dt).reshape(b, g, p, g, p, 3)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, p * p * 3)
+        x = nn.Dense(c.width, use_bias=False, dtype=dt, name="conv1")(x)
+
+        cls = self.param("class_embedding",
+                         nn.initializers.normal(c.width ** -0.5), (c.width,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(dt), (b, 1, c.width)), x], axis=1)
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(c.width ** -0.5),
+                         (c.num_tokens, c.width))
+        x = x + pos.astype(dt)
+        x = ClipLayerNorm(name="ln_pre")(x)
+        for i in range(c.layers):
+            x = ResidualAttentionBlock(c, name=f"resblock_{i}")(x)
+        return ClipLayerNorm(name="ln_post")(x)
+
+
+# CLIP preprocessing constants (OpenAI CLIP normalization used by
+# preprocess/get_map_feature.py's img_transforms).
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def normalize_images(images_uint8: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 -> CLIP-normalized float32."""
+    x = images_uint8.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_STD, jnp.float32)
+    return (x - mean) / std

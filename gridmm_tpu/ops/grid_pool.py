@@ -84,7 +84,12 @@ def grid_scatter_pool(
         preferred_element_type=jnp.float32,
     )
     cell_mask = denom > 0
-    pooled = numer / jnp.maximum(denom, 1e-30)[..., None]
+    # Every nonempty cell has denom >= 1 (its max element contributes exp(0));
+    # substituting 1 for empty cells is exact and keeps the division's VJP
+    # finite (a tiny epsilon underflows to 0 when squared in the backward,
+    # yielding 0/0 = NaN that leaks through the where).
+    safe_denom = jnp.where(cell_mask, denom, 1.0)
+    pooled = numer / safe_denom[..., None]
     pooled = jnp.where(cell_mask[..., None], pooled, 0.0)
     return pooled, cell_mask
 

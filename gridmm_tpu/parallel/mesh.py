@@ -1,0 +1,99 @@
+"""Device-mesh construction and sharding rules.
+
+TPU-native replacement for the reference's distributed runtime
+(map_nav_src/utils/distributed.py, pretrain_src/utils/distributed.py,
+VLN_CE/vlnce_baselines/utils.py — all torch.distributed/NCCL DDP):
+
+  * data parallelism  -> batch sharded over the `data` mesh axis; gradient
+    all-reduce is inserted by XLA over ICI (no explicit allreduce code).
+  * optional tensor parallelism -> FFN and attention projection matrices
+    sharded over the `model` axis (the model is BERT-base scale so this is a
+    scale-out option, not a necessity — SURVEY.md 2.7).
+  * eval-result merging (reference's pickle all_gather,
+    utils/distributed.py:90-130) -> jax.experimental.multihost_utils at the
+    host layer; in-graph tensors use jax collectives.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gridmm_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    mp = max(1, cfg.mp_size)
+    dp = cfg.dp_size if cfg.dp_size > 0 else n // mp
+    if dp * mp != n:
+        raise ValueError(f"mesh {dp}x{mp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, mp)
+    return Mesh(arr, (cfg.data_axis, cfg.model_axis))
+
+
+# Parameter partition rules: (regex on the flattened param path) -> PartitionSpec.
+# Matmul weights are (in, out); sharding the out-dim of up-projections and the
+# in-dim of down-projections over `model` gives Megatron-style TP where XLA
+# inserts a single psum per block.
+_PARAM_RULES = [
+    (r"intermediate_dense.*kernel$", P(None, "model")),
+    (r"linear1.*kernel$", P(None, "model")),
+    (r"output_dense.*kernel$", P("model", None)),
+    (r"linear2.*kernel$", P("model", None)),
+    (r"(query|key|value).*kernel$", P(None, "model")),
+    (r"attn_out.*kernel$", P("model", None)),
+    (r"word_embeddings.*embedding$", P("model", None)),
+]
+
+
+def param_spec(path: str) -> P:
+    for pattern, spec in _PARAM_RULES:
+        if re.search(pattern, path):
+            return spec
+    return P()  # replicate
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def param_shardings(params: Any, mesh: Mesh):
+    """NamedSharding pytree matching `params`."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: NamedSharding(mesh, param_spec(_path_str(path))), params
+    )
+
+
+def batch_shardings(batch: Any, mesh: Mesh, data_axis: str = "data",
+                    batch_dim: int = 0):
+    """Shard every array's batch dim over the data axis."""
+    spec = P(*([None] * batch_dim + [data_axis]))
+    return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, spec), batch)
+
+
+def trajectory_batch_shardings(batch, mesh: Mesh, data_axis: str = "data"):
+    """TrajectoryBatch: txt arrays are (B, ...), step arrays are (S, B, ...)."""
+    return type(batch)(
+        txt_ids=NamedSharding(mesh, P(data_axis)),
+        txt_mask=NamedSharding(mesh, P(data_axis)),
+        steps=jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P(None, data_axis)), batch.steps),
+    )
+
+
+def replicated(tree: Any, mesh: Mesh):
+    return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+def shard_params(params: Any, mesh: Mesh):
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def shard_batch(batch: Any, mesh: Mesh, data_axis: str = "data"):
+    return jax.device_put(batch, batch_shardings(batch, mesh, data_axis))

@@ -1,0 +1,204 @@
+"""Jitted training/eval steps.
+
+The reference trains by interleaving host sim stepping with device forwards and
+accumulating CE across steps before one backward (map_nav_src/r2r/agent.py:268-451).
+Teacher-forced training needs no model-in-the-loop decisions, so here the ENTIRE
+trajectory loss — language encode, per-step panorama encode, on-device point
+buffer append + grid assignment, graph-node embedding aggregation, navigation
+forward, CE — is one jitted `lax.scan` graph. Host work reduces to batch
+assembly (index maps for the topological graph).
+
+Gradient flow matches the reference: navigation loss backprops into the pano
+encoder through BOTH the vp tokens and the gmap node embeddings (which are
+scatter-averaged pano embeddings — agent.py:312-320 / vilmodel.py:592-626).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gridmm_tpu.config import GridMMConfig
+from gridmm_tpu.models.navigator import GridMMNavigator
+from gridmm_tpu.ops import geometry as G
+from gridmm_tpu.train.losses import cross_entropy_ignore
+
+
+class StepInputs(NamedTuple):
+    """Per-step arrays, each with leading (S, B, ...) when stacked."""
+
+    # panorama tokens (V-1 view/object tokens; stop slot added on device)
+    view_img_fts: jnp.ndarray   # (S, B, V-1, D_img)
+    loc_fts: jnp.ndarray        # (S, B, V-1, angle+3)
+    nav_types: jnp.ndarray      # (S, B, V-1) int
+    view_mask: jnp.ndarray      # (S, B, V-1) bool
+    # grid memory inputs
+    depth: jnp.ndarray          # (S, B, views, patches) raw depth
+    patch_fts: jnp.ndarray      # (S, B, views*patches, D_img) CLIP patch fts
+    pos_xy: jnp.ndarray         # (S, B, 2) agent world position
+    heading: jnp.ndarray        # (S, B)
+    # topological graph (host-assembled index maps)
+    gmap_step_ids: jnp.ndarray      # (S, B, G)
+    gmap_pos_fts: jnp.ndarray       # (S, B, G, angle+3)
+    gmap_mask: jnp.ndarray          # (S, B, G) bool
+    gmap_visited_mask: jnp.ndarray  # (S, B, G) bool
+    cur_node_idx: jnp.ndarray       # (S, B) gmap slot of the current node
+    cand_gmap_idx: jnp.ndarray      # (S, B, V-1) gmap slot per candidate view, -1 none
+    # local branch
+    vp_pos_fts: jnp.ndarray     # (S, B, V, 2*angle+6)
+    vp_nav_mask: jnp.ndarray    # (S, B, V) bool
+    # fusion index maps
+    fused_add_idx: jnp.ndarray        # (S, B, G)
+    cand_backtrack_mask: jnp.ndarray  # (S, B, V)
+    # supervision
+    target: jnp.ndarray         # (S, B) fused-action label, ignore_id when done
+    grid_target: jnp.ndarray    # (S, B) grid-cell label (0 stop) or ignore_id
+
+
+class TrajectoryBatch(NamedTuple):
+    txt_ids: jnp.ndarray   # (B, T)
+    txt_mask: jnp.ndarray  # (B, T) bool
+    steps: StepInputs
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: GridMMConfig) -> optax.GradientTransformation:
+    """AdamW + global-norm clip 40 (agent_base.py:122-138,205)."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_norm_clip),
+        optax.adamw(
+            cfg.train.lr,
+            b1=cfg.train.betas[0],
+            b2=cfg.train.betas[1],
+            weight_decay=cfg.train.weight_decay,
+        ),
+    )
+
+
+def create_train_state(cfg: GridMMConfig, params, tx=None) -> TrainState:
+    tx = tx or make_optimizer(cfg)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def _update_node_embeds(gmap_sum, gmap_cnt, pano_embeds, pano_mask,
+                        cur_node_idx, cand_gmap_idx, gmap_visited_mask):
+    """On-device GraphMap.update_node_embed (agent.py:312-320):
+    current node <- rewrite with masked-average pano embedding;
+    unvisited candidate nodes <- running sum of their view embeddings."""
+    b = pano_embeds.shape[0]
+    bi = jnp.arange(b)
+    avg = jnp.sum(pano_embeds * pano_mask[..., None], axis=1) / jnp.maximum(
+        jnp.sum(pano_mask, axis=1, keepdims=True), 1)
+
+    # rewrite current node
+    gmap_sum = gmap_sum.at[bi, cur_node_idx].set(avg)
+    gmap_cnt = gmap_cnt.at[bi, cur_node_idx].set(1.0)
+
+    # accumulate candidate views into their (unvisited) gmap slots
+    valid = cand_gmap_idx >= 0
+    valid = valid & ~jnp.take_along_axis(
+        gmap_visited_mask, jnp.maximum(cand_gmap_idx, 0), axis=1)
+    tgt = jnp.where(valid, cand_gmap_idx, 0)
+    contrib = jnp.where(valid[..., None], pano_embeds, 0.0)
+    gmap_sum = gmap_sum.at[bi[:, None], tgt].add(contrib)
+    gmap_cnt = gmap_cnt.at[bi[:, None], tgt].add(valid.astype(jnp.float32))
+    return gmap_sum, gmap_cnt
+
+
+def trajectory_loss(
+    model: GridMMNavigator,
+    cfg: GridMMConfig,
+    params,
+    batch: TrajectoryBatch,
+    rng: Optional[jax.Array] = None,
+):
+    """Teacher-forced loss over a full episode, all on device."""
+    deterministic = rng is None
+    rngs = {} if deterministic else {"dropout": rng}
+
+    def apply(mode, b):
+        return model.apply(params, mode, b, deterministic,
+                           rngs=rngs if not deterministic else None)
+
+    txt_embeds = apply("language",
+                       {"txt_ids": batch.txt_ids, "txt_mask": batch.txt_mask})
+
+    s, b = batch.steps.target.shape
+    g = batch.steps.gmap_mask.shape[-1]
+    d = cfg.model.hidden_size
+
+    point_state = G.PointCloudState.create(b, cfg.grid, cfg.shapes.max_points)
+    gmap_sum = jnp.zeros((b, g, d), jnp.float32)
+    gmap_cnt = jnp.zeros((b, g), jnp.float32)
+
+    def step_fn(carry, x: StepInputs):
+        point_state, gmap_sum, gmap_cnt, loss = carry
+
+        pano_embeds, pano_mask = apply("panorama", {
+            "view_img_fts": x.view_img_fts, "loc_fts": x.loc_fts,
+            "nav_types": x.nav_types, "view_mask": x.view_mask})
+
+        point_state_n = G.append_panorama(
+            point_state, x.depth, x.patch_fts, x.pos_xy, cfg.grid)
+        cells, _, grid_pos_fts = G.egocentric_grid_assignment(
+            point_state_n, x.pos_xy, x.heading, cfg.grid)
+
+        gmap_sum_n, gmap_cnt_n = _update_node_embeds(
+            gmap_sum, gmap_cnt, pano_embeds.astype(jnp.float32), pano_mask,
+            x.cur_node_idx, x.cand_gmap_idx, x.gmap_visited_mask)
+        gmap_img_embeds = gmap_sum_n / jnp.maximum(gmap_cnt_n, 1.0)[..., None]
+        # slot 0 is the [stop] token: zero embedding (agent.py:127-129)
+        gmap_img_embeds = gmap_img_embeds.at[:, 0].set(0.0)
+
+        vp_img_embeds = jnp.concatenate(
+            [jnp.zeros((b, 1, d), pano_embeds.dtype), pano_embeds], axis=1)
+        vp_mask = jnp.concatenate([jnp.ones((b, 1), bool), x.view_mask], axis=1)
+
+        out = apply("navigation", {
+            "txt_embeds": txt_embeds, "txt_mask": batch.txt_mask,
+            "gmap_img_embeds": gmap_img_embeds.astype(cfg.model.dtype),
+            "gmap_step_ids": x.gmap_step_ids, "gmap_pos_fts": x.gmap_pos_fts,
+            "gmap_mask": x.gmap_mask, "gmap_visited_mask": x.gmap_visited_mask,
+            "vp_img_embeds": vp_img_embeds, "vp_pos_fts": x.vp_pos_fts,
+            "vp_mask": vp_mask, "vp_nav_mask": x.vp_nav_mask,
+            "grid_fts": point_state_n.features, "grid_cells": cells,
+            "gridmap_pos_fts": grid_pos_fts,
+            "fused_add_idx": x.fused_add_idx,
+            "cand_backtrack_mask": x.cand_backtrack_mask,
+            "txt_relevance_mask": batch.txt_mask})
+
+        step_loss = cross_entropy_ignore(
+            out.fused_logits, x.target, cfg.train.ignoreid, "sum")
+        return (point_state_n, gmap_sum_n, gmap_cnt_n, loss + step_loss), None
+
+    (point_state, gmap_sum, gmap_cnt, total), _ = jax.lax.scan(
+        step_fn, (point_state, gmap_sum, gmap_cnt, jnp.float32(0.0)), batch.steps)
+
+    # reference scales by ml_weight / batch_size (agent.py:447)
+    return total * cfg.train.ml_weight / b
+
+
+def make_train_step(model: GridMMNavigator, cfg: GridMMConfig, tx=None):
+    tx = tx or make_optimizer(cfg)
+
+    def train_step(state: TrainState, batch: TrajectoryBatch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(
+            lambda p: trajectory_loss(model, cfg, p, batch, rng))(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
