@@ -1,0 +1,108 @@
+"""VLN evaluation metrics.
+
+Semantics follow the reference exactly:
+SR/OSR/SPL/TL/NE (map_nav_src/r2r/env.py:652-679), nDTW/SDTW
+(r2r/eval_utils.py:6-26), CLS (r2r/eval_utils.py:28-42), aggregated as
+percentages (env.py:696-708). Distances are graph shortest-path metres.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+ERROR_MARGIN = 3.0
+
+
+def dtw_scores(shortest: Dict[str, Dict[str, float]],
+               prediction: Sequence[str], reference: Sequence[str],
+               success: float | None = None,
+               threshold: float = ERROR_MARGIN) -> Dict[str, float]:
+    """Dynamic-time-warping alignment cost between trajectories, normalized
+    per Ilharco et al.; vectorized over the reference axis."""
+    n, m = len(prediction), len(reference)
+    cost = np.asarray([[shortest[p][r] for r in reference] for p in prediction])
+    dtw = np.full((n + 1, m + 1), np.inf)
+    dtw[0, 0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            dtw[i, j] = cost[i - 1, j - 1] + min(
+                dtw[i - 1, j], dtw[i, j - 1], dtw[i - 1, j - 1])
+    d = dtw[n, m]
+    ndtw = float(np.exp(-d / (threshold * m)))
+    if success is None:
+        success = float(shortest[prediction[-1]][reference[-1]] < threshold)
+    return {"DTW": float(d), "nDTW": ndtw, "SDTW": success * ndtw}
+
+
+def cls_score(shortest: Dict[str, Dict[str, float]],
+              prediction: Sequence[str], reference: Sequence[str],
+              threshold: float = ERROR_MARGIN) -> float:
+    """Coverage-weighted by length score (Jain et al.)."""
+
+    def path_len(nodes):
+        return float(np.sum([shortest[a][b]
+                             for a, b in zip(nodes[:-1], nodes[1:])]))
+
+    coverage = float(np.mean([
+        np.exp(-min(shortest[u][v] for v in prediction) / threshold)
+        for u in reference]))
+    expected = coverage * path_len(reference)
+    denom = expected + abs(expected - path_len(prediction))
+    score = expected / denom if denom > 0 else 0.0
+    return coverage * score
+
+
+def evaluate_trajectory(
+    shortest: Dict[str, Dict[str, float]],
+    pred_path: Sequence[Sequence[str]],   # list of per-action sub-paths
+    gt_path: Sequence[str],
+    error_margin: float = ERROR_MARGIN,
+) -> Dict[str, float]:
+    """Single-trajectory scores (env.py:652-679)."""
+    path: List[str] = [vp for seg in pred_path for vp in seg]
+    assert gt_path[0] == path[0], "trajectory must start at the GT start"
+
+    goal = gt_path[-1]
+    nearest = min(path, key=lambda vp: shortest[vp][goal])
+
+    scores: Dict[str, float] = {}
+    scores["nav_error"] = shortest[path[-1]][goal]
+    scores["oracle_error"] = shortest[nearest][goal]
+    scores["action_steps"] = len(pred_path) - 1
+    scores["trajectory_steps"] = len(path) - 1
+    scores["trajectory_lengths"] = float(np.sum(
+        [shortest[a][b] for a, b in zip(path[:-1], path[1:])]))
+    gt_lengths = float(np.sum(
+        [shortest[a][b] for a, b in zip(gt_path[:-1], gt_path[1:])]))
+    scores["success"] = float(scores["nav_error"] < error_margin)
+    scores["spl"] = scores["success"] * gt_lengths / max(
+        scores["trajectory_lengths"], gt_lengths, 0.01)
+    scores["oracle_success"] = float(scores["oracle_error"] < error_margin)
+    scores.update(dtw_scores(shortest, path, gt_path, scores["success"],
+                             error_margin))
+    scores["CLS"] = cls_score(shortest, path, gt_path, error_margin)
+    return scores
+
+
+def aggregate_metrics(per_traj: List[Dict[str, float]]) -> Dict[str, float]:
+    """Mean metrics as percentages (env.py:696-708)."""
+    acc = defaultdict(list)
+    for scores in per_traj:
+        for k, v in scores.items():
+            acc[k].append(v)
+    return {
+        "action_steps": float(np.mean(acc["action_steps"])),
+        "steps": float(np.mean(acc["trajectory_steps"])),
+        "lengths": float(np.mean(acc["trajectory_lengths"])),
+        "nav_error": float(np.mean(acc["nav_error"])),
+        "oracle_error": float(np.mean(acc["oracle_error"])),
+        "sr": float(np.mean(acc["success"])) * 100,
+        "oracle_sr": float(np.mean(acc["oracle_success"])) * 100,
+        "spl": float(np.mean(acc["spl"])) * 100,
+        "nDTW": float(np.mean(acc["nDTW"])) * 100,
+        "SDTW": float(np.mean(acc["SDTW"])) * 100,
+        "CLS": float(np.mean(acc["CLS"])) * 100,
+    }

@@ -1,0 +1,150 @@
+"""World data providers: panorama features, depth, grid features, positions.
+
+The reference reads these from HDF5 stores produced by its preprocess stage
+(depth.hdf5 36x128x128 uint16, clip_p32.hdf5 12x50x768 fp16, per-view
+pth_vit_base_patch16 36x768 — map_nav_src/r2r/env.py:80-113,166-168 and
+utils/data.py:10-76). Here the store is a protocol with three backends:
+HDF5 (data-compatible with the reference artifacts), in-memory, and a
+deterministic synthetic world for tests/benchmarks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Dict, Iterable, Optional, Protocol, Sequence, Tuple
+
+import numpy as np
+
+from gridmm_tpu.env.nav_graph import NavGraph
+
+VIEWS_PER_PANO = 36
+HORIZON_VIEWS = 12
+DEPTH_PATCHES = 49
+# 7x7 depth patch centers of a 128x128 depth map (env.py:279-281)
+DEPTH_PATCH_CENTERS = np.asarray([9 + i * 18 for i in range(7)])
+
+
+class WorldProvider(Protocol):
+    """Everything the discrete environment needs about a (scan, viewpoint)."""
+
+    def view_features(self, scan: str, vp: str) -> np.ndarray:
+        """(36, D) per-view visual features."""
+        ...
+
+    def depth_patches(self, scan: str, vp: str) -> np.ndarray:
+        """(12, 49) raw horizon-view depth patch centers (uint16 counts)."""
+        ...
+
+    def grid_features(self, scan: str, vp: str) -> np.ndarray:
+        """(12*49, D) CLIP patch features for the 12 horizon views."""
+        ...
+
+    def position(self, scan: str, vp: str) -> Tuple[float, float, float]:
+        ...
+
+
+class Hdf5World:
+    """Reads the reference's preprocess artifacts (lazy, with in-RAM cache).
+
+    File contracts: keys "{scan}_{vp}";
+      view_ft_file: (36, >=D) f32/f16      (utils/data.py:29)
+      depth_file:   (36, 128, 128) uint16  (r2r/env.py:166, get_depth.py)
+      grid_ft_file: (12, 50, 768) f16      (r2r/env.py:167, 50 = cls + 7x7)
+      viewpoint_info: json {scan_vp: {x,y,z}} (r2r/env.py:168)
+    """
+
+    def __init__(self, view_ft_file: str, depth_file: str, grid_ft_file: str,
+                 viewpoint_info: Dict[str, Dict[str, float]],
+                 image_feat_size: int = 768):
+        import h5py  # gated: only needed for real data
+
+        self._h5py = h5py
+        self.view_ft_file = view_ft_file
+        self.depth_file = depth_file
+        self.grid_ft_file = grid_ft_file
+        self.viewpoint_info = viewpoint_info
+        self.image_feat_size = image_feat_size
+        self._cache: Dict[str, Dict[str, np.ndarray]] = {
+            "view": {}, "depth": {}, "grid": {}}
+
+    def _read(self, kind: str, file: str, key: str) -> np.ndarray:
+        cache = self._cache[kind]
+        if key not in cache:
+            with self._h5py.File(file, "r") as f:
+                cache[key] = f[key][...]
+        return cache[key]
+
+    def view_features(self, scan, vp):
+        key = f"{scan}_{vp}"
+        ft = self._read("view", self.view_ft_file, key)
+        return ft[:, : self.image_feat_size].astype(np.float32)
+
+    def depth_patches(self, scan, vp):
+        key = f"{scan}_{vp}"
+        d = self._read("depth", self.depth_file, key)  # (36, 128, 128)
+        d = d[:, DEPTH_PATCH_CENTERS][:, :, DEPTH_PATCH_CENTERS]
+        return d[HORIZON_VIEWS: 2 * HORIZON_VIEWS].reshape(
+            HORIZON_VIEWS, DEPTH_PATCHES)
+
+    def grid_features(self, scan, vp):
+        key = f"{scan}_{vp}"
+        g = self._read("grid", self.grid_ft_file, key)  # (12, 50, 768)
+        return g[:, 1:].reshape(-1, g.shape[-1]).astype(np.float32)
+
+    def position(self, scan, vp):
+        info = self.viewpoint_info[f"{scan}_{vp}"]
+        return (info["x"], info["y"], info["z"])
+
+
+def _seeded(key: str, *shape: int) -> np.ndarray:
+    seed = int.from_bytes(hashlib.sha256(key.encode()).digest()[:8], "little")
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+class SyntheticWorld:
+    """Deterministic procedurally generated world: a planar proximity graph per
+    scan, hash-seeded features, and geometry-consistent depth (distance to the
+    window boundary of the scan)."""
+
+    def __init__(self, num_scans: int = 2, nodes_per_scan: int = 12,
+                 feat_dim: int = 768, seed: int = 0):
+        self.feat_dim = feat_dim
+        self.graphs: Dict[str, NavGraph] = {}
+        rng = np.random.default_rng(seed)
+        for s in range(num_scans):
+            scan = f"scan{s:02d}"
+            g = NavGraph()
+            pos = rng.uniform(-8, 8, size=(nodes_per_scan, 2))
+            z = rng.uniform(0, 0.2, size=nodes_per_scan)
+            vps = [f"vp{n:03d}" for n in range(nodes_per_scan)]
+            for vp, p, zz in zip(vps, pos, z):
+                g.add_node(vp, (p[0], p[1], zz))
+            # connect each node to its 3 nearest neighbors
+            for i, vp in enumerate(vps):
+                d = np.linalg.norm(pos - pos[i], axis=1)
+                for j in np.argsort(d)[1:4]:
+                    g.add_edge(vp, vps[j])
+            self.graphs[scan] = g
+
+    def scans(self) -> Sequence[str]:
+        return list(self.graphs)
+
+    def view_features(self, scan, vp):
+        return _seeded(f"view/{scan}/{vp}", VIEWS_PER_PANO, self.feat_dim) * 0.4
+
+    def depth_patches(self, scan, vp):
+        rng_d = np.abs(_seeded(f"depth/{scan}/{vp}",
+                               HORIZON_VIEWS, DEPTH_PATCHES))
+        d = (2000 + 6000 * rng_d).astype(np.uint16)
+        holes = np.abs(_seeded(f"holes/{scan}/{vp}",
+                               HORIZON_VIEWS, DEPTH_PATCHES)) < 0.1
+        d[holes] = 0
+        return d
+
+    def grid_features(self, scan, vp):
+        return _seeded(f"grid/{scan}/{vp}",
+                       HORIZON_VIEWS * DEPTH_PATCHES, self.feat_dim) * 0.4
+
+    def position(self, scan, vp):
+        return tuple(self.graphs[scan].positions[vp])

@@ -1,0 +1,400 @@
+"""Interactive navigation agent (rollout / eval / DAgger data collection).
+
+Host-side twin of GMapNavAgent (map_nav_src/r2r/agent.py:28-451), restructured
+for TPU:
+
+  * One jitted device step (train/step.py:nav_device_step) covers panorama
+    encode + grid build + node aggregation + navigation forward; the host only
+    assembles fixed-shape index maps and picks actions.
+  * Gmap tokens live in a STABLE discovery-order slot space per episode
+    (slot 0 = [stop]); the reference re-packs visited/unvisited every step.
+  * Training uses rollout-then-replay: the rollout (student policy, no grad)
+    records every step's inputs + teacher actions; the recorded trajectory
+    replays through the scanned `trajectory_loss` for one fused
+    forward+backward — gradient-equivalent to the reference's interleaved
+    accumulation (agent.py:301-448) because the forward is a pure function of
+    the recorded inputs.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from gridmm_tpu.config import GridMMConfig
+from gridmm_tpu.env.discrete import DiscreteNavEnv
+from gridmm_tpu.env.graph import TopoMap, angle_features
+from gridmm_tpu.models.navigator import GridMMNavigator
+from gridmm_tpu.train.step import (NavCarry, StepInputs, TrajectoryBatch,
+                                   init_carry, nav_device_step)
+
+
+class EpisodeBook:
+    """Per-episode host bookkeeping: topo map + stable slot assignment."""
+
+    def __init__(self, start_vp: str, max_slots: int):
+        self.topo = TopoMap(start_vp)
+        self.slot_of: Dict[str, int] = {}
+        self.max_slots = max_slots
+
+    def slot(self, vp: str) -> int:
+        if vp not in self.slot_of:
+            nxt = 1 + len(self.slot_of)
+            if nxt >= self.max_slots:
+                return -1  # graph overflow: drop (masked out)
+            self.slot_of[vp] = nxt
+        return self.slot_of[vp]
+
+
+class NavAgent:
+    def __init__(self, model: GridMMNavigator, cfg: GridMMConfig,
+                 env: DiscreteNavEnv, params):
+        self.model = model
+        self.cfg = cfg
+        self.env = env
+        self.params = params
+        self.shapes = cfg.shapes
+
+        self._jit_language = jax.jit(
+            lambda p, ids, mask: model.apply(
+                p, "language", {"txt_ids": ids, "txt_mask": mask}))
+        self._jit_step = jax.jit(
+            lambda p, txt, mask, carry, x: nav_device_step(
+                model, cfg, p, txt, mask, carry, x))
+        self.scanvp_cands: Dict[str, Dict[str, int]] = {}
+
+    # ------------------------------------------------------------- language
+    def language_batch(self, obs) -> Tuple[np.ndarray, np.ndarray]:
+        t = self.shapes.max_txt_len
+        b = len(obs)
+        ids = np.zeros((b, t), np.int32)
+        mask = np.zeros((b, t), bool)
+        for i, ob in enumerate(obs):
+            enc = np.asarray(ob["instr_encoding"], np.int32)[:t]
+            ids[i, : len(enc)] = enc
+            mask[i, : len(enc)] = True
+        return ids, mask
+
+    # ----------------------------------------------------------- step build
+    def _update_caches(self, obs) -> None:
+        for ob in obs:
+            key = f"{ob['scan']}_{ob['viewpoint']}"
+            slot = self.scanvp_cands.setdefault(key, {})
+            for c in ob["candidate"]:
+                slot[c["viewpointId"]] = int(c["pointId"])
+
+    def build_step_inputs(self, obs, books: List[EpisodeBook],
+                          step_t: int) -> Tuple[StepInputs, List[List[Optional[str]]], List[Optional[str]]]:
+        """Assemble fixed-shape StepInputs (numpy) for one step.
+
+        Returns (inputs, slot_vpids per item, gmap slot->vpid map)."""
+        sh, mc = self.shapes, self.cfg.model
+        b = len(obs)
+        v, g = sh.max_vp_len, sh.max_gmap_len
+        vm1 = v - 1
+        d = mc.image_feat_size
+        af = mc.angle_feat_size
+
+        view_img_fts = np.zeros((b, vm1, d), np.float32)
+        loc_fts = np.zeros((b, vm1, af + 3), np.float32)
+        nav_types = np.zeros((b, vm1), np.int32)
+        view_mask = np.zeros((b, vm1), bool)
+        depth = np.zeros((b, self.cfg.grid.num_views,
+                          self.cfg.grid.patches_per_view), np.float32)
+        patch_fts = np.zeros((b, self.cfg.grid.points_per_step, d), np.float32)
+        pos_xy = np.zeros((b, 2), np.float32)
+        heading = np.zeros((b,), np.float32)
+        gmap_step_ids = np.zeros((b, g), np.int32)
+        gmap_pos_fts = np.zeros((b, g, af + 3), np.float32)
+        gmap_mask = np.zeros((b, g), bool)
+        gmap_visited = np.zeros((b, g), bool)
+        cur_node_idx = np.zeros((b,), np.int32)
+        cand_gmap_idx = np.full((b, vm1), -1, np.int32)
+        vp_pos_fts = np.zeros((b, v, 2 * af + 6), np.float32)
+        vp_nav_mask = np.zeros((b, v), bool)
+        fused_add_idx = np.full((b, g), -2, np.int32)
+        cand_backtrack = np.zeros((b, v), bool)
+
+        slot_vpids: List[List[Optional[str]]] = []
+        cand_vpids_all: List[List[str]] = []
+
+        for i, ob in enumerate(obs):
+            book = books[i]
+            topo = book.topo
+            cur_vp = ob["viewpoint"]
+
+            # --- panorama tokens: candidates first, then remaining views
+            # (agent.py:56-76) ---
+            cands = ob["candidate"][: vm1]
+            used = set()
+            k = 0
+            # features are [visual || angle]; split at the stored visual width
+            fd = ob["feature"].shape[-1] - af
+            for c in cands:
+                view_img_fts[i, k] = c["feature"][:fd][:d]
+                loc_fts[i, k, :af] = c["feature"][fd:]
+                loc_fts[i, k, af:] = 1.0
+                nav_types[i, k] = 1
+                used.add(int(c["pointId"]))
+                k += 1
+            for ix in range(ob["feature"].shape[0]):
+                if ix in used or k >= vm1:
+                    continue
+                view_img_fts[i, k] = ob["feature"][ix, :fd][:d]
+                loc_fts[i, k, :af] = ob["feature"][ix, fd:]
+                loc_fts[i, k, af:] = 1.0
+                nav_types[i, k] = 0
+                k += 1
+            view_mask[i, :k] = True
+            cand_vpids = [c["viewpointId"] for c in cands]
+            cand_vpids_all.append(cand_vpids)
+
+            # --- grid ingredients ---
+            depth[i] = ob["depth_patches"].astype(np.float32)
+            patch_fts[i] = ob["grid_fts"][:, :d]
+            pos_xy[i] = (ob["position"][0], ob["position"][1])
+            heading[i] = ob["heading"]
+
+            # --- gmap stable slots ---
+            vpids: List[Optional[str]] = [None] * g
+            for vp in topo.node_positions:
+                s = book.slot(vp)
+                if s < 0:
+                    continue
+                vpids[s] = vp
+                gmap_mask[i, s] = True
+                gmap_step_ids[i, s] = min(
+                    topo.node_step_ids.get(vp, 0), mc.max_action_steps - 1)
+                gmap_visited[i, s] = topo.graph.visited(vp)
+            gmap_mask[i, 0] = True  # [stop]
+            pos_list = [None] + [vpids[s] for s in range(1, g)]
+            gmap_pos_fts[i] = topo.pos_features(
+                cur_vp, pos_list, ob["heading"], ob["elevation"], af)
+            cur_node_idx[i] = book.slot(cur_vp)
+            slot_vpids.append(vpids)
+
+            # --- candidate <-> gmap index maps ---
+            cand_slot: Dict[str, int] = {}
+            for j, cvp in enumerate(cand_vpids):
+                s = book.slot(cvp)
+                cand_gmap_idx[i, j] = s
+                cand_slot[cvp] = j
+                if topo.graph.visited(cvp):
+                    cand_backtrack[i, j + 1] = True
+            for s in range(1, g):
+                vp = vpids[s]
+                if vp is None or gmap_visited[i, s]:
+                    continue
+                if vp in cand_slot:
+                    fused_add_idx[i, s] = cand_slot[vp] + 1  # +1: [stop] offset
+                else:
+                    fused_add_idx[i, s] = -1  # backtrack pool
+
+            # --- local branch pos features (agent.py:179-195) ---
+            start_fts = topo.pos_features(
+                cur_vp, [topo.start_vp], ob["heading"], ob["elevation"], af)
+            vp_pos_fts[i, :, : af + 3] = start_fts[0]
+            cand_fts = topo.pos_features(
+                cur_vp, cand_vpids, ob["heading"], ob["elevation"], af)
+            vp_pos_fts[i, 1: 1 + len(cand_vpids), af + 3:] = cand_fts
+            vp_nav_mask[i, 0] = True
+            vp_nav_mask[i, 1: 1 + len(cand_vpids)] = True
+
+        dummy_t = np.full((b,), self.cfg.train.ignoreid, np.int32)
+        inputs = StepInputs(
+            view_img_fts=view_img_fts, loc_fts=loc_fts, nav_types=nav_types,
+            view_mask=view_mask, depth=depth, patch_fts=patch_fts,
+            pos_xy=pos_xy, heading=heading,
+            gmap_step_ids=gmap_step_ids, gmap_pos_fts=gmap_pos_fts,
+            gmap_mask=gmap_mask, gmap_visited_mask=gmap_visited,
+            cur_node_idx=cur_node_idx, cand_gmap_idx=cand_gmap_idx,
+            vp_pos_fts=vp_pos_fts, vp_nav_mask=vp_nav_mask,
+            fused_add_idx=fused_add_idx, cand_backtrack_mask=cand_backtrack,
+            target=dummy_t, grid_target=dummy_t.copy(),
+        )
+        return inputs, slot_vpids, cand_vpids_all
+
+    # ----------------------------------------------------------- supervision
+    def teacher_actions(self, obs, slot_vpids, books, ended) -> np.ndarray:
+        """Graph-shortest-distance oracle over gmap slots (agent.py:207-237)."""
+        a = np.full((len(obs),), self.cfg.train.ignoreid, np.int64)
+        for i, ob in enumerate(obs):
+            if ended[i]:
+                continue
+            if ob["viewpoint"] == ob["gt_path"][-1]:
+                a[i] = 0
+                continue
+            scan, cur = ob["scan"], ob["viewpoint"]
+            dists = self.env.shortest_distances[scan]
+            goal = ob["gt_path"][-1]
+            best, best_d = self.cfg.train.ignoreid, math.inf
+            for s in range(1, self.shapes.max_gmap_len):
+                vp = slot_vpids[i][s]
+                if vp is None or books[i].topo.graph.visited(vp):
+                    continue
+                d = dists[vp][goal] + dists[cur][vp]
+                if d < best_d:
+                    best_d, best = d, s
+            a[i] = best
+        return a
+
+    # --------------------------------------------------------------- rollout
+    def rollout(self, feedback: str = "argmax", train: bool = False,
+                rng: Optional[np.random.Generator] = None,
+                record: bool = False):
+        """Run one minibatch of episodes.
+
+        Returns (trajectories, recorded TrajectoryBatch or None, stats)."""
+        cfg = self.cfg
+        rng = rng or np.random.default_rng(0)
+        obs = self.env.reset()
+        self._update_caches(obs)
+        b = len(obs)
+
+        books = [EpisodeBook(ob["viewpoint"], self.shapes.max_gmap_len)
+                 for ob in obs]
+        for i, ob in enumerate(obs):
+            books[i].topo.update(
+                ob["viewpoint"], ob["position"],
+                [(c["viewpointId"], c["position"]) for c in ob["candidate"]])
+
+        traj = [{"instr_id": ob["instr_id"], "trajectory": [[ob["viewpoint"]]],
+                 "stop_scores": {}} for ob in obs]
+
+        txt_ids, txt_mask = self.language_batch(obs)
+        txt_embeds = self._jit_language(self.params, txt_ids, txt_mask)
+
+        carry = init_carry(cfg, b)
+        ended = np.zeros((b,), bool)
+        recorded: List[StepInputs] = []
+        total_ce = 0.0
+
+        for t in range(cfg.train.max_action_len):
+            for i, ob in enumerate(obs):
+                if not ended[i]:
+                    books[i].topo.node_step_ids[ob["viewpoint"]] = t + 1
+
+            inputs, slot_vpids, cand_vpids = self.build_step_inputs(
+                obs, books, t)
+            targets = self.teacher_actions(obs, slot_vpids, books, ended)
+            inputs = inputs._replace(target=targets.astype(np.int32))
+            if record:
+                recorded.append(inputs)
+
+            carry, out = self._jit_step(
+                self.params, txt_embeds, txt_mask, carry,
+                jax.tree_util.tree_map(np.asarray, inputs))
+            logits = np.asarray(out.fused_logits, np.float64)
+
+            # action selection (agent.py:373-398)
+            if feedback == "teacher":
+                a_t = targets.copy()
+            elif feedback == "argmax":
+                a_t = logits.argmax(-1)
+            elif feedback == "sample":
+                probs = np.exp(logits - logits.max(-1, keepdims=True))
+                probs = np.where(np.isfinite(logits), probs, 0.0)
+                probs /= probs.sum(-1, keepdims=True)
+                a_t = np.array([rng.choice(len(p), p=p) for p in probs])
+            else:
+                raise ValueError(feedback)
+
+            # stop-score bookkeeping (agent.py:350-355)
+            finite = np.isfinite(logits)
+            probs = np.exp(logits - np.where(finite, logits, -np.inf).max(
+                -1, keepdims=True))
+            probs = np.where(finite, probs, 0.0)
+            probs /= np.maximum(probs.sum(-1, keepdims=True), 1e-12)
+            for i, ob in enumerate(obs):
+                if not ended[i]:
+                    traj[i]["stop_scores"][ob["viewpoint"]] = float(probs[i, 0])
+
+            # stop determination (agent.py:400-414)
+            if feedback in ("teacher", "sample"):
+                stop_now = np.array(
+                    [ob["viewpoint"] == ob["gt_path"][-1] for ob in obs])
+            else:
+                stop_now = a_t == 0
+            no_vp_left = np.array([
+                all(vp is None or books[i].topo.graph.visited(vp)
+                    for vp in slot_vpids[i][1:])
+                for i in range(b)])
+
+            just_ended = np.zeros((b,), bool)
+            chosen: List[Optional[str]] = []
+            for i in range(b):
+                if stop_now[i] or ended[i] or no_vp_left[i] or \
+                        t == cfg.train.max_action_len - 1:
+                    chosen.append(None)
+                    just_ended[i] = True
+                else:
+                    vp = slot_vpids[i][int(a_t[i])]
+                    chosen.append(vp)
+
+            # execute moves (make_equiv_action, agent.py:239-255)
+            for i, vp in enumerate(chosen):
+                if vp is None:
+                    continue
+                ob = obs[i]
+                path = books[i].topo.graph.path(ob["viewpoint"], vp)
+                traj[i]["trajectory"].append(path)
+                prev = (traj[i]["trajectory"][-2][-1] if len(path) == 1
+                        else path[-2])
+                viewidx = self.scanvp_cands[f"{ob['scan']}_{prev}"][vp]
+                self.env.teleport(
+                    i, vp, (viewidx % 12) * math.radians(30),
+                    (viewidx // 12 - 1) * math.radians(30))
+
+            # post-stop: jump to the best stop-scored node (agent.py:418-431)
+            for i in range(b):
+                if not ended[i] and just_ended[i] and traj[i]["stop_scores"]:
+                    best_vp = max(traj[i]["stop_scores"],
+                                  key=traj[i]["stop_scores"].get)
+                    if best_vp != obs[i]["viewpoint"]:
+                        traj[i]["trajectory"].append(
+                            books[i].topo.graph.path(
+                                obs[i]["viewpoint"], best_vp))
+
+            obs = self.env._get_obs()
+            self._update_caches(obs)
+            for i, ob in enumerate(obs):
+                if not ended[i]:
+                    books[i].topo.update(
+                        ob["viewpoint"], ob["position"],
+                        [(c["viewpointId"], c["position"])
+                         for c in ob["candidate"]])
+
+            ended |= np.array([c is None for c in chosen])
+            if ended.all():
+                break
+
+        batch = None
+        if record:
+            stacked = StepInputs(*[
+                np.stack([np.asarray(getattr(s, f)) for s in recorded])
+                for f in StepInputs._fields])
+            batch = TrajectoryBatch(txt_ids=txt_ids, txt_mask=txt_mask,
+                                    steps=jax.tree_util.tree_map(
+                                        lambda a: a, stacked))
+        stats = {"steps": t + 1}
+        return traj, batch, stats
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, num_batches: int) -> Tuple[dict, List[dict]]:
+        """Greedy eval over minibatches; dedupes by instr_id
+        (agent_base.py:43-65 test loop)."""
+        preds: Dict[str, dict] = {}
+        self.env.reset_epoch(shuffle=False)
+        for _ in range(num_batches):
+            traj, _, _ = self.rollout(feedback="argmax")
+            for item in traj:
+                preds.setdefault(item["instr_id"], {
+                    "instr_id": item["instr_id"],
+                    "trajectory": item["trajectory"]})
+        pred_list = list(preds.values())
+        avg, _ = self.env.eval_metrics(pred_list)
+        return avg, pred_list

@@ -113,6 +113,87 @@ def _update_node_embeds(gmap_sum, gmap_cnt, pano_embeds, pano_mask,
     return gmap_sum, gmap_cnt
 
 
+class NavCarry(NamedTuple):
+    """Cross-step device state of an episode batch."""
+
+    point_state: G.PointCloudState
+    gmap_sum: jnp.ndarray  # (B, G, D) running node-embedding sums (stable slots)
+    gmap_cnt: jnp.ndarray  # (B, G)
+
+
+def init_carry(cfg: GridMMConfig, batch: int,
+               gmap_len: int | None = None) -> NavCarry:
+    g = gmap_len if gmap_len is not None else cfg.shapes.max_gmap_len
+    d = cfg.model.hidden_size
+    return NavCarry(
+        point_state=G.PointCloudState.create(batch, cfg.grid,
+                                             cfg.shapes.max_points),
+        gmap_sum=jnp.zeros((batch, g, d), jnp.float32),
+        gmap_cnt=jnp.zeros((batch, g), jnp.float32),
+    )
+
+
+def nav_device_step(
+    model: GridMMNavigator,
+    cfg: GridMMConfig,
+    params,
+    txt_embeds, txt_mask,
+    carry: NavCarry,
+    x: StepInputs,
+    deterministic: bool = True,
+    rngs=None,
+):
+    """One navigation step on device: panorama encode, point-buffer append +
+    grid assignment, node-embedding aggregation, navigation forward.
+
+    Gmap tokens use a STABLE discovery-order slot space (slot 0 = [stop]);
+    the reference repacks [stop]+visited+unvisited every step
+    (agent.py:104-147), but attention is permutation-equivariant under masks,
+    so a stable order is semantically identical and lets the interactive
+    rollout and the scanned training loss share this one compiled graph.
+    """
+    b = txt_mask.shape[0]
+    d = cfg.model.hidden_size
+
+    def apply(mode, batch_dict):
+        return model.apply(params, mode, batch_dict, deterministic, rngs=rngs)
+
+    pano_embeds, pano_mask = apply("panorama", {
+        "view_img_fts": x.view_img_fts, "loc_fts": x.loc_fts,
+        "nav_types": x.nav_types, "view_mask": x.view_mask})
+
+    point_state = G.append_panorama(
+        carry.point_state, x.depth, x.patch_fts, x.pos_xy, cfg.grid)
+    cells, _, grid_pos_fts = G.egocentric_grid_assignment(
+        point_state, x.pos_xy, x.heading, cfg.grid)
+
+    gmap_sum, gmap_cnt = _update_node_embeds(
+        carry.gmap_sum, carry.gmap_cnt, pano_embeds.astype(jnp.float32),
+        pano_mask, x.cur_node_idx, x.cand_gmap_idx, x.gmap_visited_mask)
+    gmap_img_embeds = gmap_sum / jnp.maximum(gmap_cnt, 1.0)[..., None]
+    # slot 0 is the [stop] token: zero embedding (agent.py:127-129)
+    gmap_img_embeds = gmap_img_embeds.at[:, 0].set(0.0)
+
+    vp_img_embeds = jnp.concatenate(
+        [jnp.zeros((b, 1, d), pano_embeds.dtype), pano_embeds], axis=1)
+    vp_mask = jnp.concatenate([jnp.ones((b, 1), bool), x.view_mask], axis=1)
+
+    out = apply("navigation", {
+        "txt_embeds": txt_embeds, "txt_mask": txt_mask,
+        "gmap_img_embeds": gmap_img_embeds.astype(cfg.model.dtype),
+        "gmap_step_ids": x.gmap_step_ids, "gmap_pos_fts": x.gmap_pos_fts,
+        "gmap_mask": x.gmap_mask, "gmap_visited_mask": x.gmap_visited_mask,
+        "vp_img_embeds": vp_img_embeds, "vp_pos_fts": x.vp_pos_fts,
+        "vp_mask": vp_mask, "vp_nav_mask": x.vp_nav_mask,
+        "grid_fts": point_state.features, "grid_cells": cells,
+        "gridmap_pos_fts": grid_pos_fts,
+        "fused_add_idx": x.fused_add_idx,
+        "cand_backtrack_mask": x.cand_backtrack_mask,
+        "txt_relevance_mask": txt_mask})
+
+    return NavCarry(point_state, gmap_sum, gmap_cnt), out
+
+
 def trajectory_loss(
     model: GridMMNavigator,
     cfg: GridMMConfig,
@@ -122,65 +203,28 @@ def trajectory_loss(
 ):
     """Teacher-forced loss over a full episode, all on device."""
     deterministic = rng is None
-    rngs = {} if deterministic else {"dropout": rng}
+    rngs = None if deterministic else {"dropout": rng}
 
     def apply(mode, b):
-        return model.apply(params, mode, b, deterministic,
-                           rngs=rngs if not deterministic else None)
+        return model.apply(params, mode, b, deterministic, rngs=rngs)
 
     txt_embeds = apply("language",
                        {"txt_ids": batch.txt_ids, "txt_mask": batch.txt_mask})
 
     s, b = batch.steps.target.shape
-    g = batch.steps.gmap_mask.shape[-1]
-    d = cfg.model.hidden_size
 
-    point_state = G.PointCloudState.create(b, cfg.grid, cfg.shapes.max_points)
-    gmap_sum = jnp.zeros((b, g, d), jnp.float32)
-    gmap_cnt = jnp.zeros((b, g), jnp.float32)
-
-    def step_fn(carry, x: StepInputs):
-        point_state, gmap_sum, gmap_cnt, loss = carry
-
-        pano_embeds, pano_mask = apply("panorama", {
-            "view_img_fts": x.view_img_fts, "loc_fts": x.loc_fts,
-            "nav_types": x.nav_types, "view_mask": x.view_mask})
-
-        point_state_n = G.append_panorama(
-            point_state, x.depth, x.patch_fts, x.pos_xy, cfg.grid)
-        cells, _, grid_pos_fts = G.egocentric_grid_assignment(
-            point_state_n, x.pos_xy, x.heading, cfg.grid)
-
-        gmap_sum_n, gmap_cnt_n = _update_node_embeds(
-            gmap_sum, gmap_cnt, pano_embeds.astype(jnp.float32), pano_mask,
-            x.cur_node_idx, x.cand_gmap_idx, x.gmap_visited_mask)
-        gmap_img_embeds = gmap_sum_n / jnp.maximum(gmap_cnt_n, 1.0)[..., None]
-        # slot 0 is the [stop] token: zero embedding (agent.py:127-129)
-        gmap_img_embeds = gmap_img_embeds.at[:, 0].set(0.0)
-
-        vp_img_embeds = jnp.concatenate(
-            [jnp.zeros((b, 1, d), pano_embeds.dtype), pano_embeds], axis=1)
-        vp_mask = jnp.concatenate([jnp.ones((b, 1), bool), x.view_mask], axis=1)
-
-        out = apply("navigation", {
-            "txt_embeds": txt_embeds, "txt_mask": batch.txt_mask,
-            "gmap_img_embeds": gmap_img_embeds.astype(cfg.model.dtype),
-            "gmap_step_ids": x.gmap_step_ids, "gmap_pos_fts": x.gmap_pos_fts,
-            "gmap_mask": x.gmap_mask, "gmap_visited_mask": x.gmap_visited_mask,
-            "vp_img_embeds": vp_img_embeds, "vp_pos_fts": x.vp_pos_fts,
-            "vp_mask": vp_mask, "vp_nav_mask": x.vp_nav_mask,
-            "grid_fts": point_state_n.features, "grid_cells": cells,
-            "gridmap_pos_fts": grid_pos_fts,
-            "fused_add_idx": x.fused_add_idx,
-            "cand_backtrack_mask": x.cand_backtrack_mask,
-            "txt_relevance_mask": batch.txt_mask})
-
+    def step_fn(carry_loss, x: StepInputs):
+        carry, loss = carry_loss
+        carry, out = nav_device_step(
+            model, cfg, params, txt_embeds, batch.txt_mask, carry, x,
+            deterministic, rngs)
         step_loss = cross_entropy_ignore(
             out.fused_logits, x.target, cfg.train.ignoreid, "sum")
-        return (point_state_n, gmap_sum_n, gmap_cnt_n, loss + step_loss), None
+        return (carry, loss + step_loss), None
 
-    (point_state, gmap_sum, gmap_cnt, total), _ = jax.lax.scan(
-        step_fn, (point_state, gmap_sum, gmap_cnt, jnp.float32(0.0)), batch.steps)
+    g = batch.steps.gmap_mask.shape[-1]
+    (_, total), _ = jax.lax.scan(
+        step_fn, (init_carry(cfg, b, g), jnp.float32(0.0)), batch.steps)
 
     # reference scales by ml_weight / batch_size (agent.py:447)
     return total * cfg.train.ml_weight / b

@@ -1,0 +1,98 @@
+"""End-to-end: synthetic world -> discrete env -> interactive agent -> metrics,
+and rollout-then-replay training."""
+
+import dataclasses
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from gridmm_tpu.config import (GridConfig, GridMMConfig, MeshConfig,  # noqa: E402
+                               ModelConfig, NavigatorShapes, TrainConfig)
+from gridmm_tpu.env.discrete import DiscreteNavEnv, synthetic_episodes  # noqa: E402
+from gridmm_tpu.env.world import SyntheticWorld  # noqa: E402
+from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator  # noqa: E402
+from gridmm_tpu.train.agent import NavAgent  # noqa: E402
+from gridmm_tpu.train.step import create_train_state, make_train_step  # noqa: E402
+
+
+def tiny_cfg():
+    model = ModelConfig(
+        vocab_size=30522, hidden_size=128, num_attention_heads=4,
+        intermediate_size=256, num_l_layers=2, num_x_layers=2,
+        num_pano_layers=1, image_feat_size=128, max_position_embeddings=64)
+    grid = GridConfig(feature_dim=128, max_steps=4)
+    shapes = NavigatorShapes(
+        max_txt_len=24, max_gmap_len=16, max_vp_len=40, max_points=4 * 588)
+    train = TrainConfig(batch_size=3, max_action_len=4, lr=1e-4)
+    return GridMMConfig(model=model, grid=grid, shapes=shapes,
+                        mesh=MeshConfig(), train=train)
+
+
+def build_all(seed=0):
+    cfg = tiny_cfg()
+    world = SyntheticWorld(num_scans=2, nodes_per_scan=10, feat_dim=768,
+                           seed=seed)
+    episodes = synthetic_episodes(world, num=9, seed=seed, max_len=4)
+    env = DiscreteNavEnv(world, world.graphs, episodes,
+                         batch_size=cfg.train.batch_size, seed=seed)
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(seed))
+    agent = NavAgent(model, cfg, env, params)
+    return cfg, env, model, params, agent
+
+
+def test_rollout_and_eval():
+    cfg, env, model, params, agent = build_all()
+    traj, _, stats = agent.rollout(feedback="argmax")
+    assert len(traj) == cfg.train.batch_size
+    for item in traj:
+        flat = [vp for seg in item["trajectory"] for vp in seg]
+        assert len(flat) >= 1
+    avg, preds = agent.evaluate(num_batches=3)
+    # random-weight agent: metrics exist and are sane ranges
+    for key in ("sr", "spl", "nDTW", "SDTW", "CLS", "oracle_sr"):
+        assert 0.0 <= avg[key] <= 100.0
+    assert avg["nav_error"] >= 0.0
+    assert len(preds) <= 9
+
+
+def test_teacher_rollout_reaches_goal():
+    """With teacher forcing the agent must walk the GT path -> SR 100."""
+    cfg, env, model, params, agent = build_all()
+    env.reset_epoch(shuffle=False)
+    preds = {}
+    for _ in range(3):
+        traj, _, _ = agent.rollout(feedback="teacher")
+        for item in traj:
+            preds.setdefault(item["instr_id"], {
+                "instr_id": item["instr_id"],
+                "trajectory": item["trajectory"]})
+    avg, _ = env.eval_metrics(list(preds.values()))
+    # The teacher walks through the goal, so oracle SR must be perfect. Plain
+    # SR can be lower: after stopping, the agent jumps to its best
+    # stop-probability node (reference behavior, agent.py:418-431), which is
+    # arbitrary under random weights.
+    assert avg["oracle_sr"] == 100.0, avg
+    assert avg["sr"] >= 50.0, avg
+
+
+def test_rollout_record_replay_training():
+    cfg, env, model, params, agent = build_all()
+    traj, batch, _ = agent.rollout(feedback="teacher", record=True)
+    assert batch is not None
+    s, b = batch.steps.target.shape
+    assert b == cfg.train.batch_size and 1 <= s <= cfg.train.max_action_len
+
+    state = create_train_state(cfg, params)
+    step = jax.jit(make_train_step(model, cfg))
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
