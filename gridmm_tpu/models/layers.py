@@ -184,19 +184,34 @@ class BertEmbeddings(nn.Module):
 
 
 class GraphLXRTXLayer(nn.Module):
-    """Cross-modal layer: x-attend to language, graph-biased self-attention, FFN
-    (vilmodel.py:381-427)."""
+    """Cross-modal layer (vilmodel.py:381-427): the visn path cross-attends to
+    language then self-attends (optionally graph-biased) then FFN; the lang2visn
+    path (used by pretraining MLM, vilmodel.py:416-427) runs language queries
+    over visual keys with a separate lang self-attention/FFN branch, sharing the
+    cross-attention weights."""
 
     cfg: ModelConfig
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        self.visual_attention = BertCrossAttention(c, name="visual_attention")
+        self.visn_self_att = BertAttention(c, name="visn_self_att")
+        self.visn_ffn = BertFFN(c, name="visn_ffn")
+        if c.use_lang2visn_attn:
+            self.lang_self_att = BertAttention(c, name="lang_self_att")
+            self.lang_ffn = BertFFN(c, name="lang_ffn")
+
     def __call__(self, lang, lang_bias, visn, visn_bias, graph_sprels=None,
                  deterministic=True):
-        x = BertCrossAttention(self.cfg, name="visual_attention")(
-            visn, lang, lang_bias, deterministic)
+        x = self.visual_attention(visn, lang, lang_bias, deterministic)
         self_bias = visn_bias if graph_sprels is None else visn_bias + graph_sprels
-        x = BertAttention(self.cfg, name="visn_self_att")(x, self_bias, deterministic)
-        return BertFFN(self.cfg, name="visn_ffn")(x, deterministic)
+        x = self.visn_self_att(x, self_bias, deterministic)
+        return self.visn_ffn(x, deterministic)
+
+    def lang2visn(self, lang, lang_bias, visn, visn_bias, deterministic=True):
+        x = self.visual_attention(lang, visn, visn_bias, deterministic)
+        x = self.lang_self_att(x, lang_bias, deterministic)
+        return self.lang_ffn(x, deterministic)
 
 
 class CrossmodalEncoder(nn.Module):
@@ -205,17 +220,31 @@ class CrossmodalEncoder(nn.Module):
     cfg: ModelConfig
     num_layers: int
 
-    @nn.compact
+    def setup(self):
+        self.x_layers = [GraphLXRTXLayer(self.cfg, name=f"x_layers_{i}")
+                         for i in range(self.num_layers)]
+
     def __call__(self, txt, txt_mask, img, img_mask, graph_sprels=None,
                  deterministic=True):
         from gridmm_tpu.ops.masking import attn_bias_from_mask
 
         txt_bias = attn_bias_from_mask(txt_mask)
         img_bias = attn_bias_from_mask(img_mask)
-        for i in range(self.num_layers):
-            img = GraphLXRTXLayer(self.cfg, name=f"x_layers_{i}")(
-                txt, txt_bias, img, img_bias, graph_sprels, deterministic)
+        for layer in self.x_layers:
+            img = layer(txt, txt_bias, img, img_bias, graph_sprels,
+                        deterministic)
         return img
+
+    def lang2visn(self, txt, txt_mask, visn, visn_mask, deterministic=True):
+        """Language tokens attend to visual context through every layer's lang
+        branch (pretrain forward_mlm, vilmodel.py:846-853)."""
+        from gridmm_tpu.ops.masking import attn_bias_from_mask
+
+        txt_bias = attn_bias_from_mask(txt_mask)
+        visn_bias = attn_bias_from_mask(visn_mask)
+        for layer in self.x_layers:
+            txt = layer.lang2visn(txt, txt_bias, visn, visn_bias, deterministic)
+        return txt
 
 
 class PreNormEncoderLayer(nn.Module):

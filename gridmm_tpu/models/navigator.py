@@ -172,6 +172,50 @@ class GridMMNavigator(nn.Module):
             tok, obj_img_fts, deterministic)
         return pano, view_mask
 
+    # ----------------------------------------------------------- shared trunk
+    def encode_grid(self, txt_embeds, grid_fts, grid_cells, gridmap_pos_fts,
+                    txt_relevance_mask=None):
+        """Instruction-relevance pooling of grid points into cell embeddings
+        (vilmodel.py:788-824). Returns (grid_embeds, cell_mask)."""
+        f32 = jnp.float32
+        num_cells = gridmap_pos_fts.shape[1]
+        proj_txt = self.text_proj(txt_embeds.astype(f32))
+        rel_w = instruction_relevance(grid_fts.astype(f32), proj_txt,
+                                      txt_relevance_mask)
+        grid_proj_fts = self.grid_proj(grid_fts.astype(f32))
+        pooled, cell_mask = grid_scatter_pool(
+            grid_proj_fts, grid_cells, rel_w, num_cells)
+        grid_embeds = pooled.astype(self.cfg.dtype) + self.grid_pos_ln(
+            self.grid_pos_dense(gridmap_pos_fts))
+        return grid_embeds, cell_mask
+
+    def fusion_trunk(self, txt_embeds, txt_mask, grid_embeds, cell_mask,
+                     gmap_embeds, gmap_mask, vp_embeds, vp_mask,
+                     deterministic=True):
+        """Map encoder + cross-modal fusion shared by the per-step navigator
+        and the trajectory-level pretraining model (vilmodel.py:837-856 /
+        pretrain vilmodel.py:735-760).
+
+        Returns (map_embeds, gmap_out, vp_out)."""
+        num_cells = grid_embeds.shape[1]
+        map_embeds = jnp.concatenate([grid_embeds, gmap_embeds], axis=1)
+        map_mask = jnp.concatenate([cell_mask, gmap_mask], axis=1)
+        map_embeds = self.grid_encoder(map_embeds, map_mask, deterministic)
+        map_embeds = self.grid_txt_encoder(
+            txt_embeds, txt_mask, map_embeds, map_mask,
+            deterministic=deterministic)
+        gmap_embeds = map_embeds[:, num_cells:]
+
+        kv_embeds = jnp.concatenate([map_embeds, txt_embeds], axis=1)
+        kv_mask = jnp.concatenate([map_mask, txt_mask], axis=1)
+        q_embeds = jnp.concatenate([gmap_embeds, vp_embeds], axis=1)
+        q_mask = jnp.concatenate([gmap_mask, vp_mask], axis=1)
+        q_embeds = self.local_encoder(
+            kv_embeds, kv_mask, q_embeds, q_mask, deterministic=deterministic)
+
+        g_len = gmap_mask.shape[1]
+        return map_embeds, q_embeds[:, :g_len], q_embeds[:, g_len:]
+
     # ------------------------------------------------------------ navigation
     def forward_navigation(
         self,
@@ -189,17 +233,12 @@ class GridMMNavigator(nn.Module):
     ) -> NavOutputs:
         c = self.cfg
         num_cells = gridmap_pos_fts.shape[1]
+        f32 = jnp.float32
 
         # --- grid memory pooling (vilmodel.py:788-824, fused) ---
-        f32 = jnp.float32
-        proj_txt = self.text_proj(txt_embeds.astype(f32))
-        rel_w = instruction_relevance(grid_fts.astype(f32), proj_txt,
-                                      txt_relevance_mask)
-        grid_proj_fts = self.grid_proj(grid_fts.astype(f32))
-        pooled, cell_mask = grid_scatter_pool(
-            grid_proj_fts, grid_cells, rel_w, num_cells)
-        grid_embeds = pooled.astype(c.dtype) + self.grid_pos_ln(
-            self.grid_pos_dense(gridmap_pos_fts))
+        grid_embeds, cell_mask = self.encode_grid(
+            txt_embeds, grid_fts, grid_cells, gridmap_pos_fts,
+            txt_relevance_mask)
 
         # --- global branch input (vilmodel.py:828-830) ---
         gmap_embeds = (
@@ -211,28 +250,9 @@ class GridMMNavigator(nn.Module):
         # --- local branch input (vilmodel.py:833) ---
         vp_embeds = vp_img_embeds + self.vp_pos_ln(self.vp_pos_dense(vp_pos_fts))
 
-        # --- map encoder: [grid || gmap] self-attn then x-attn to text
-        # (vilmodel.py:837-841) ---
-        map_embeds = jnp.concatenate([grid_embeds, gmap_embeds], axis=1)
-        map_mask = jnp.concatenate([cell_mask, gmap_mask], axis=1)
-        map_embeds = self.grid_encoder(map_embeds, map_mask, deterministic)
-        map_embeds = self.grid_txt_encoder(
-            txt_embeds, txt_mask, map_embeds, map_mask,
-            deterministic=deterministic)
-        gmap_embeds = map_embeds[:, num_cells:]
-
-        # --- fusion: [gmap || vp] queries cross-attend to [map || txt]
-        # (vilmodel.py:846-853) ---
-        kv_embeds = jnp.concatenate([map_embeds, txt_embeds], axis=1)
-        kv_mask = jnp.concatenate([map_mask, txt_mask], axis=1)
-        q_embeds = jnp.concatenate([gmap_embeds, vp_embeds], axis=1)
-        q_mask = jnp.concatenate([gmap_mask, vp_mask], axis=1)
-        q_embeds = self.local_encoder(
-            kv_embeds, kv_mask, q_embeds, q_mask, deterministic=deterministic)
-
-        g_len = gmap_mask.shape[1]
-        gmap_out = q_embeds[:, :g_len]
-        vp_out = q_embeds[:, g_len:]
+        map_embeds, gmap_out, vp_out = self.fusion_trunk(
+            txt_embeds, txt_mask, grid_embeds, cell_mask,
+            gmap_embeds, gmap_mask, vp_embeds, vp_mask, deterministic)
 
         # --- logits (vilmodel.py:859-907) ---
         if self.sap_fuse_linear is None:

@@ -62,15 +62,32 @@ def mrc_kl_loss(pred_logits: jnp.ndarray, soft_targets: jnp.ndarray,
 
 def sap_loss(
     global_logits, local_logits, fused_logits, grid_logits,
-    global_act, local_act, fused_act, grid_act,
-    ignore_id: int = -100,
+    global_act, local_act,
 ):
-    """Four-head single-action-prediction CE (pretrain_cmt.py:273-289)."""
-    losses = {
-        "sap_global": cross_entropy_ignore(global_logits, global_act, ignore_id, "mean"),
-        "sap_local": cross_entropy_ignore(local_logits, local_act, ignore_id, "mean"),
-        "sap_fused": cross_entropy_ignore(fused_logits, fused_act, ignore_id, "mean"),
-        "sap_grid": cross_entropy_ignore(grid_logits, grid_act, ignore_id, "mean"),
-    }
-    losses["sap_total"] = sum(losses.values())
-    return losses
+    """Four-head single-action-prediction CE with stop-rate reweighting
+    (pretrain_cmt.py:273-289): per-example CE; examples whose teacher action is
+    [stop] (label 0) are divided by stop_rate = #stop / #non-stop; global/fused/
+    grid heads use global labels, local uses local labels. Returns per-example
+    summed losses (caller means over the batch, train_r2r.py:265)."""
+
+    def ce(logits, labels):
+        return cross_entropy_ignore(logits, labels, ignore_id=-100,
+                                    reduction="none")
+
+    g = ce(global_logits, global_act)
+    l = ce(local_logits, local_act)
+    f = ce(fused_logits, global_act)
+    gr = ce(grid_logits, global_act)
+
+    is_stop_g = global_act == 0
+    is_stop_l = local_act == 0
+    n_stop = jnp.sum(is_stop_g)
+    n_go = jnp.sum(~is_stop_g)
+    stop_rate = jnp.where(n_go > 0, n_stop / jnp.maximum(n_go, 1), 1.0)
+    stop_rate = jnp.maximum(stop_rate, 1e-8)
+
+    g = jnp.where(is_stop_g, g / stop_rate, g)
+    f = jnp.where(is_stop_g, f / stop_rate, f)
+    gr = jnp.where(is_stop_g, gr / stop_rate, gr)
+    l = jnp.where(is_stop_l, l / stop_rate, l)
+    return g + l + f + gr
