@@ -1,0 +1,386 @@
+"""Checkpointing: orbax persistence + PyTorch-checkpoint importers.
+
+The reference ships three torch state_dict flavors with key-remapping adapters
+between stages (pretrain ModelSaver per-step files, fine-tune best/latest dicts
+with `module.` fixups, CE ckpt.{epoch}.pth — SURVEY.md §5 checkpoint bullet;
+adapters at map_nav_src/models/vlnbert_init.py:19-27 and
+VLN_CE/.../gridmap/vlnbert_init.py:15-33). This module maps those torch key
+spaces onto the flax parameter tree so released GridMM weights load directly.
+
+Conventions translated:
+  torch Linear.weight (out,in)  -> flax Dense kernel (in,out)   [transpose]
+  torch LayerNorm.weight/bias   -> flax LayerNorm scale/bias (under .../ln)
+  torch Embedding.weight        -> flax Embed embedding
+  torch MultiheadAttention.in_proj_{weight,bias} -> split q/k/v Dense params
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------- orbax
+def save_checkpoint(path: str, state) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def restore_checkpoint(path: str, template):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, template)
+
+
+# ------------------------------------------------------------ torch importers
+def _strip_prefixes(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop DDP 'module.' wrappers (agent_base.py:230-262, save.py:23-45)."""
+    out = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v
+    return out
+
+
+def _t(x) -> np.ndarray:
+    arr = np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+    return arr.astype(np.float32)
+
+
+def _bert_layer_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
+    """(torch key suffix, flax path, transform) for one BertLayer."""
+    return [
+        (f"{src}.attention.self.query.weight", f"{dst}/attention/self/query/kernel", "T"),
+        (f"{src}.attention.self.query.bias", f"{dst}/attention/self/query/bias", ""),
+        (f"{src}.attention.self.key.weight", f"{dst}/attention/self/key/kernel", "T"),
+        (f"{src}.attention.self.key.bias", f"{dst}/attention/self/key/bias", ""),
+        (f"{src}.attention.self.value.weight", f"{dst}/attention/self/value/kernel", "T"),
+        (f"{src}.attention.self.value.bias", f"{dst}/attention/self/value/bias", ""),
+        (f"{src}.attention.output.dense.weight", f"{dst}/attention/output/dense/kernel", "T"),
+        (f"{src}.attention.output.dense.bias", f"{dst}/attention/output/dense/bias", ""),
+        (f"{src}.attention.output.LayerNorm.weight", f"{dst}/attention/output/LayerNorm/ln/scale", ""),
+        (f"{src}.attention.output.LayerNorm.bias", f"{dst}/attention/output/LayerNorm/ln/bias", ""),
+        (f"{src}.intermediate.dense.weight", f"{dst}/ffn/intermediate_dense/kernel", "T"),
+        (f"{src}.intermediate.dense.bias", f"{dst}/ffn/intermediate_dense/bias", ""),
+        (f"{src}.output.dense.weight", f"{dst}/ffn/output_dense/kernel", "T"),
+        (f"{src}.output.dense.bias", f"{dst}/ffn/output_dense/bias", ""),
+        (f"{src}.output.LayerNorm.weight", f"{dst}/ffn/output_LayerNorm/ln/scale", ""),
+        (f"{src}.output.LayerNorm.bias", f"{dst}/ffn/output_LayerNorm/ln/bias", ""),
+    ]
+
+
+def _xattention_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
+    """BertXAttention (vilmodel.py:370-379)."""
+    return [
+        (f"{src}.att.query.weight", f"{dst}/att/query/kernel", "T"),
+        (f"{src}.att.query.bias", f"{dst}/att/query/bias", ""),
+        (f"{src}.att.key.weight", f"{dst}/att/key/kernel", "T"),
+        (f"{src}.att.key.bias", f"{dst}/att/key/bias", ""),
+        (f"{src}.att.value.weight", f"{dst}/att/value/kernel", "T"),
+        (f"{src}.att.value.bias", f"{dst}/att/value/bias", ""),
+        (f"{src}.output.dense.weight", f"{dst}/output/dense/kernel", "T"),
+        (f"{src}.output.dense.bias", f"{dst}/output/dense/bias", ""),
+        (f"{src}.output.LayerNorm.weight", f"{dst}/output/LayerNorm/ln/scale", ""),
+        (f"{src}.output.LayerNorm.bias", f"{dst}/output/LayerNorm/ln/bias", ""),
+    ]
+
+
+def _attn_block_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
+    """BertAttention (self) used standalone (visn/lang_self_att)."""
+    return [
+        (f"{src}.self.query.weight", f"{dst}/self/query/kernel", "T"),
+        (f"{src}.self.query.bias", f"{dst}/self/query/bias", ""),
+        (f"{src}.self.key.weight", f"{dst}/self/key/kernel", "T"),
+        (f"{src}.self.key.bias", f"{dst}/self/key/bias", ""),
+        (f"{src}.self.value.weight", f"{dst}/self/value/kernel", "T"),
+        (f"{src}.self.value.bias", f"{dst}/self/value/bias", ""),
+        (f"{src}.output.dense.weight", f"{dst}/output/dense/kernel", "T"),
+        (f"{src}.output.dense.bias", f"{dst}/output/dense/bias", ""),
+        (f"{src}.output.LayerNorm.weight", f"{dst}/output/LayerNorm/ln/scale", ""),
+        (f"{src}.output.LayerNorm.bias", f"{dst}/output/LayerNorm/ln/bias", ""),
+    ]
+
+
+def _xlayer_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
+    """GraphLXRTXLayer (vilmodel.py:381-427)."""
+    rules = _xattention_rules(f"{src}.visual_attention", f"{dst}/visual_attention")
+    rules += _attn_block_rules(f"{src}.visn_self_att", f"{dst}/visn_self_att")
+    rules += [
+        (f"{src}.visn_inter.dense.weight", f"{dst}/visn_ffn/intermediate_dense/kernel", "T"),
+        (f"{src}.visn_inter.dense.bias", f"{dst}/visn_ffn/intermediate_dense/bias", ""),
+        (f"{src}.visn_output.dense.weight", f"{dst}/visn_ffn/output_dense/kernel", "T"),
+        (f"{src}.visn_output.dense.bias", f"{dst}/visn_ffn/output_dense/bias", ""),
+        (f"{src}.visn_output.LayerNorm.weight", f"{dst}/visn_ffn/output_LayerNorm/ln/scale", ""),
+        (f"{src}.visn_output.LayerNorm.bias", f"{dst}/visn_ffn/output_LayerNorm/ln/bias", ""),
+    ]
+    rules += _attn_block_rules(f"{src}.lang_self_att", f"{dst}/lang_self_att")
+    rules += [
+        (f"{src}.lang_inter.dense.weight", f"{dst}/lang_ffn/intermediate_dense/kernel", "T"),
+        (f"{src}.lang_inter.dense.bias", f"{dst}/lang_ffn/intermediate_dense/bias", ""),
+        (f"{src}.lang_output.dense.weight", f"{dst}/lang_ffn/output_dense/kernel", "T"),
+        (f"{src}.lang_output.dense.bias", f"{dst}/lang_ffn/output_dense/bias", ""),
+        (f"{src}.lang_output.LayerNorm.weight", f"{dst}/lang_ffn/output_LayerNorm/ln/scale", ""),
+        (f"{src}.lang_output.LayerNorm.bias", f"{dst}/lang_ffn/output_LayerNorm/ln/bias", ""),
+    ]
+    return rules
+
+
+def _prenorm_layer_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
+    """torch TransformerEncoderLayer (models/transformer.py) -> PreNormEncoderLayer.
+    in_proj is split into q/k/v by the importer (transform 'QKV<i>')."""
+    return [
+        (f"{src}.self_attn.in_proj_weight", f"{dst}/self_attn/query/kernel", "Q"),
+        (f"{src}.self_attn.in_proj_weight", f"{dst}/self_attn/key/kernel", "K"),
+        (f"{src}.self_attn.in_proj_weight", f"{dst}/self_attn/value/kernel", "V"),
+        (f"{src}.self_attn.in_proj_bias", f"{dst}/self_attn/query/bias", "Qb"),
+        (f"{src}.self_attn.in_proj_bias", f"{dst}/self_attn/key/bias", "Kb"),
+        (f"{src}.self_attn.in_proj_bias", f"{dst}/self_attn/value/bias", "Vb"),
+        (f"{src}.self_attn.out_proj.weight", f"{dst}/attn_out/kernel", "T"),
+        (f"{src}.self_attn.out_proj.bias", f"{dst}/attn_out/bias", ""),
+        (f"{src}.linear1.weight", f"{dst}/linear1/kernel", "T"),
+        (f"{src}.linear1.bias", f"{dst}/linear1/bias", ""),
+        (f"{src}.linear2.weight", f"{dst}/linear2/kernel", "T"),
+        (f"{src}.linear2.bias", f"{dst}/linear2/bias", ""),
+        (f"{src}.norm1.weight", f"{dst}/norm1/ln/scale", ""),
+        (f"{src}.norm1.bias", f"{dst}/norm1/ln/bias", ""),
+        (f"{src}.norm2.weight", f"{dst}/norm2/ln/scale", ""),
+        (f"{src}.norm2.bias", f"{dst}/norm2/ln/bias", ""),
+    ]
+
+
+def _linear_ln_rules(src_linear, src_ln, dst_dense, dst_ln):
+    """nn.Sequential(Linear, LayerNorm) heads like vp_pos_embeddings."""
+    return [
+        (f"{src_linear}.weight", f"{dst_dense}/kernel", "T"),
+        (f"{src_linear}.bias", f"{dst_dense}/bias", ""),
+        (f"{src_ln}.weight", f"{dst_ln}/ln/scale", ""),
+        (f"{src_ln}.bias", f"{dst_ln}/ln/bias", ""),
+    ]
+
+
+def _cls_head_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
+    """ClsPrediction net.{0,2,3} (vilmodel.py:663-674)."""
+    return [
+        (f"{src}.net.0.weight", f"{dst}/net_0/kernel", "T"),
+        (f"{src}.net.0.bias", f"{dst}/net_0/bias", ""),
+        (f"{src}.net.2.weight", f"{dst}/net_2/ln/scale", ""),
+        (f"{src}.net.2.bias", f"{dst}/net_2/ln/bias", ""),
+        (f"{src}.net.3.weight", f"{dst}/net_3/kernel", "T"),
+        (f"{src}.net.3.bias", f"{dst}/net_3/bias", ""),
+    ]
+
+
+def navigator_rules(num_l_layers=9, num_x_layers=4, num_pano_layers=2,
+                    has_obj=False) -> List[Tuple[str, str, str]]:
+    """Full key map for GlocalTextPathNavCMT -> GridMMNavigator."""
+    r: List[Tuple[str, str, str]] = [
+        ("embeddings.word_embeddings.weight",
+         "embeddings/word_embeddings/embedding", ""),
+        ("embeddings.position_embeddings.weight",
+         "embeddings/position_embeddings/embedding", ""),
+        ("embeddings.token_type_embeddings.weight",
+         "token_type_embeddings/embedding", ""),
+        ("embeddings.LayerNorm.weight", "embeddings/LayerNorm/ln/scale", ""),
+        ("embeddings.LayerNorm.bias", "embeddings/LayerNorm/ln/bias", ""),
+    ]
+    for i in range(num_l_layers):
+        r += _bert_layer_rules(f"lang_encoder.layer.{i}",
+                               f"lang_encoder/layer_{i}")
+    # ImageEmbeddings
+    r += [
+        ("img_embeddings.img_linear.weight", "img_embeddings/img_linear/kernel", "T"),
+        ("img_embeddings.img_linear.bias", "img_embeddings/img_linear/bias", ""),
+        ("img_embeddings.img_layer_norm.weight", "img_embeddings/img_layer_norm/ln/scale", ""),
+        ("img_embeddings.img_layer_norm.bias", "img_embeddings/img_layer_norm/ln/bias", ""),
+        ("img_embeddings.loc_linear.weight", "img_embeddings/loc_linear/kernel", "T"),
+        ("img_embeddings.loc_linear.bias", "img_embeddings/loc_linear/bias", ""),
+        ("img_embeddings.loc_layer_norm.weight", "img_embeddings/loc_layer_norm/ln/scale", ""),
+        ("img_embeddings.loc_layer_norm.bias", "img_embeddings/loc_layer_norm/ln/bias", ""),
+        ("img_embeddings.nav_type_embedding.weight", "img_embeddings/nav_type_embedding/embedding", ""),
+        ("img_embeddings.layer_norm.weight", "img_embeddings/layer_norm/ln/scale", ""),
+        ("img_embeddings.layer_norm.bias", "img_embeddings/layer_norm/ln/bias", ""),
+    ]
+    if has_obj:
+        r += [
+            ("img_embeddings.obj_linear.weight", "img_embeddings/obj_linear/kernel", "T"),
+            ("img_embeddings.obj_linear.bias", "img_embeddings/obj_linear/bias", ""),
+            ("img_embeddings.obj_layer_norm.weight", "img_embeddings/obj_layer_norm/ln/scale", ""),
+            ("img_embeddings.obj_layer_norm.bias", "img_embeddings/obj_layer_norm/ln/bias", ""),
+        ]
+    for i in range(num_pano_layers):
+        r += _prenorm_layer_rules(f"img_embeddings.pano_encoder.layers.{i}",
+                                  f"img_embeddings/pano_encoder/layers_{i}")
+    r += [
+        ("img_embeddings.pano_encoder.norm.weight", "img_embeddings/pano_encoder/norm/ln/scale", ""),
+        ("img_embeddings.pano_encoder.norm.bias", "img_embeddings/pano_encoder/norm/ln/bias", ""),
+    ]
+    # local branch
+    r += _linear_ln_rules("local_encoder.vp_pos_embeddings.0",
+                          "local_encoder.vp_pos_embeddings.1",
+                          "vp_pos_dense", "vp_pos_ln")
+    for i in range(num_x_layers):
+        r += _xlayer_rules(f"local_encoder.encoder.x_layers.{i}",
+                           f"local_encoder/x_layers_{i}")
+    # global branch
+    r += _linear_ln_rules("global_encoder.gmap_pos_embeddings.0",
+                          "global_encoder.gmap_pos_embeddings.1",
+                          "gmap_pos_dense", "gmap_pos_ln")
+    r += [("global_encoder.gmap_step_embeddings.weight",
+           "gmap_step_embeddings/embedding", "")]
+    # grid branch
+    r += _prenorm_layer_rules("grid_encoder.layers.0", "grid_encoder/layers_0")
+    r += [
+        ("grid_encoder.norm.weight", "grid_encoder/norm/ln/scale", ""),
+        ("grid_encoder.norm.bias", "grid_encoder/norm/ln/bias", ""),
+    ]
+    r += _xlayer_rules("grid_txt_encoder.x_layers.0", "grid_txt_encoder/x_layers_0")
+    r += _linear_ln_rules("grid_pos_embeddings.0", "grid_pos_embeddings.1",
+                          "grid_pos_dense", "grid_pos_ln")
+    r += [
+        ("text_proj.weight", "text_proj/kernel", "T"),
+        ("text_proj.bias", "text_proj/bias", ""),
+        ("grid_proj.weight", "grid_proj/kernel", "T"),
+        ("grid_proj.bias", "grid_proj/bias", ""),
+    ]
+    # heads
+    r += _cls_head_rules("global_sap_head", "global_sap_head")
+    r += _cls_head_rules("local_sap_head", "local_sap_head")
+    r += _cls_head_rules("grid_sap_head", "grid_sap_head")
+    r += _cls_head_rules("sap_fuse_linear", "sap_fuse_linear")
+    if has_obj:
+        r += _cls_head_rules("og_head", "og_head")
+    return r
+
+
+def _apply_transform(arr: np.ndarray, tf: str) -> np.ndarray:
+    if tf == "":
+        return arr
+    if tf == "T":
+        return arr.T
+    if arr.ndim == 2:  # in_proj_weight (3D, D)
+        q, k, v = np.split(arr, 3, axis=0)
+        return {"Q": q.T, "K": k.T, "V": v.T}[tf]
+    q, k, v = np.split(arr, 3, axis=0)  # in_proj_bias (3D,)
+    return {"Qb": q, "Kb": k, "Vb": v}[tf]
+
+
+def set_in_tree(tree: dict, path: str, value) -> None:
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def get_from_tree(tree: dict, path: str):
+    node = tree
+    for k in path.split("/"):
+        node = node[k]
+    return node
+
+
+def import_torch_navigator(
+    state_dict: Dict[str, Any],
+    template_params: dict,
+    num_l_layers=9, num_x_layers=4, num_pano_layers=2, has_obj=False,
+    strict: bool = False,
+) -> Tuple[dict, Dict[str, List[str]]]:
+    """Map a reference GlocalTextPathNavCMT state_dict onto our param tree.
+
+    Returns (params, report) where report lists torch keys not consumed and
+    flax leaves not filled (kept from the template)."""
+    sd = _strip_prefixes(state_dict)
+    rules = navigator_rules(num_l_layers, num_x_layers, num_pano_layers,
+                            has_obj)
+    params = jax.tree_util.tree_map(np.asarray, template_params)
+    inner = params["params"] if "params" in params else params
+
+    used, filled = set(), set()
+    for src, dst, tf in rules:
+        if src not in sd:
+            continue
+        try:
+            tgt = get_from_tree(inner, dst)
+        except KeyError:
+            continue
+        val = _apply_transform(_t(sd[src]), tf)
+        if tuple(val.shape) != tuple(np.shape(tgt)):
+            raise ValueError(
+                f"shape mismatch {src} -> {dst}: {val.shape} vs {np.shape(tgt)}")
+        set_in_tree(inner, dst, jnp.asarray(val))
+        used.add(src)
+        filled.add(dst)
+
+    def leaf_paths(tree, prefix=""):
+        out = []
+        for k, v in tree.items():
+            p = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                out += leaf_paths(v, p)
+            else:
+                out.append(p)
+        return out
+
+    report = {
+        "unused_torch_keys": sorted(set(sd) - used),
+        "unfilled_flax_leaves": sorted(set(leaf_paths(inner)) - filled),
+    }
+    if strict and report["unfilled_flax_leaves"]:
+        raise ValueError(f"unfilled leaves: {report['unfilled_flax_leaves']}")
+    return params, report
+
+
+def import_torch_clip_visual(state_dict: Dict[str, Any], template_params: dict,
+                             layers: int = 12) -> dict:
+    """OpenAI CLIP 'visual.' tower -> ClipVisionTransformer params.
+
+    conv1 (width,3,p,p) becomes the unfold-matmul kernel: the patchify Dense
+    expects (p*p*3, width) with input layout (ph, pw, channel)."""
+    sd = {k[len("visual."):]: v for k, v in _strip_prefixes(state_dict).items()
+          if k.startswith("visual.")}
+    params = jax.tree_util.tree_map(np.asarray, template_params)
+    inner = params["params"] if "params" in params else params
+
+    conv = _t(sd["conv1.weight"])  # (width, 3, p, p)
+    width = conv.shape[0]
+    kernel = conv.transpose(2, 3, 1, 0).reshape(-1, width)  # (p*p*3, width)
+    set_in_tree(inner, "conv1/kernel", jnp.asarray(kernel))
+    set_in_tree(inner, "class_embedding", jnp.asarray(_t(sd["class_embedding"])))
+    set_in_tree(inner, "positional_embedding",
+                jnp.asarray(_t(sd["positional_embedding"])))
+    for ln_src, ln_dst in [("ln_pre", "ln_pre"), ("ln_post", "ln_post")]:
+        set_in_tree(inner, f"{ln_dst}/ln/scale", jnp.asarray(_t(sd[f"{ln_src}.weight"])))
+        set_in_tree(inner, f"{ln_dst}/ln/bias", jnp.asarray(_t(sd[f"{ln_src}.bias"])))
+    for i in range(layers):
+        s = f"transformer.resblocks.{i}"
+        d = f"resblock_{i}"
+        set_in_tree(inner, f"{d}/attn_in_proj/kernel",
+                    jnp.asarray(_t(sd[f"{s}.attn.in_proj_weight"]).T))
+        set_in_tree(inner, f"{d}/attn_in_proj/bias",
+                    jnp.asarray(_t(sd[f"{s}.attn.in_proj_bias"])))
+        set_in_tree(inner, f"{d}/attn_out_proj/kernel",
+                    jnp.asarray(_t(sd[f"{s}.attn.out_proj.weight"]).T))
+        set_in_tree(inner, f"{d}/attn_out_proj/bias",
+                    jnp.asarray(_t(sd[f"{s}.attn.out_proj.bias"])))
+        set_in_tree(inner, f"{d}/mlp_c_fc/kernel",
+                    jnp.asarray(_t(sd[f"{s}.mlp.c_fc.weight"]).T))
+        set_in_tree(inner, f"{d}/mlp_c_fc/bias",
+                    jnp.asarray(_t(sd[f"{s}.mlp.c_fc.bias"])))
+        set_in_tree(inner, f"{d}/mlp_c_proj/kernel",
+                    jnp.asarray(_t(sd[f"{s}.mlp.c_proj.weight"]).T))
+        set_in_tree(inner, f"{d}/mlp_c_proj/bias",
+                    jnp.asarray(_t(sd[f"{s}.mlp.c_proj.bias"])))
+        for ln in ("ln_1", "ln_2"):
+            set_in_tree(inner, f"{d}/{ln}/ln/scale",
+                        jnp.asarray(_t(sd[f"{s}.{ln}.weight"])))
+            set_in_tree(inner, f"{d}/{ln}/ln/bias",
+                        jnp.asarray(_t(sd[f"{s}.{ln}.bias"])))
+    return params
