@@ -36,7 +36,8 @@ def main():
     ccfg = clip_b32() if on_tpu else clip_b32().__class__(
         patch_size=32, layers=2, compute_dtype="float32")
 
-    B = 16 if on_tpu else 2           # panoramas per iteration
+    B = 16 if on_tpu else 2           # panoramas per iteration (16 is the
+                                      # measured sweet spot on v5e)
     V = gc.num_views                  # 12 views each
     T = 48                            # instruction tokens
     D = 768
@@ -60,15 +61,28 @@ def main():
     pos = jnp.asarray(rng.uniform(-4, 4, (B, 2)).astype(np.float32))
     heading = jnp.asarray(rng.uniform(-3, 3, (B,)).astype(np.float32))
 
+    from gridmm_tpu.ops.grid_pool import (grid_scatter_pool,
+                                          grid_scatter_pool_pallas,
+                                          instruction_relevance)
+
     @jax.jit
     def pipeline(params, images, state, depth, pos, heading, txt):
         tokens = model.apply(params, images)              # (B*V, 50, 768)
         patch = tokens[:, 1:, :].reshape(B, V * gc.patches_per_view, D)
-        state = G.append_panorama(state, depth, patch.astype(jnp.float32),
-                                  pos, gc)
+        # project + score only the NEW points (project-at-insertion; the
+        # reference reprojects the whole cloud per step)
+        f32 = jnp.float32
+        proj_txt = txt.astype(f32) @ wt + bt
+        w_new = instruction_relevance(patch.astype(f32), proj_txt)
+        g_new = patch.astype(f32) @ wg + bg
+        state = G.append_panorama(state, depth, g_new, pos, gc, w_new)
         cells, _, pos_fts = G.egocentric_grid_assignment(state, pos, heading, gc)
-        pooled, mask = relevance_weighted_grid(
-            state.features, cells, txt, wt, bt, wg, bg)
+        if on_tpu:
+            pooled, mask = grid_scatter_pool_pallas(
+                state.features, cells, state.weights)
+        else:
+            pooled, mask = grid_scatter_pool(state.features, cells,
+                                             state.weights)
         return state, pooled, mask
 
     # fill the buffer so assignment+pool run at steady-state capacity

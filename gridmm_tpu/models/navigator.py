@@ -173,6 +173,36 @@ class GridMMNavigator(nn.Module):
         return pano, view_mask
 
     # ----------------------------------------------------------- shared trunk
+    def project_grid_points(self, txt_embeds, patch_fts, txt_relevance_mask=None):
+        """Project newly observed grid points once at insertion time: returns
+        (grid_proj(patch_fts), relevance weights). Exact factoring of
+        vilmodel.py:793-807 — both the projection and the per-point relevance
+        are constant over an episode, so the reference's per-step recompute
+        over the whole accumulated cloud is redundant."""
+        f32 = jnp.float32
+        proj_txt = self.text_proj(txt_embeds.astype(f32))
+        w = instruction_relevance(patch_fts.astype(f32), proj_txt,
+                                  txt_relevance_mask)
+        g = self.grid_proj(patch_fts.astype(f32))
+        return g, w
+
+    def encode_grid_prepooled(self, proj_fts, weights, grid_cells,
+                              gridmap_pos_fts):
+        """Pool already-projected points (see project_grid_points)."""
+        num_cells = gridmap_pos_fts.shape[1]
+        if self.cfg.use_pallas_grid_pool and num_cells == 196:
+            from gridmm_tpu.ops.grid_pool import grid_scatter_pool_pallas
+            pooled, cell_mask = grid_scatter_pool_pallas(
+                proj_fts.astype(jnp.float32), grid_cells,
+                weights.astype(jnp.float32))
+        else:
+            pooled, cell_mask = grid_scatter_pool(
+                proj_fts.astype(jnp.float32), grid_cells,
+                weights.astype(jnp.float32), num_cells)
+        grid_embeds = pooled.astype(self.cfg.dtype) + self.grid_pos_ln(
+            self.grid_pos_dense(gridmap_pos_fts))
+        return grid_embeds, cell_mask
+
     def encode_grid(self, txt_embeds, grid_fts, grid_cells, gridmap_pos_fts,
                     txt_relevance_mask=None):
         """Instruction-relevance pooling of grid points into cell embeddings
@@ -183,8 +213,13 @@ class GridMMNavigator(nn.Module):
         rel_w = instruction_relevance(grid_fts.astype(f32), proj_txt,
                                       txt_relevance_mask)
         grid_proj_fts = self.grid_proj(grid_fts.astype(f32))
-        pooled, cell_mask = grid_scatter_pool(
-            grid_proj_fts, grid_cells, rel_w, num_cells)
+        if self.cfg.use_pallas_grid_pool and num_cells == 196:
+            from gridmm_tpu.ops.grid_pool import grid_scatter_pool_pallas
+            pooled, cell_mask = grid_scatter_pool_pallas(
+                grid_proj_fts, grid_cells, rel_w)
+        else:
+            pooled, cell_mask = grid_scatter_pool(
+                grid_proj_fts, grid_cells, rel_w, num_cells)
         grid_embeds = pooled.astype(self.cfg.dtype) + self.grid_pos_ln(
             self.grid_pos_dense(gridmap_pos_fts))
         return grid_embeds, cell_mask
@@ -229,6 +264,7 @@ class GridMMNavigator(nn.Module):
         cand_backtrack_mask,      # (B, V) bool: candidate is a visited node
         vp_obj_mask=None,
         txt_relevance_mask=None,  # None reproduces the reference's unmasked max
+        grid_weights=None,        # set when grid_fts are pre-projected
         deterministic=True,
     ) -> NavOutputs:
         c = self.cfg
@@ -236,9 +272,13 @@ class GridMMNavigator(nn.Module):
         f32 = jnp.float32
 
         # --- grid memory pooling (vilmodel.py:788-824, fused) ---
-        grid_embeds, cell_mask = self.encode_grid(
-            txt_embeds, grid_fts, grid_cells, gridmap_pos_fts,
-            txt_relevance_mask)
+        if grid_weights is not None:
+            grid_embeds, cell_mask = self.encode_grid_prepooled(
+                grid_fts, grid_weights, grid_cells, gridmap_pos_fts)
+        else:
+            grid_embeds, cell_mask = self.encode_grid(
+                txt_embeds, grid_fts, grid_cells, gridmap_pos_fts,
+                txt_relevance_mask)
 
         # --- global branch input (vilmodel.py:828-830) ---
         gmap_embeds = (
@@ -336,8 +376,13 @@ class GridMMNavigator(nn.Module):
                 batch["fused_add_idx"], batch["cand_backtrack_mask"],
                 batch.get("vp_obj_mask"),
                 batch.get("txt_relevance_mask"),
+                batch.get("grid_weights"),
                 deterministic,
             )
+        if mode == "project_grid":
+            return self.project_grid_points(
+                batch["txt_embeds"], batch["patch_fts"],
+                batch.get("txt_relevance_mask"))
         raise ValueError(f"unknown mode {mode!r}")
 
 

@@ -1,0 +1,120 @@
+"""Waypoint predictor for continuous environments (VLN-CE).
+
+Re-implements BinaryDistPredictor_TRM / DepthDistPredictor_TRM
+(VLN_CE/waypoint_prediction/TRM_net.py:9-164): per-view RGB/depth feature
+projection, a 2-layer transformer with a circular neighbor attention mask
+(waypoint_prediction/utils.py:90-102), and a (120 angles x 12 distance bins)
+heatmap rolled by the heading offset. The iterative NMS candidate selection
+(utils.py:37-64) is a fixed-iteration lax.fori_loop — fully jittable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gridmm_tpu.config import ModelConfig
+from gridmm_tpu.models.layers import BertLayer, _dense
+
+
+@dataclasses.dataclass(frozen=True)
+class WaypointConfig:
+    hidden_dim: int = 768
+    num_angles: int = 120
+    num_imgs: int = 12
+    n_classes: int = 12          # distance bins
+    num_layers: int = 2
+    num_heads: int = 12
+    neighbor: int = 1            # attention neighborhood radius
+    heatmap_offset: int = 5      # each view points at the agent heading
+    rgb_feat_dim: int = 2048 * 7 * 7     # flattened ResNet feature
+    depth_feat_dim: int = 128 * 4 * 4    # flattened ddppo depth feature
+    use_rgb: bool = True         # False = DepthDistPredictor (RxR)
+
+
+def neighbor_attention_mask(num_imgs: int, neighbor: int) -> jnp.ndarray:
+    """Circulant 0/1 mask: view i attends to i-neighbor..i+neighbor
+    (utils.py:90-102)."""
+    idx = jnp.arange(num_imgs)
+    diff = jnp.abs(idx[None, :] - idx[:, None])
+    diff = jnp.minimum(diff, num_imgs - diff)  # circular distance
+    return (diff <= neighbor)
+
+
+class WaypointPredictor(nn.Module):
+    cfg: WaypointConfig
+
+    @nn.compact
+    def __call__(self, rgb_feats, depth_feats, deterministic=True):
+        """rgb_feats: (B*12, rgb_feat_dim) or None; depth_feats:
+        (B*12, depth_feat_dim). Returns (B, num_angles, n_classes) logits."""
+        c = self.cfg
+        bsi = depth_feats.shape[0] // c.num_imgs
+
+        depth_x = jax.nn.relu(_dense(c.hidden_dim, "visual_fc_depth")(
+            depth_feats.reshape(bsi * c.num_imgs, -1)))
+        if c.use_rgb:
+            rgb_x = jax.nn.relu(_dense(c.hidden_dim, "visual_fc_rgb")(
+                rgb_feats.reshape(bsi * c.num_imgs, -1)))
+        else:
+            # depth-only variant merges depth with itself (TRM_net.py:152-156)
+            rgb_x = depth_x
+        vis = jnp.concatenate([rgb_x, depth_x], axis=-1)
+        vis = jax.nn.relu(_dense(c.hidden_dim, "visual_merge")(vis))
+        vis = vis.reshape(bsi, c.num_imgs, c.hidden_dim)
+
+        bert_cfg = ModelConfig(
+            hidden_size=c.hidden_dim, num_attention_heads=c.num_heads,
+            intermediate_size=3072, hidden_dropout_prob=0.3,
+            attention_probs_dropout_prob=0.1)
+        mask = neighbor_attention_mask(c.num_imgs, c.neighbor)
+        bias = (1.0 - mask.astype(jnp.float32)) * -10000.0
+        bias = bias[None, None]  # (1, 1, V, V)
+        for i in range(c.num_layers):
+            vis = BertLayer(bert_cfg, name=f"layer_{i}")(
+                vis, bias, deterministic)
+
+        per_img = c.num_angles // c.num_imgs
+        logits = _dense(c.hidden_dim, "cls_hidden")(vis)
+        logits = jax.nn.relu(logits)
+        logits = _dense(c.n_classes * per_img, "cls_out")(logits)
+        logits = logits.reshape(bsi, c.num_angles, c.n_classes)
+        # roll so angle 0 aligns with the agent heading (TRM_net.py:77-80)
+        return jnp.roll(logits, -c.heatmap_offset, axis=1)
+
+
+def waypoint_nms(heatmap: jnp.ndarray, max_predictions: int = 10,
+                 sigma: tuple = (4.0, 4.0)) -> jnp.ndarray:
+    """Iterative non-maximum suppression over an (angles, dists) heatmap,
+    batched: keep the global max, zero a rectangular neighborhood (with
+    circular wrap on the angle axis), repeat (utils.py:37-64).
+
+    heatmap: (B, A, D) non-negative scores. Returns (B, A, D) sparse map of
+    kept peaks."""
+    b, a, d = heatmap.shape
+
+    def body(_, carry):
+        supp, out = carry
+        flat = supp.reshape(b, a * d)
+        ix = jnp.argmax(flat, axis=1)
+        val = jnp.take_along_axis(heatmap.reshape(b, a * d), ix[:, None],
+                                  axis=1)[:, 0]
+        out = out.reshape(b, a * d).at[jnp.arange(b), ix].set(val).reshape(
+            b, a, d)
+        ang = (ix // d)[:, None, None]
+        dist = (ix % d)[:, None, None]
+        ai = jnp.arange(a)[None, :, None]
+        di = jnp.arange(d)[None, None, :]
+        ang_diff = jnp.abs(ai - ang)
+        ang_diff = jnp.minimum(ang_diff, a - ang_diff)  # circular angles
+        g = (ang_diff <= sigma[0]) & (jnp.abs(di - dist) <= sigma[1])
+        supp = supp * (1.0 - g.astype(supp.dtype))
+        return supp, out
+
+    supp, out = jax.lax.fori_loop(
+        0, max_predictions, body, (heatmap, jnp.zeros_like(heatmap)))
+    return jnp.maximum(out, 0.0)

@@ -229,11 +229,20 @@ class PointCloudState(NamedTuple):
     """Fixed-capacity per-episode point buffer: the TPU-native replacement for
     the reference's dynamically growing numpy lists (env.py:142-151,298-310).
 
+    `features` may hold raw CLIP patch features OR already-projected
+    (grid_proj) features — the reference reprojects the entire accumulated
+    cloud every step (vilmodel.py:793-807); projecting once at insertion is
+    exact (the projection is linear and its parameters are fixed within a
+    trajectory) and removes the O(steps * N * D^2) recompute. `weights`
+    likewise caches each point's instruction-relevance logit (the instruction
+    is constant across an episode).
+
     All arrays are batched over episodes (leading dim B).
     """
 
     xy: jnp.ndarray       # (B, N, 2) world-frame point positions, f32
-    features: jnp.ndarray  # (B, N, D) CLIP patch features
+    features: jnp.ndarray  # (B, N, D) point features (raw or projected)
+    weights: jnp.ndarray  # (B, N) cached relevance logits (0 when unused)
     valid: jnp.ndarray    # (B, N) bool — inserted AND nonzero depth
     inserted: jnp.ndarray  # (B, N) bool — slot holds a real point (any depth)
     count: jnp.ndarray    # (B,) int32 — number of inserted points
@@ -245,6 +254,7 @@ class PointCloudState(NamedTuple):
         return cls(
             xy=jnp.zeros((batch, n, 2), jnp.float32),
             features=jnp.zeros((batch, n, cfg.feature_dim), feature_dtype),
+            weights=jnp.zeros((batch, n), jnp.float32),
             valid=jnp.zeros((batch, n), bool),
             inserted=jnp.zeros((batch, n), bool),
             count=jnp.zeros((batch,), jnp.int32),
@@ -254,9 +264,10 @@ class PointCloudState(NamedTuple):
 def append_panorama(
     state: PointCloudState,
     depth_raw: jnp.ndarray,     # (B, V, P) raw depth patches for this step
-    patch_features: jnp.ndarray,  # (B, V*P, D) CLIP patch features (cls dropped)
+    patch_features: jnp.ndarray,  # (B, V*P, D) point features (cls dropped)
     pos_xy: jnp.ndarray,        # (B, 2) agent world position
     cfg: GridConfig,
+    point_weights: jnp.ndarray | None = None,  # (B, V*P) relevance logits
 ) -> PointCloudState:
     """Append one panorama's back-projected points to every episode's buffer.
 
@@ -266,23 +277,29 @@ def append_panorama(
     """
     b, n, _ = state.xy.shape
     ppstep = cfg.points_per_step
+    if point_weights is None:
+        point_weights = jnp.zeros(patch_features.shape[:2], jnp.float32)
 
-    def per_item(depth_i, feats_i, pos_i, xy_i, f_i, val_i, ins_i, cnt_i):
+    def per_item(depth_i, feats_i, w_in_i, pos_i, xy_i, f_i, w_i, val_i,
+                 ins_i, cnt_i):
         rel_x, rel_y, dvalid = backproject_panorama(depth_i, cfg)
         pts = jnp.stack([rel_x + pos_i[0], rel_y + pos_i[1]], axis=-1)  # (VP, 2)
         xy_i = jax.lax.dynamic_update_slice(xy_i, pts, (cnt_i, 0))
         f_i = jax.lax.dynamic_update_slice(
             f_i, feats_i.astype(f_i.dtype), (cnt_i, 0))
+        w_i = jax.lax.dynamic_update_slice(
+            w_i, w_in_i.astype(w_i.dtype), (cnt_i,))
         val_i = jax.lax.dynamic_update_slice(val_i, dvalid, (cnt_i,))
         ins_i = jax.lax.dynamic_update_slice(
             ins_i, jnp.ones((ppstep,), bool), (cnt_i,))
-        return xy_i, f_i, val_i, ins_i, cnt_i + ppstep
+        return xy_i, f_i, w_i, val_i, ins_i, cnt_i + ppstep
 
-    xy, feats, valid, inserted, count = jax.vmap(per_item)(
-        depth_raw, patch_features, pos_xy,
-        state.xy, state.features, state.valid, state.inserted, state.count,
+    xy, feats, weights, valid, inserted, count = jax.vmap(per_item)(
+        depth_raw, patch_features, point_weights, pos_xy,
+        state.xy, state.features, state.weights, state.valid, state.inserted,
+        state.count,
     )
-    return PointCloudState(xy, feats, valid, inserted, count)
+    return PointCloudState(xy, feats, weights, valid, inserted, count)
 
 
 def egocentric_grid_assignment(

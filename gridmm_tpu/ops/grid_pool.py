@@ -94,6 +94,39 @@ def grid_scatter_pool(
     return pooled, cell_mask
 
 
+@jax.custom_vjp
+def grid_scatter_pool_pallas(point_fts, cell_ids, weights):
+    """Pallas-kernel forward with the XLA formulation as the backward rule
+    (the kernel is forward-only; gradients recompute through grid_scatter_pool,
+    whose VJP is exact for the same math)."""
+    from gridmm_tpu.ops.pallas.grid_pool_kernel import pallas_grid_pool
+
+    n = point_fts.shape[1]
+    chunk = max(c for c in (256, 384, 512) if n % c == 0) \
+        if any(n % c == 0 for c in (256, 384, 512)) else n
+    return pallas_grid_pool(point_fts, cell_ids, weights, chunk=chunk)
+
+
+def _pallas_fwd(point_fts, cell_ids, weights):
+    out = grid_scatter_pool_pallas(point_fts, cell_ids, weights)
+    return out, (point_fts, cell_ids, weights)
+
+
+def _pallas_bwd(res, cot):
+    import numpy as np
+
+    point_fts, cell_ids, weights = res
+    num_cells = cot[0].shape[1]
+    _, vjp = jax.vjp(
+        lambda f, w: grid_scatter_pool(f, cell_ids, w, num_cells)[0],
+        point_fts, weights)
+    d_f, d_w = vjp(cot[0])
+    return d_f, np.zeros(cell_ids.shape, jax.dtypes.float0), d_w
+
+
+grid_scatter_pool_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
 def relevance_weighted_grid(
     point_fts: jnp.ndarray,      # (B, N, D) raw CLIP patch features
     cell_ids: jnp.ndarray,       # (B, N) int32, -1 invalid
@@ -104,6 +137,7 @@ def relevance_weighted_grid(
     grid_proj_b: jnp.ndarray,    # (D,)
     txt_mask: jnp.ndarray | None = None,
     num_cells: int = 196,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full fused contract: text projection -> relevance -> projection -> pool.
 
@@ -114,4 +148,6 @@ def relevance_weighted_grid(
     proj_txt = txt_embeds.astype(f32) @ text_proj_w.astype(f32) + text_proj_b.astype(f32)
     w = instruction_relevance(point_fts.astype(f32), proj_txt, txt_mask)
     g = point_fts.astype(f32) @ grid_proj_w.astype(f32) + grid_proj_b.astype(f32)
+    if use_pallas and num_cells == 196:
+        return grid_scatter_pool_pallas(g, cell_ids, w)
     return grid_scatter_pool(g, cell_ids, w, num_cells)

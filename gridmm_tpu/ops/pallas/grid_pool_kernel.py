@@ -1,0 +1,121 @@
+"""Pallas TPU kernel: fused segment-softmax grid pooling.
+
+The production inference path for the grid scatter-pool (ops/grid_pool.py).
+Per (batch, chunk) grid cell the kernel streams a chunk of projected point
+features through VMEM, builds the cell-assignment one-hot on the fly, and
+accumulates both the softmax numerator (a (CELLS, chunk) x (chunk, D) matmul on
+the MXU) and the denominator — the (B, N, CELLS) probability tensor that the
+XLA formulation materializes in HBM never exists.
+
+Numerical contract is identical to ops/grid_pool.grid_scatter_pool: softmax of
+`weights` within each cell (stabilized by a per-cell max computed outside; it
+is a tiny scatter-max over <=197 segments), weighted sum of features, empty
+cells -> 0 with a False mask. Invalid points carry cell id -1 and never match
+the one-hot, so they vanish without explicit masking.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CELL_PAD = 256   # 196 cells padded to a lane-friendly 256
+DENOM_LANES = 128
+
+
+def _pool_kernel(cells_ref, w_ref, cmax_ref, g_ref, pooled_ref, denom_ref):
+    nc = pl.program_id(1)
+
+    @pl.when(nc == 0)
+    def _init():
+        pooled_ref[:] = jnp.zeros_like(pooled_ref)
+        denom_ref[:] = jnp.zeros_like(denom_ref)
+
+    cells = cells_ref[:]            # (1, C) int32
+    w = w_ref[:]                    # (1, C) f32
+    cmax = cmax_ref[:]              # (1, CELL_PAD) f32
+
+    c = cells.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (CELL_PAD, c), 0)
+    onehot = (cells == row_ids).astype(jnp.float32)   # (CELL_PAD, C)
+
+    # per-point gathered cell max via one-hot matvec (invalid points get 0,
+    # harmless: their one-hot row mask kills them below)
+    gm = jnp.dot(cmax, onehot, preferred_element_type=jnp.float32)  # (1, C)
+    e = jnp.exp(w - gm)                                             # (1, C)
+    p = onehot * e                                                  # (CELL_PAD, C)
+
+    pooled_ref[:] += jnp.dot(p, g_ref[:], preferred_element_type=jnp.float32)
+    denom_ref[:] += jnp.dot(
+        p, jnp.ones((c, DENOM_LANES), jnp.float32),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_cells", "chunk", "interpret"))
+def pallas_grid_pool(
+    point_fts: jnp.ndarray,   # (B, N, D) f32 projected features
+    cell_ids: jnp.ndarray,    # (B, N) int32, -1 invalid
+    weights: jnp.ndarray,     # (B, N) f32 relevance logits
+    num_cells: int = 196,
+    chunk: int = 512,
+    interpret: bool = False,
+):
+    """Drop-in replacement for grid_scatter_pool (forward)."""
+    b, n, d = point_fts.shape
+    assert n % chunk == 0, f"N={n} must be a multiple of chunk={chunk}"
+    nc = n // chunk
+
+    valid = cell_ids >= 0
+    w = jnp.where(valid, weights.astype(jnp.float32), -1e30)
+    seg = jnp.where(valid, cell_ids, num_cells).astype(jnp.int32)
+    cmax = jnp.full((b, CELL_PAD), -1e30, jnp.float32)
+    cmax = cmax.at[jnp.arange(b)[:, None], seg].max(w)
+    # guard: empty cells keep -1e30; exp(w - gm) for their (nonexistent)
+    # points never evaluates. Replace -1e30 with 0 to keep the matvec sane.
+    cmax = jnp.where(cmax <= -1e29, 0.0, cmax)
+
+    cells2 = cell_ids.reshape(b, nc, 1, chunk)
+    w2 = jnp.where(valid, weights, -jnp.inf).reshape(b, nc, 1, chunk)
+    # -inf would poison exp(w - gm); invalid points get excluded by the
+    # one-hot (cell -1 matches no row), so any finite filler works:
+    w2 = jnp.where(jnp.isfinite(w2), w2, 0.0)
+
+    pooled, denom = pl.pallas_call(
+        _pool_kernel,
+        grid=(b, nc),
+        in_specs=[
+            # None dims are squeezed: refs arrive as (1, C) / (CELL_PAD,) etc.
+            pl.BlockSpec((None, None, 1, chunk), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, chunk), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, CELL_PAD), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, chunk, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, CELL_PAD, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, CELL_PAD, DENOM_LANES), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, CELL_PAD, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, CELL_PAD, DENOM_LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cells2, w2, cmax.reshape(b, 1, CELL_PAD),
+      point_fts.astype(jnp.float32).reshape(b, nc, chunk, d))
+
+    denom = denom[:, :num_cells, 0]
+    pooled = pooled[:, :num_cells]
+    cell_mask = denom > 0
+    pooled = jnp.where(cell_mask[..., None],
+                       pooled / jnp.where(cell_mask, denom, 1.0)[..., None],
+                       0.0)
+    return pooled, cell_mask

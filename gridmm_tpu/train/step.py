@@ -162,8 +162,14 @@ def nav_device_step(
         "view_img_fts": x.view_img_fts, "loc_fts": x.loc_fts,
         "nav_types": x.nav_types, "view_mask": x.view_mask})
 
+    # project + score the 588 NEW points once; the buffer stores them ready
+    # to pool (reference reprojects the whole cloud per step,
+    # vilmodel.py:793-807 — redundant; see PointCloudState docstring)
+    proj_new, w_new = apply("project_grid", {
+        "txt_embeds": txt_embeds, "patch_fts": x.patch_fts,
+        "txt_relevance_mask": txt_mask})
     point_state = G.append_panorama(
-        carry.point_state, x.depth, x.patch_fts, x.pos_xy, cfg.grid)
+        carry.point_state, x.depth, proj_new, x.pos_xy, cfg.grid, w_new)
     cells, _, grid_pos_fts = G.egocentric_grid_assignment(
         point_state, x.pos_xy, x.heading, cfg.grid)
 
@@ -186,6 +192,7 @@ def nav_device_step(
         "vp_img_embeds": vp_img_embeds, "vp_pos_fts": x.vp_pos_fts,
         "vp_mask": vp_mask, "vp_nav_mask": x.vp_nav_mask,
         "grid_fts": point_state.features, "grid_cells": cells,
+        "grid_weights": point_state.weights,
         "gridmap_pos_fts": grid_pos_fts,
         "fused_add_idx": x.fused_add_idx,
         "cand_backtrack_mask": x.cand_backtrack_mask,

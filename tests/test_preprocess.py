@@ -1,0 +1,47 @@
+"""Preprocess pipeline: synthetic renderer -> batched CLIP -> sink."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from gridmm_tpu.data.preprocess import (ClipFeatureExtractor,  # noqa: E402
+                                        extract_viewpoint_info,
+                                        synthetic_renderer)
+from gridmm_tpu.env.world import SyntheticWorld  # noqa: E402
+from gridmm_tpu.models.clip_vit import ClipVisionConfig  # noqa: E402
+
+
+def test_extractor_end_to_end():
+    vps = [("scanA", f"vp{i}") for i in range(5)]
+    cfg = ClipVisionConfig(input_resolution=64, patch_size=32, width=64,
+                           layers=2, heads=4, compute_dtype="float32")
+    ex = ClipFeatureExtractor(cfg, batch_panos=2)
+
+    out = {}
+    def sink(scan, vp, tokens, depth):
+        out[f"{scan}_{vp}"] = (tokens, depth)
+
+    n = ex.run(synthetic_renderer(vps, resolution=64), sink)
+    assert n == 5 and len(out) == 5
+    tok, dep = out["scanA_vp0"]
+    assert tok.shape == (12, cfg.num_tokens, cfg.width)
+    assert dep.shape == (12, 128, 128) and dep.dtype == np.uint16
+    assert np.isfinite(tok).all()
+
+    # determinism: re-running yields identical features
+    out2 = {}
+    ex.run(synthetic_renderer(vps, resolution=64),
+           lambda s, v, t, d: out2.__setitem__(f"{s}_{v}", t))
+    np.testing.assert_allclose(out["scanA_vp3"][0], out2["scanA_vp3"],
+                               atol=1e-6)
+
+
+def test_viewpoint_info():
+    world = SyntheticWorld(num_scans=1, nodes_per_scan=4)
+    info = extract_viewpoint_info(world.graphs)
+    assert len(info) == 4
+    for v in info.values():
+        assert set(v) == {"x", "y", "z"}
