@@ -72,7 +72,6 @@ struct Store {
   }
 
   void prefetch_loop() {
-    std::vector<volatile uint8_t> sink(1);
     while (!stop.load()) {
       uint64_t off;
       {
@@ -87,7 +86,7 @@ struct Store {
       size_t page = static_cast<size_t>(sysconf(_SC_PAGESIZE));
       volatile uint8_t acc = 0;
       for (size_t i = 0; i < record_bytes; i += page) acc ^= p[i];
-      sink[0] = acc;
+      (void)acc;
     }
   }
 };
