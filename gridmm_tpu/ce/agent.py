@@ -1,0 +1,312 @@
+"""Continuous-environment navigation agent (VLN-CE GridMap policy).
+
+Host orchestration of the CE stack (reference: ss_trainer_GridMap.py:141-451 +
+Policy_ViewSelection_GridMap.py modes): per step
+  1. encode 12 RGB-D frames -> waypoint heatmap -> softmax -> circular NMS ->
+     <=5 candidate waypoints (angle, distance) (Policy:345-391),
+  2. live CLIP grid features -> project-at-insertion -> on-device grid build
+     with the CE geometry convention,
+  3. panorama + navigation forward through the SAME jitted nav_device_step as
+     the discrete agent (waypoints enter the topo map as frontier nodes),
+  4. move via env.step_to; teacher = candidate minimizing the oracle
+     cand_dist_to_goal (ss_trainer:288-328).
+
+Everything tensor-shaped runs in three jitted graphs (waypoint, clip+project,
+nav step); the host only thresholds the NMS output and builds index maps.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gridmm_tpu.ce.encoders import DepthTower, RgbTower
+from gridmm_tpu.ce.env import CEStepObs, ContinuousEnv, ce_episode_metrics
+from gridmm_tpu.config import GridMMConfig
+from gridmm_tpu.env.graph import angle_features
+from gridmm_tpu.models.clip_vit import (ClipVisionTransformer, clip_b32,
+                                        normalize_images)
+from gridmm_tpu.models.navigator import GridMMNavigator
+from gridmm_tpu.models.waypoint import (WaypointConfig, WaypointPredictor,
+                                        waypoint_nms)
+from gridmm_tpu.ops import geometry as G
+from gridmm_tpu.train.step import (NavCarry, StepInputs, init_carry,
+                                   nav_device_step)
+
+NUM_ANGLES, NUM_DISTS = 120, 12
+DIST_BIN = 0.25  # metres per distance bin
+
+
+class CEAgent:
+    def __init__(self, cfg: GridMMConfig, navigator: GridMMNavigator,
+                 nav_params, waypoint: WaypointPredictor, wp_params,
+                 clip_model: Optional[ClipVisionTransformer] = None,
+                 clip_params=None, rgb_tower=None, rgb_params=None,
+                 depth_tower=None, depth_params=None,
+                 max_candidates: int = 5):
+        self.cfg = cfg
+        self.navigator = navigator
+        self.nav_params = nav_params
+        self.max_candidates = max_candidates
+
+        self.clip = clip_model
+        self.clip_params = clip_params
+        self.rgb_tower = rgb_tower
+        self.rgb_params = rgb_params
+        self.depth_tower = depth_tower
+        self.depth_params = depth_params
+        self.waypoint = waypoint
+        self.wp_params = wp_params
+
+        self._jit_language = jax.jit(
+            lambda p, ids, mask: navigator.apply(
+                p, "language", {"txt_ids": ids, "txt_mask": mask}))
+        self._jit_nav = jax.jit(
+            lambda p, txt, mask, carry, x: nav_device_step(
+                navigator, cfg, p, txt, mask, carry, x))
+        self._jit_waypoint = jax.jit(self._waypoint_impl)
+        self._jit_grid_fts = jax.jit(self._grid_fts_impl)
+
+    # ------------------------------------------------------------- device fns
+    def _waypoint_impl(self, wp_params, rgb_params, depth_params, rgb, depth):
+        """(B,12,H,W,3) u8 + (B,12,Hd,Wd) -> NMS'd heatmap (B,120,12)."""
+        b = rgb.shape[0]
+        rgb_flat = rgb.reshape((-1,) + rgb.shape[2:])
+        depth_flat = depth.reshape((-1,) + depth.shape[2:])[..., None]
+        rgb_f = self.rgb_tower.apply(rgb_params, rgb_flat)
+        dep_f = self.depth_tower.apply(depth_params, depth_flat)
+        logits = self.waypoint.apply(wp_params, rgb_f, dep_f)  # (B,120,12)
+        probs = jax.nn.softmax(
+            logits.reshape(b, -1), axis=-1).reshape(b, NUM_ANGLES, NUM_DISTS)
+        return waypoint_nms(probs, max_predictions=self.max_candidates,
+                            sigma=(7.0, 5.0))
+
+    def _grid_fts_impl(self, clip_params, rgb):
+        """(B,12,H,W,3) u8 -> (B, 12, tokens, width) CLIP tokens."""
+        flat = rgb.reshape((-1,) + rgb.shape[2:])
+        toks = self.clip.apply(clip_params, normalize_images(flat))
+        return toks.reshape(rgb.shape[0], rgb.shape[1], *toks.shape[1:])
+
+    # ------------------------------------------------------------ host logic
+    @staticmethod
+    def candidates_from_nms(nms_map: np.ndarray, heading: float,
+                            max_candidates: int):
+        """Nonzero peaks -> [(abs_heading, distance, score)] (Policy:360-391;
+        heatmap angle 0 is the agent's heading)."""
+        out = []
+        ang, dst = np.nonzero(nms_map)
+        for a, d in zip(ang, dst):
+            abs_heading = heading + a * (2 * math.pi / NUM_ANGLES)
+            out.append((abs_heading, (d + 1) * DIST_BIN,
+                        float(nms_map[a, d])))
+        out.sort(key=lambda x: -x[2])
+        return out[:max_candidates]
+
+    def rollout(self, env: ContinuousEnv, max_steps: int = 8,
+                feedback: str = "argmax",
+                rng: Optional[np.random.Generator] = None):
+        """Run one batch of episodes; returns (metrics list, losses info)."""
+        cfg = self.cfg
+        rng = rng or np.random.default_rng(0)
+        obs = env.reset()
+        b = env.num_envs
+        sh = cfg.shapes
+        v, g = sh.max_vp_len, sh.max_gmap_len
+        af = cfg.model.angle_feat_size
+        d_img = cfg.model.image_feat_size
+        gc = cfg.grid
+
+        txt_ids = np.zeros((b, sh.max_txt_len), np.int32)
+        txt_mask = np.zeros((b, sh.max_txt_len), bool)
+        for i, ob in enumerate(obs):
+            enc = ob.instruction_ids[: sh.max_txt_len]
+            txt_ids[i, : len(enc)] = enc
+            txt_mask[i, : len(enc)] = True
+        txt_embeds = self._jit_language(self.nav_params, jnp.asarray(txt_ids),
+                                        jnp.asarray(txt_mask))
+
+        carry = init_carry(cfg, b)
+        ended = np.zeros((b,), bool)
+        next_slot = np.full((b,), 1, np.int32)  # stable slots; 0 = [stop]
+        ce_losses = []
+
+        # depth patch centers (Policy:728-730): 19 + 36*i over 256px maps
+        centers = np.asarray([19 + 36 * i for i in range(7)])
+
+        for t in range(max_steps):
+            rgb = jnp.asarray(np.stack([ob.rgb for ob in obs]))
+            depth = jnp.asarray(np.stack([ob.depth for ob in obs]))
+            nms_maps = np.asarray(self._jit_waypoint(
+                self.wp_params, self.rgb_params, self.depth_params, rgb,
+                depth))
+            clip_toks = np.asarray(
+                self._jit_grid_fts(self.clip_params, rgb))  # (B,12,T,W)
+
+            cand_lists = [
+                self.candidates_from_nms(nms_maps[i], obs[i].heading,
+                                         self.max_candidates)
+                for i in range(b)
+            ]
+
+            x, cur_slots = self._build_step(
+                obs, cand_lists, clip_toks, centers, next_slot, t)
+            targets = self._teacher(env, obs, cand_lists, ended)
+            x = x._replace(target=targets.astype(np.int32))
+
+            carry, out = self._jit_nav(
+                self.nav_params, txt_embeds, jnp.asarray(txt_mask), carry,
+                jax.tree_util.tree_map(jnp.asarray, x))
+            # CE selects among [stop]+current candidates (local logits;
+            # Policy:620-627 truncates to candidate count)
+            logits = np.asarray(out.local_logits, np.float64)
+
+            if feedback == "teacher":
+                a_t = targets.copy()
+                a_t[a_t == self.cfg.train.ignoreid] = 0
+            else:
+                a_t = logits.argmax(-1)
+
+            for i in range(b):
+                if ended[i]:
+                    continue
+                if a_t[i] == 0 or t == max_steps - 1:
+                    ended[i] = True
+                    continue
+                heading_i, dist_i, _ = cand_lists[i][a_t[i] - 1]
+                env.step_to(i, heading_i, dist_i)
+            obs = env.observations()
+            if ended.all():
+                break
+
+        metrics = [ce_episode_metrics(env.paths[i], obs[i].gt_path)
+                   for i in range(b)]
+        return metrics
+
+    def _build_step(self, obs: List[CEStepObs], cand_lists, clip_toks,
+                    centers, next_slot, t) -> Tuple[StepInputs, np.ndarray]:
+        cfg = self.cfg
+        sh, gc = cfg.shapes, cfg.grid
+        b = len(obs)
+        v, g = sh.max_vp_len, sh.max_gmap_len
+        vm1 = v - 1
+        af = cfg.model.angle_feat_size
+        d = cfg.model.image_feat_size
+
+        view_img_fts = np.zeros((b, vm1, d), np.float32)
+        loc_fts = np.zeros((b, vm1, af + 3), np.float32)
+        nav_types = np.zeros((b, vm1), np.int32)
+        view_mask = np.zeros((b, vm1), bool)
+        depth_p = np.zeros((b, gc.num_views, gc.patches_per_view), np.float32)
+        patch_fts = np.zeros((b, gc.points_per_step, d), np.float32)
+        pos_xy = np.zeros((b, 2), np.float32)
+        heading = np.zeros((b,), np.float32)
+        gmap_step_ids = np.zeros((b, g), np.int32)
+        gmap_pos_fts = np.zeros((b, g, af + 3), np.float32)
+        gmap_mask = np.zeros((b, g), bool)
+        gmap_visited = np.zeros((b, g), bool)
+        cur_node = np.zeros((b,), np.int32)
+        cand_gmap_idx = np.full((b, vm1), -1, np.int32)
+        vp_pos_fts = np.zeros((b, v, 2 * af + 6), np.float32)
+        vp_nav_mask = np.zeros((b, v), bool)
+        fused_add_idx = np.full((b, g), -2, np.int32)
+
+        for i, ob in enumerate(obs):
+            cands = cand_lists[i]
+            # panorama tokens: cls token per view; candidates first
+            view_cls = clip_toks[i, :, 0, :d]  # (12, d)
+            k = 0
+            for heading_c, dist_c, _score in cands:
+                rel = heading_c - ob.heading
+                img_idx = int(round((rel % (2 * math.pi)) /
+                                    (2 * math.pi / 12))) % 12
+                view_img_fts[i, k] = view_cls[img_idx]
+                loc_fts[i, k, :af] = angle_features(rel, 0.0, af)
+                loc_fts[i, k, af:] = 1.0
+                nav_types[i, k] = 1
+                k += 1
+            for ix in range(12):
+                if k >= vm1:
+                    break
+                view_img_fts[i, k] = view_cls[ix]
+                loc_fts[i, k, :af] = angle_features(
+                    ix * 2 * math.pi / 12, 0.0, af)
+                loc_fts[i, k, af:] = 1.0
+                k += 1
+            view_mask[i, :k] = True
+
+            dm = ob.depth[:, centers][:, :, centers]
+            depth_p[i] = dm.reshape(gc.num_views, gc.patches_per_view)
+            patch_fts[i] = clip_toks[i, :, 1:, :d].reshape(-1, d)
+            pos_xy[i] = ob.position
+            heading[i] = ob.heading
+
+            # current position becomes visited node slot t+1
+            cur = min(t + 1, g - 1)
+            cur_node[i] = cur
+            next_slot[i] = cur + 1
+            gmap_mask[i, 0] = True
+            for s in range(1, cur + 1):
+                gmap_mask[i, s] = True
+                gmap_visited[i, s] = s < cur  # past positions
+                gmap_step_ids[i, s] = min(s, cfg.model.max_action_steps - 1)
+            gmap_visited[i, cur] = True
+            gmap_step_ids[i, cur] = min(t + 1, cfg.model.max_action_steps - 1)
+
+            # waypoints as ephemeral frontier slots after the visited chain
+            for j, (heading_c, dist_c, _s) in enumerate(cands):
+                s = cur + 1 + j
+                if s >= g:
+                    break
+                gmap_mask[i, s] = True
+                rel = heading_c - ob.heading
+                gmap_pos_fts[i, s, :af] = angle_features(rel, 0.0, af)
+                gmap_pos_fts[i, s, af] = dist_c / gc.max_dist
+                gmap_pos_fts[i, s, af + 1] = dist_c / gc.max_dist
+                gmap_pos_fts[i, s, af + 2] = 1.0 / 10.0
+                cand_gmap_idx[i, j] = s
+                fused_add_idx[i, s] = j + 1
+
+            vp_nav_mask[i, 0] = True
+            vp_nav_mask[i, 1: 1 + len(cands)] = True
+            for j, (heading_c, dist_c, _s) in enumerate(cands):
+                rel = heading_c - ob.heading
+                vp_pos_fts[i, j + 1, af + 3: 2 * af + 3] = angle_features(
+                    rel, 0.0, af)
+                vp_pos_fts[i, j + 1, 2 * af + 3] = dist_c / gc.max_dist
+
+        ig = np.full((b,), self.cfg.train.ignoreid, np.int32)
+        return StepInputs(
+            view_img_fts=view_img_fts, loc_fts=loc_fts, nav_types=nav_types,
+            view_mask=view_mask, depth=depth_p, patch_fts=patch_fts,
+            pos_xy=pos_xy, heading=heading, gmap_step_ids=gmap_step_ids,
+            gmap_pos_fts=gmap_pos_fts, gmap_mask=gmap_mask,
+            gmap_visited_mask=gmap_visited, cur_node_idx=cur_node,
+            cand_gmap_idx=cand_gmap_idx, vp_pos_fts=vp_pos_fts,
+            vp_nav_mask=vp_nav_mask, fused_add_idx=fused_add_idx,
+            cand_backtrack_mask=np.zeros((b, v), bool),
+            target=ig, grid_target=ig.copy(),
+        ), cur_node
+
+    def _teacher(self, env: ContinuousEnv, obs, cand_lists,
+                 ended) -> np.ndarray:
+        """Oracle teacher over [stop]+candidates (ss_trainer:288-328)."""
+        b = len(obs)
+        a = np.full((b,), self.cfg.train.ignoreid, np.int64)
+        for i in range(b):
+            if ended[i]:
+                continue
+            cur_d = env.dist_to_goal(i)
+            if cur_d < 3.0:
+                a[i] = 0
+                continue
+            best, best_d = 0, cur_d
+            for j, (heading_c, dist_c, _s) in enumerate(cand_lists[i]):
+                d = env.cand_dist_to_goal(i, heading_c, dist_c)
+                if d < best_d:
+                    best_d, best = d, j + 1
+            a[i] = best
+        return a

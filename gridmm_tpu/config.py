@@ -100,9 +100,15 @@ class GridConfig:
     # cell-center distance normalizer for gridmap_pos_fts (env.py:256, MAX_DIST=30)
     max_dist: float = 30.0
     # heading sign convention. discrete: angle = -heading (env.py:337);
-    # continuous differs (Policy_ViewSelection_GridMap.py:785,797)
+    # continuous: angle = -heading + pi with map_x negated
+    # (Policy_ViewSelection_GridMap.py:785,797)
     heading_sign: float = -1.0
     heading_offset: float = 0.0
+    map_x_sign: float = 1.0
+    # continuous variant: view azimuths are agent-heading-relative
+    # (ix*pi/6 - heading, Policy:779) and global_y = pos_y - rel_y (Policy:782)
+    view_angles_relative: bool = False
+    y_sign: float = 1.0
 
     @property
     def num_cells(self) -> int:
@@ -220,7 +226,12 @@ def r2r_ce_config() -> GridMMConfig:
             base.grid,
             tan_half_hfov=1.0,           # tan(pi/4), HFOV=90
             patches_per_view=49,
-            depth_scale=1.0,             # habitat depth already metres (after rescale)
+            depth_scale=1.0,             # habitat depth already metres
             max_dist=30.0,
+            heading_sign=-1.0,
+            heading_offset=3.141592653589793,
+            map_x_sign=-1.0,
+            view_angles_relative=True,
+            y_sign=-1.0,
         ),
     )

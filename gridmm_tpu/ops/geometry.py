@@ -67,14 +67,19 @@ def backproject_view(
 def backproject_panorama(
     depth_raw: jnp.ndarray,  # (V, P) raw horizon-view depth patches
     cfg: GridConfig,
+    heading: jnp.ndarray | float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Back-project all `V` horizon views of a panorama.
 
     Returns (rel_x, rel_y, valid) each of shape (V*P,) where `valid` masks
-    zero-depth pixels (env.py:283-285).
+    zero-depth pixels (env.py:283-285). In the continuous variant view
+    azimuths are heading-relative and rel_y is negated
+    (Policy_ViewSelection_GridMap.py:779-782).
     """
     v = jnp.arange(cfg.num_views, dtype=jnp.float32)
     angles = v * (2.0 * jnp.pi / cfg.num_views)  # (ix-12) * pi/6 for 12 views
+    if cfg.view_angles_relative:
+        angles = angles - heading
     rel_x, rel_y = backproject_view(
         depth_raw,
         angles,
@@ -82,7 +87,7 @@ def backproject_panorama(
         tan_half_hfov=cfg.tan_half_hfov,
     )
     valid = depth_raw > 0
-    return rel_x.reshape(-1), rel_y.reshape(-1), valid.reshape(-1)
+    return rel_x.reshape(-1), cfg.y_sign * rel_y.reshape(-1), valid.reshape(-1)
 
 
 def compute_half_len(
@@ -268,6 +273,8 @@ def append_panorama(
     pos_xy: jnp.ndarray,        # (B, 2) agent world position
     cfg: GridConfig,
     point_weights: jnp.ndarray | None = None,  # (B, V*P) relevance logits
+    headings: jnp.ndarray | None = None,  # (B,) needed when view angles are
+                                          # heading-relative (continuous env)
 ) -> PointCloudState:
     """Append one panorama's back-projected points to every episode's buffer.
 
@@ -279,10 +286,12 @@ def append_panorama(
     ppstep = cfg.points_per_step
     if point_weights is None:
         point_weights = jnp.zeros(patch_features.shape[:2], jnp.float32)
+    if headings is None:
+        headings = jnp.zeros((b,), jnp.float32)
 
-    def per_item(depth_i, feats_i, w_in_i, pos_i, xy_i, f_i, w_i, val_i,
-                 ins_i, cnt_i):
-        rel_x, rel_y, dvalid = backproject_panorama(depth_i, cfg)
+    def per_item(depth_i, feats_i, w_in_i, pos_i, heading_i, xy_i, f_i, w_i,
+                 val_i, ins_i, cnt_i):
+        rel_x, rel_y, dvalid = backproject_panorama(depth_i, cfg, heading_i)
         pts = jnp.stack([rel_x + pos_i[0], rel_y + pos_i[1]], axis=-1)  # (VP, 2)
         xy_i = jax.lax.dynamic_update_slice(xy_i, pts, (cnt_i, 0))
         f_i = jax.lax.dynamic_update_slice(
@@ -295,7 +304,7 @@ def append_panorama(
         return xy_i, f_i, w_i, val_i, ins_i, cnt_i + ppstep
 
     xy, feats, weights, valid, inserted, count = jax.vmap(per_item)(
-        depth_raw, patch_features, point_weights, pos_xy,
+        depth_raw, patch_features, point_weights, pos_xy, headings,
         state.xy, state.features, state.weights, state.valid, state.inserted,
         state.count,
     )
@@ -334,7 +343,8 @@ def egocentric_grid_assignment(
         heading_sign=cfg.heading_sign, heading_offset=cfg.heading_offset,
     )
     cells = quantize_to_cells(
-        map_x, map_y, half_len[:, None], cfg.grid_width, cfg.grid_height
+        cfg.map_x_sign * map_x, map_y, half_len[:, None],
+        cfg.grid_width, cfg.grid_height
     )
     cells = jnp.where(state.valid, cells, -1)
     pos_fts = gridmap_pos_fts(

@@ -169,7 +169,8 @@ def nav_device_step(
         "txt_embeds": txt_embeds, "patch_fts": x.patch_fts,
         "txt_relevance_mask": txt_mask})
     point_state = G.append_panorama(
-        carry.point_state, x.depth, proj_new, x.pos_xy, cfg.grid, w_new)
+        carry.point_state, x.depth, proj_new, x.pos_xy, cfg.grid, w_new,
+        headings=x.heading)
     cells, _, grid_pos_fts = G.egocentric_grid_assignment(
         point_state, x.pos_xy, x.heading, cfg.grid)
 

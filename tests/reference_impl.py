@@ -116,6 +116,54 @@ class RefGridBuilder:
         return global_map, half_len, ref_gridmap_pos_fts(half_len)
 
 
+class RefGridBuilderCE:
+    """Continuous-env grid build (Policy_ViewSelection_GridMap.py:689-807):
+    depth in metres, HFOV 90 (tan pi/4), view angles heading-relative,
+    global_y = pos_y - rel_y, rotation angle = -heading + pi, map_x negated."""
+
+    def __init__(self, tan_half=math.tan(math.pi / 4)):
+        self.tan_half = tan_half
+        self.px, self.py, self.mask = [], [], []
+        self.max_x = self.max_y = -10000.0
+        self.min_x = self.min_y = 10000.0
+
+    def step(self, depth, position, heading):
+        for ix in range(12):
+            rx, ry = ref_rel_position(depth[ix], ix * math.pi / 6 - heading,
+                                      1.0, self.tan_half)
+            self.px.append(rx + position["x"])
+            self.py.append(-ry + position["y"])
+            self.mask.append((depth[ix] > 0).astype(np.float64))
+
+        px = np.concatenate(self.px)
+        py = np.concatenate(self.py)
+        mask = np.concatenate(self.mask)
+        new_x = np.concatenate(self.px[-12:])
+        new_y = np.concatenate(self.py[-12:])
+        self.max_x = max(self.max_x, new_x.max())
+        self.min_x = min(self.min_x, new_x.min())
+        self.max_y = max(self.max_y, new_y.max())
+        self.min_y = min(self.min_y, new_y.min())
+
+        x_half = max(position["x"] - self.min_x, self.max_x - position["x"])
+        y_half = max(position["y"] - self.min_y, self.max_y - position["y"])
+        half_len = max(x_half, y_half) * 2 / 3
+
+        angle = -heading + math.pi
+        tx = px - position["x"]
+        ty = py - position["y"]
+        map_x = -(tx * math.cos(angle) + ty * math.sin(angle))
+        map_y = ty * math.cos(angle) - tx * math.sin(angle)
+        map_x = np.clip(((map_x + half_len) / (2 * half_len) *
+                         (GRID_W - 1)).astype(np.int32), 0, GRID_W - 1)
+        map_y = np.clip(((map_y + half_len) / (2 * half_len) *
+                         (GRID_H - 1)).astype(np.int32), 0, GRID_H - 1)
+        global_map = np.full((len(px),), -1.0)
+        idx = map_x * 14 + map_y
+        global_map[mask == 1] = idx[mask == 1]
+        return global_map, half_len
+
+
 def ref_cell_pooling(grid_fts, grid_map, txt, wt, bt, wg, bg):
     """vilmodel.py:788-824 pooling loop, single item, numpy.
 

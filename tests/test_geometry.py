@@ -90,6 +90,38 @@ def test_full_grid_build_matches_reference():
                 np.asarray(pos_fts[i]), ref_pos_fts, atol=1e-5)
 
 
+def test_ce_grid_build_matches_reference():
+    """Continuous-env variant (heading-relative views, y-flip, map_x negation,
+    pi offset) — bit-exact against the CE oracle."""
+    from gridmm_tpu.config import r2r_ce_config
+
+    cfg = r2r_ce_config().grid
+    b, steps = 2, 3
+    ref = [R.RefGridBuilderCE() for _ in range(b)]
+    state = G.PointCloudState.create(b, cfg)
+
+    for t in range(steps):
+        depth = RNG.uniform(0.0, 8.0, size=(b, 12, 49)).astype(np.float32)
+        depth[RNG.random((b, 12, 49)) < 0.08] = 0.0
+        feats = RNG.standard_normal((b, 588, 768)).astype(np.float32)
+        pos = RNG.uniform(-5, 5, size=(b, 2)).astype(np.float32)
+        heading = RNG.uniform(-np.pi, np.pi, size=(b,)).astype(np.float32)
+        state = G.append_panorama(
+            state, jnp.asarray(depth), jnp.asarray(feats), jnp.asarray(pos),
+            cfg, headings=jnp.asarray(heading))
+        cells, half_len, _ = G.egocentric_grid_assignment(
+            state, jnp.asarray(pos), jnp.asarray(heading), cfg)
+        for i in range(b):
+            ref_map, ref_half = ref[i].step(
+                depth[i], {"x": float(pos[i, 0]), "y": float(pos[i, 1])},
+                float(heading[i]))
+            n = (t + 1) * 588
+            np.testing.assert_allclose(float(half_len[i]), ref_half,
+                                       rtol=1e-5)
+            np.testing.assert_array_equal(
+                np.asarray(cells[i])[:n], ref_map.astype(np.int32))
+
+
 def test_target_cell_id_range():
     tid = G.target_cell_id(
         jnp.float32(3.0), jnp.float32(-2.0), jnp.float32(0.0), jnp.float32(0.0),
