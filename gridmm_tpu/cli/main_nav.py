@@ -1,0 +1,142 @@
+"""Fine-tune / evaluate the GridMM navigator (discrete environments).
+
+Equivalent of map_nav_src/main_nav.py (+ the per-dataset parsers). Examples:
+
+  # synthetic world, tiny model — smoke-trainable anywhere
+  python -m gridmm_tpu.cli.main_nav --world synthetic --iters 6 --eval
+
+  # real R2R data laid out per the reference convention
+  python -m gridmm_tpu.cli.main_nav --world r2r --root_dir /data \
+      --iters 20000 --log_every 500 --eval
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import jax
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--world", choices=["synthetic", "r2r", "reverie", "soon",
+                                       "rxr"], default="synthetic")
+    p.add_argument("--root_dir", default=None,
+                   help="dataset root (reference layout: "
+                        "ROOT/{DATASET}/{features,connectivity,annotations})")
+    p.add_argument("--output_dir", default="runs/main_nav")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--log_every", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--eval_batches", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model dims (tests/smoke)")
+    p.add_argument("--resume", default=None, help="orbax checkpoint path")
+    p.add_argument("--lr", type=float, default=None)
+    return p.parse_args(argv)
+
+
+def build_synthetic(args, cfg):
+    from gridmm_tpu.env.discrete import DiscreteNavEnv, synthetic_episodes
+    from gridmm_tpu.env.world import SyntheticWorld
+
+    world = SyntheticWorld(num_scans=2, nodes_per_scan=10, seed=args.seed)
+    train_eps = synthetic_episodes(world, num=24, seed=args.seed)
+    val_eps = synthetic_episodes(world, num=12, seed=args.seed + 1)
+    train_env = DiscreteNavEnv(world, world.graphs, train_eps,
+                               batch_size=args.batch_size, seed=args.seed)
+    val_env = DiscreteNavEnv(world, world.graphs, val_eps,
+                             batch_size=args.batch_size, seed=args.seed,
+                             name="val")
+    return train_env, val_env
+
+
+def build_real(args, cfg):
+    from gridmm_tpu.data.datasets import construct_instrs
+    from gridmm_tpu.env.discrete import DiscreteNavEnv
+    from gridmm_tpu.env.nav_graph import load_nav_graphs
+    from gridmm_tpu.env.world import Hdf5World
+
+    ds = args.world.upper()
+    root = os.path.join(args.root_dir, ds)
+    anno = os.path.join(root, "annotations")
+    feat = os.path.join(root, "features")
+    conn = os.path.join(root, "connectivity")
+    tok = "xlm" if args.world == "rxr" else "bert"
+    train_data = construct_instrs(anno, ds, ["train"], tok,
+                                  cfg.shapes.max_txt_len)
+    val_data = construct_instrs(anno, ds, ["val_unseen"], tok,
+                                cfg.shapes.max_txt_len)
+    with open(os.path.join(feat, "viewpoint_info.json")) as f:
+        vp_info = json.load(f)
+    world = Hdf5World(
+        os.path.join(feat, "pth_vit_base_patch16_224_imagenet.hdf5"),
+        os.path.join(feat, "depth.hdf5"),
+        os.path.join(feat, "clip_p32.hdf5"),
+        vp_info)
+    scans = {x["scan"] for x in train_data} | {x["scan"] for x in val_data}
+    graphs = load_nav_graphs(conn, scans)
+    train_env = DiscreteNavEnv(world, graphs, train_data,
+                               batch_size=args.batch_size, seed=args.seed)
+    val_env = DiscreteNavEnv(world, graphs, val_data,
+                             batch_size=args.batch_size, seed=args.seed,
+                             name="val_unseen")
+    return train_env, val_env
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from gridmm_tpu.config import (r2r_config, reverie_config, rxr_config)
+    from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
+    from gridmm_tpu.train.agent import NavAgent
+    from gridmm_tpu.train.loop import train_navigator
+    from gridmm_tpu.utils.logging import MetricLogger
+
+    cfg = {"reverie": reverie_config, "rxr": rxr_config}.get(
+        args.world, r2r_config)()
+    if args.tiny or args.world == "synthetic":
+        from tests.test_agent_e2e import tiny_cfg  # smoke dims
+
+        cfg = tiny_cfg()
+    if args.lr:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, lr=args.lr))
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, batch_size=args.batch_size, iters=args.iters,
+            log_every=args.log_every))
+
+    if args.world == "synthetic":
+        train_env, val_env = build_synthetic(args, cfg)
+    else:
+        train_env, val_env = build_real(args, cfg)
+
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(args.seed))
+    if args.resume:
+        from gridmm_tpu.utils.checkpoint import restore_checkpoint
+
+        params = restore_checkpoint(os.path.abspath(args.resume), params)
+
+    agent = NavAgent(model, cfg, train_env, params)
+    val_agent = NavAgent(model, cfg, val_env, params) if args.eval else None
+
+    logger = MetricLogger(os.path.join(args.output_dir, "logs"))
+    result = train_navigator(
+        cfg, model, agent, val_agent, iters=args.iters,
+        log_every=args.log_every, eval_batches=args.eval_batches,
+        ckpt_dir=os.path.join(args.output_dir, "ckpts"), logger=logger,
+        seed=args.seed)
+    print(json.dumps({
+        "best_spl": result.best_spl, "best_iter": result.best_iter,
+        **{f"final_{k}": v for k, v in result.final_metrics.items()}}))
+    return result
+
+
+if __name__ == "__main__":
+    main()

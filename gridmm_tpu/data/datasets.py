@@ -1,0 +1,69 @@
+"""Dataset annotation loading (R2R/REVERIE/SOON/RxR instruction files).
+
+Honors the reference's annotation contracts:
+  * `{DATASET}_{split}_enc.json` (bert) / `_enc_xlmr.json` (xlm) with
+    `instructions` + `instr_encodings` per path item
+    (map_nav_src/r2r/data_utils.py:5-27).
+  * items are exploded one-instruction-per-entry with instr_id
+    "{path_id}_{j}" (data_utils.py:29-45).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+
+def load_instr_datasets(anno_dir: str, dataset: str, splits, tokenizer: str = "bert"):
+    data = []
+    for split in splits:
+        if "/" not in split:
+            suffix = "_enc.json" if tokenizer == "bert" else "_enc_xlmr.json"
+            path = os.path.join(anno_dir, f"{dataset.upper()}_{split}{suffix}")
+            with open(path) as f:
+                new_data = json.load(f)
+            if split == "val_train_seen":
+                new_data = new_data[:50]
+        else:  # augmented file given by path
+            with open(split) as f:
+                new_data = json.load(f)
+        data += new_data
+    return data
+
+
+def construct_instrs(anno_dir: str, dataset: str, splits,
+                     tokenizer: str = "bert",
+                     max_instr_len: int = 512) -> List[dict]:
+    """One entry per instruction, instr_id = '{path_id}_{j}'."""
+    out = []
+    for item in load_instr_datasets(anno_dir, dataset, splits, tokenizer):
+        if "instr_encoding" in item:  # RxR-style pre-exploded entries
+            new_item = dict(item)
+            new_item["instr_encoding"] = item["instr_encoding"][:max_instr_len]
+            out.append(new_item)
+            continue
+        for j, instr in enumerate(item["instructions"]):
+            new_item = dict(item)
+            new_item["instr_id"] = f"{item['path_id']}_{j}"
+            new_item["instruction"] = instr
+            new_item["instr_encoding"] = item["instr_encodings"][j][:max_instr_len]
+            del new_item["instructions"]
+            del new_item["instr_encodings"]
+            out.append(new_item)
+    return out
+
+
+def load_obj2vps(bbox_file: str) -> Dict[str, list]:
+    """REVERIE object->viewpoints map (reverie/data_utils.py:95-115 contract:
+    BBoxes.json keyed by scan_vp with per-object visible_pos lists)."""
+    obj2vps: Dict[str, list] = {}
+    with open(bbox_file) as f:
+        bbox_data = json.load(f)
+    for scanvp, value in bbox_data.items():
+        scan = scanvp.split("_")[0]
+        for objid, objinfo in value.items():
+            if objinfo["visible_pos"]:
+                obj2vps.setdefault(f"{scan}_{objid}", [])
+                obj2vps[f"{scan}_{objid}"].extend(objinfo["visible_pos"])
+    return obj2vps

@@ -1,0 +1,88 @@
+"""Fine-tuning driver loop: interactive rollout -> replay update -> periodic
+eval -> checkpointing.
+
+Reference: map_nav_src/main_nav.py:86-215 (train loop with log_every cadence,
+best-SPL checkpoint selection) + r2r/agent_base.py:164-211 (per-iteration
+train with teacher/sample interleave for DAgger).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from gridmm_tpu.config import GridMMConfig
+from gridmm_tpu.models.navigator import GridMMNavigator
+from gridmm_tpu.train.agent import NavAgent
+from gridmm_tpu.train.step import TrainState, create_train_state, make_train_step
+from gridmm_tpu.utils.logging import MetricLogger, SectionTimer
+
+
+@dataclasses.dataclass
+class TrainerResult:
+    best_spl: float
+    best_iter: int
+    final_metrics: Dict[str, float]
+
+
+def train_navigator(
+    cfg: GridMMConfig,
+    model: GridMMNavigator,
+    agent: NavAgent,
+    val_agent: Optional[NavAgent] = None,
+    iters: Optional[int] = None,
+    log_every: Optional[int] = None,
+    eval_batches: int = 4,
+    ckpt_dir: Optional[str] = None,
+    logger: Optional[MetricLogger] = None,
+    seed: int = 0,
+) -> TrainerResult:
+    """DAgger-style training: alternate teacher-forced and student-sampled
+    rollouts (train_alg=dagger interleaves ml + sample passes,
+    agent_base.py:164-196), each replayed through the scanned trajectory loss.
+    """
+    iters = iters or cfg.train.iters
+    log_every = log_every or cfg.train.log_every
+    logger = logger or MetricLogger()
+    timer = SectionTimer()
+
+    state = create_train_state(cfg, agent.params)
+    train_step = jax.jit(make_train_step(model, cfg))
+    rng = jax.random.PRNGKey(seed)
+    np_rng = np.random.default_rng(seed)
+
+    best_spl, best_iter = -1.0, -1
+    final_metrics: Dict[str, float] = {}
+
+    for it in range(1, iters + 1):
+        feedback = "teacher" if it % 2 == 1 else "sample"
+        with timer.section("rollout"):
+            agent.params = state.params
+            _, batch, _ = agent.rollout(feedback=feedback, record=True,
+                                        rng=np_rng)
+        with timer.section("update"):
+            state, metrics = train_step(state, batch, rng)
+        logger.log(it, {k: float(v) for k, v in metrics.items()},
+                   prefix="train/")
+
+        if it % log_every == 0 and val_agent is not None:
+            with timer.section("eval"):
+                val_agent.params = state.params
+                avg, _ = val_agent.evaluate(eval_batches)
+            logger.log(it, avg, prefix="val/")
+            final_metrics = avg
+            if avg["spl"] > best_spl:
+                best_spl, best_iter = avg["spl"], it
+                if ckpt_dir:
+                    from gridmm_tpu.utils.checkpoint import save_checkpoint
+
+                    save_checkpoint(
+                        os.path.join(os.path.abspath(ckpt_dir), "best_spl"),
+                        state.params)
+    agent.params = state.params
+    logger.log(iters, timer.summary(), prefix="time/")
+    return TrainerResult(best_spl, best_iter, final_metrics)
