@@ -289,6 +289,7 @@ class CEAgent:
             vp_nav_mask=vp_nav_mask, fused_add_idx=fused_add_idx,
             cand_backtrack_mask=np.zeros((b, v), bool),
             target=ig, grid_target=ig.copy(),
+            vp_obj_mask=np.zeros((b, v), bool), obj_target=ig.copy(),
         ), cur_node
 
     def _teacher(self, env: ContinuousEnv, obs, cand_lists,

@@ -166,6 +166,7 @@ class TrainConfig:
     grad_norm_clip: float = 40.0   # agent_base.py:205
     ml_weight: float = 0.2
     feedback: str = "sample"
+    expert_policy: str = "spl"  # 'spl' shortest-dist oracle | 'ndtw' follow GT path
     max_action_len: int = 15
     ignoreid: int = -100
     iters: int = 100000

@@ -99,6 +99,7 @@ class DiscreteNavEnv:
             x["instr_id"]: (x["scan"], x["path"]) for x in self.data
             if len(x["path"]) > 1
         }
+        self._items_by_id = {x["instr_id"]: x for x in self.data}
         # eval-split sharding (main_nav.py:79, r2r/env.py:427-435)
         if sel_data_idxs is not None:
             t_split, n_splits = sel_data_idxs
@@ -200,6 +201,11 @@ class DiscreteNavEnv:
                     item["path"][-1]]
             else:
                 ob["distance"] = 0.0
+            # object grounding (REVERIE/SOON): world may expose per-vp objects
+            if hasattr(self.world, "objects"):
+                ob["objects"] = self.world.objects(scan, vp)
+                ob["gt_obj_id"] = item.get("gt_obj_id")
+                ob["gt_end_vps"] = item.get("gt_end_vps", [item["path"][-1]])
             obs.append(ob)
         return obs
 
@@ -220,13 +226,22 @@ class DiscreteNavEnv:
 
     # ------------------------------------------------------------------ eval
     def eval_metrics(self, preds: List[dict]) -> Tuple[dict, dict]:
+        from gridmm_tpu.env.metrics import evaluate_reverie_trajectory
+
         per_traj = []
         instr_ids = []
         for item in preds:
             instr_id = item["instr_id"]
             scan, gt = self.gt_trajs[instr_id]
-            per_traj.append(evaluate_trajectory(
-                self.shortest_distances[scan], item["trajectory"], gt))
+            data_item = self._items_by_id.get(instr_id, {})
+            if data_item.get("gt_obj_id") is not None:
+                per_traj.append(evaluate_reverie_trajectory(
+                    self.shortest_distances[scan], item["trajectory"], gt,
+                    data_item.get("gt_end_vps", [gt[-1]]),
+                    item.get("pred_obj_id"), data_item["gt_obj_id"]))
+            else:
+                per_traj.append(evaluate_trajectory(
+                    self.shortest_distances[scan], item["trajectory"], gt))
             instr_ids.append(instr_id)
         avg = aggregate_metrics(per_traj)
         detail = {"instr_id": instr_ids, "scores": per_traj}

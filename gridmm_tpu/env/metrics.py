@@ -87,13 +87,53 @@ def evaluate_trajectory(
     return scores
 
 
+def point_in_polygon(x: float, y: float, polygon) -> bool:
+    """Ray-casting point-in-polygon (SOON bbox det metrics,
+    map_nav_src/soon/env.py:331-424 use shapely polygons; dependency-free
+    equivalent)."""
+    inside = False
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        if (y1 > y) != (y2 > y):
+            xin = (x2 - x1) * (y - y1) / (y2 - y1 + 1e-12) + x1
+            if x < xin:
+                inside = not inside
+    return inside
+
+
+def evaluate_reverie_trajectory(
+    shortest: Dict[str, Dict[str, float]],
+    pred_path, gt_path, gt_end_vps, pred_obj_id, gt_obj_id,
+    error_margin: float = ERROR_MARGIN,
+) -> Dict[str, float]:
+    """REVERIE-style scores: success = stopping AT one of the GT endpoints
+    (multi-endpoint, reverie/env.py eval) and det success additionally
+    requires grounding the right object."""
+    scores = evaluate_trajectory(shortest, pred_path, gt_path, error_margin)
+    path = [vp for seg in pred_path for vp in seg]
+    reached = path[-1] in set(gt_end_vps)
+    scores["success"] = float(reached)
+    gt_lengths = float(np.sum(
+        [shortest[a][b] for a, b in zip(gt_path[:-1], gt_path[1:])]))
+    scores["spl"] = scores["success"] * gt_lengths / max(
+        scores["trajectory_lengths"], gt_lengths, 0.01)
+    det = float(reached and pred_obj_id is not None and
+                pred_obj_id == gt_obj_id)
+    scores["det_success"] = det
+    scores["det_spl"] = det * gt_lengths / max(
+        scores["trajectory_lengths"], gt_lengths, 0.01)
+    return scores
+
+
 def aggregate_metrics(per_traj: List[Dict[str, float]]) -> Dict[str, float]:
     """Mean metrics as percentages (env.py:696-708)."""
     acc = defaultdict(list)
     for scores in per_traj:
         for k, v in scores.items():
             acc[k].append(v)
-    return {
+    out = {
         "action_steps": float(np.mean(acc["action_steps"])),
         "steps": float(np.mean(acc["trajectory_steps"])),
         "lengths": float(np.mean(acc["trajectory_lengths"])),
@@ -106,3 +146,7 @@ def aggregate_metrics(per_traj: List[Dict[str, float]]) -> Dict[str, float]:
         "SDTW": float(np.mean(acc["SDTW"])) * 100,
         "CLS": float(np.mean(acc["CLS"])) * 100,
     }
+    if "det_success" in acc:
+        out["det_sr"] = float(np.mean(acc["det_success"])) * 100
+        out["det_spl"] = float(np.mean(acc["det_spl"])) * 100
+    return out

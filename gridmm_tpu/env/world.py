@@ -148,3 +148,17 @@ class SyntheticWorld:
 
     def position(self, scan, vp):
         return tuple(self.graphs[scan].positions[vp])
+
+    def objects(self, scan, vp):
+        """Deterministic synthetic objects (REVERIE-style): 0..3 per viewpoint
+        with stable ids shared across nearby viewpoints."""
+        h = abs(hash((scan, vp))) % 4
+        out = []
+        for j in range(h):
+            obj_id = f"obj{(abs(hash((scan, vp, j))) % 20):02d}"
+            out.append({
+                "obj_id": obj_id,
+                "feature": _seeded(f"obj/{scan}/{obj_id}", self.feat_dim) * 0.4,
+                "loc_fts": _seeded(f"objloc/{scan}/{vp}/{obj_id}", 7) * 0.2,
+            })
+        return out

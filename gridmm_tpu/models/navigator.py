@@ -417,6 +417,8 @@ def dummy_batches(shapes, model_cfg: ModelConfig, batch: int = 1):
         fused_add_idx=jnp.full((b, g), -2, jnp.int32),
         cand_backtrack_mask=jnp.zeros((b, v), bool),
     )
+    if model_cfg.obj_feat_size > 0:
+        nav_batch["vp_obj_mask"] = jnp.zeros((b, v), bool)
     return txt_ids, txt_mask, pano_batch, nav_batch
 
 

@@ -118,6 +118,8 @@ class NavAgent:
         vp_nav_mask = np.zeros((b, v), bool)
         fused_add_idx = np.full((b, g), -2, np.int32)
         cand_backtrack = np.zeros((b, v), bool)
+        vp_obj_mask = np.zeros((b, v), bool)
+        obj_token_idx: List[List[int]] = [[] for _ in range(b)]
 
         slot_vpids: List[List[Optional[str]]] = []
         cand_vpids_all: List[List[str]] = []
@@ -204,6 +206,19 @@ class NavAgent:
             vp_nav_mask[i, 0] = True
             vp_nav_mask[i, 1: 1 + len(cand_vpids)] = True
 
+            # object tokens (REVERIE/SOON, reverie/agent_obj.py): appended
+            # after the view tokens with nav_type=2
+            for obj in ob.get("objects", []):
+                if k >= vm1:
+                    break
+                view_img_fts[i, k] = np.asarray(obj["feature"])[:d]
+                loc_fts[i, k] = np.asarray(obj["loc_fts"])[: af + 3]
+                nav_types[i, k] = 2
+                view_mask[i, k] = True
+                vp_obj_mask[i, k + 1] = True  # +1: [stop] offset
+                obj_token_idx[i].append(k + 1)
+                k += 1
+
         dummy_t = np.full((b,), self.cfg.train.ignoreid, np.int32)
         inputs = StepInputs(
             view_img_fts=view_img_fts, loc_fts=loc_fts, nav_types=nav_types,
@@ -215,13 +230,18 @@ class NavAgent:
             vp_pos_fts=vp_pos_fts, vp_nav_mask=vp_nav_mask,
             fused_add_idx=fused_add_idx, cand_backtrack_mask=cand_backtrack,
             target=dummy_t, grid_target=dummy_t.copy(),
+            vp_obj_mask=vp_obj_mask, obj_target=dummy_t.copy(),
         )
+        self._last_obj_token_idx = obj_token_idx
         return inputs, slot_vpids, cand_vpids_all
 
     # ----------------------------------------------------------- supervision
     def teacher_actions(self, obs, slot_vpids, books, ended) -> np.ndarray:
-        """Graph-shortest-distance oracle over gmap slots (agent.py:207-237)."""
+        """Teacher oracle over gmap slots. expert_policy='spl' minimizes
+        dist(cur->vp)+dist(vp->goal) (agent.py:207-237); 'ndtw' follows the GT
+        path node sequence (the RxR expert, rxr flavor of _teacher_action)."""
         a = np.full((len(obs),), self.cfg.train.ignoreid, np.int64)
+        ndtw = self.cfg.train.expert_policy == "ndtw"
         for i, ob in enumerate(obs):
             if ended[i]:
                 continue
@@ -230,7 +250,14 @@ class NavAgent:
                 continue
             scan, cur = ob["scan"], ob["viewpoint"]
             dists = self.env.shortest_distances[scan]
-            goal = ob["gt_path"][-1]
+            if ndtw:
+                # target = the earliest not-yet-visited GT-path node
+                goal = next(
+                    (vp for vp in ob["gt_path"]
+                     if not books[i].topo.graph.visited(vp)),
+                    ob["gt_path"][-1])
+            else:
+                goal = ob["gt_path"][-1]
             best, best_d = self.cfg.train.ignoreid, math.inf
             for s in range(1, self.shapes.max_gmap_len):
                 vp = slot_vpids[i][s]
@@ -282,6 +309,19 @@ class NavAgent:
                 obs, books, t)
             targets = self.teacher_actions(obs, slot_vpids, books, ended)
             inputs = inputs._replace(target=targets.astype(np.int32))
+            # object-grounding teacher (_teacher_object, reverie/agent_obj.py):
+            # the GT object's token index when visible at the current node
+            obj_targets = np.full((b,), self.cfg.train.ignoreid, np.int32)
+            for i, ob in enumerate(obs):
+                gt_obj = ob.get("gt_obj_id")
+                if ended[i] or gt_obj is None:
+                    continue
+                for j, obj in enumerate(ob.get("objects", [])):
+                    if obj["obj_id"] == gt_obj and \
+                            j < len(self._last_obj_token_idx[i]):
+                        obj_targets[i] = self._last_obj_token_idx[i][j]
+                        break
+            inputs = inputs._replace(obj_target=obj_targets)
             if record:
                 recorded.append(inputs)
 
@@ -302,6 +342,21 @@ class NavAgent:
                 a_t = np.array([rng.choice(len(p), p=p) for p in probs])
             else:
                 raise ValueError(feedback)
+
+            # object-grounding prediction per node (REVERIE: og at the stop
+            # node decides det success)
+            if out.obj_logits is not None:
+                obj_log = np.asarray(out.obj_logits)
+                for i, ob in enumerate(obs):
+                    if not ended[i] and np.isfinite(obj_log[i]).any():
+                        k = int(np.nanargmax(
+                            np.where(np.isfinite(obj_log[i]), obj_log[i],
+                                     -np.inf)))
+                        toks = self._last_obj_token_idx[i]
+                        if k in toks:
+                            j = toks.index(k)
+                            traj[i]["pred_obj_id"] = \
+                                obs[i]["objects"][j]["obj_id"]
 
             # stop-score bookkeeping (agent.py:350-355)
             finite = np.isfinite(logits)
@@ -394,7 +449,8 @@ class NavAgent:
             for item in traj:
                 preds.setdefault(item["instr_id"], {
                     "instr_id": item["instr_id"],
-                    "trajectory": item["trajectory"]})
+                    "trajectory": item["trajectory"],
+                    "pred_obj_id": item.get("pred_obj_id")})
         pred_list = list(preds.values())
         avg, _ = self.env.eval_metrics(pred_list)
         return avg, pred_list

@@ -56,6 +56,9 @@ class StepInputs(NamedTuple):
     # supervision
     target: jnp.ndarray         # (S, B) fused-action label, ignore_id when done
     grid_target: jnp.ndarray    # (S, B) grid-cell label (0 stop) or ignore_id
+    # object grounding (REVERIE/SOON; zero-filled otherwise)
+    vp_obj_mask: jnp.ndarray    # (S, B, V) bool — vp token is an object
+    obj_target: jnp.ndarray     # (S, B) object token index or ignore_id
 
 
 class TrajectoryBatch(NamedTuple):
@@ -197,6 +200,7 @@ def nav_device_step(
         "gridmap_pos_fts": grid_pos_fts,
         "fused_add_idx": x.fused_add_idx,
         "cand_backtrack_mask": x.cand_backtrack_mask,
+        "vp_obj_mask": x.vp_obj_mask if cfg.model.obj_feat_size > 0 else None,
         "txt_relevance_mask": txt_mask})
 
     return NavCarry(point_state, gmap_sum, gmap_cnt), out
@@ -228,6 +232,10 @@ def trajectory_loss(
             deterministic, rngs)
         step_loss = cross_entropy_ignore(
             out.fused_logits, x.target, cfg.train.ignoreid, "sum")
+        if out.obj_logits is not None:
+            # object-grounding CE (REVERIE agent_obj.py og_loss)
+            step_loss = step_loss + cross_entropy_ignore(
+                out.obj_logits, x.obj_target, cfg.train.ignoreid, "sum")
         return (carry, loss + step_loss), None
 
     g = batch.steps.gmap_mask.shape[-1]

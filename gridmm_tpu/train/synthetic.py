@@ -197,6 +197,8 @@ def synthetic_trajectory_batch(
         cand_backtrack_mask=(rng.random((s, b, v)) < 0.2) & vp_nav_mask,
         target=target,
         grid_target=rng.integers(0, 197, size=(s, b)).astype(np.int32),
+        vp_obj_mask=np.zeros((s, b, v), bool),
+        obj_target=np.full((s, b), cfg.train.ignoreid, np.int32),
     )
     steps = StepInputs(*[jnp.asarray(a) for a in steps])
     return TrajectoryBatch(

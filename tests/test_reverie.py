@@ -1,0 +1,69 @@
+"""REVERIE-style object grounding: obj tokens, og teacher/loss, det metrics."""
+
+import dataclasses
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tests.test_agent_e2e import tiny_cfg  # noqa: E402
+
+from gridmm_tpu.env.discrete import DiscreteNavEnv, synthetic_episodes  # noqa: E402
+from gridmm_tpu.env.metrics import point_in_polygon  # noqa: E402
+from gridmm_tpu.env.world import SyntheticWorld  # noqa: E402
+from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator  # noqa: E402
+from gridmm_tpu.train.agent import NavAgent  # noqa: E402
+from gridmm_tpu.train.step import create_train_state, make_train_step  # noqa: E402
+
+
+def build_reverie(seed=0):
+    base = tiny_cfg()
+    cfg = dataclasses.replace(
+        base, model=dataclasses.replace(base.model, obj_feat_size=128))
+    world = SyntheticWorld(num_scans=1, nodes_per_scan=10, feat_dim=768,
+                           seed=seed)
+    episodes = synthetic_episodes(world, num=6, seed=seed, max_len=4)
+    # attach a gt object reachable at the goal viewpoint
+    for ep in episodes:
+        objs = world.objects(ep["scan"], ep["path"][-1])
+        ep["gt_obj_id"] = objs[0]["obj_id"] if objs else None
+        ep["gt_end_vps"] = [ep["path"][-1]]
+    env = DiscreteNavEnv(world, world.graphs, episodes, batch_size=3,
+                         seed=seed)
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(seed))
+    agent = NavAgent(model, cfg, env, params)
+    return cfg, env, model, agent
+
+
+def test_reverie_rollout_and_det_metrics():
+    cfg, env, model, agent = build_reverie()
+    traj, batch, _ = agent.rollout(feedback="teacher", record=True)
+    assert batch is not None
+    # obj supervision present for items whose goal has objects
+    assert batch.steps.vp_obj_mask.shape[-1] == cfg.shapes.max_vp_len
+    preds = [{"instr_id": t["instr_id"], "trajectory": t["trajectory"],
+              "pred_obj_id": t.get("pred_obj_id")} for t in traj]
+    avg, _ = env.eval_metrics(preds)
+    assert "det_sr" in avg and "det_spl" in avg
+    assert 0.0 <= avg["det_sr"] <= avg["sr"] + 1e-9 or avg["sr"] == 0.0
+
+
+def test_reverie_training_step_with_og_loss():
+    cfg, env, model, agent = build_reverie()
+    _, batch, _ = agent.rollout(feedback="teacher", record=True)
+    state = create_train_state(cfg, agent.params)
+    step = jax.jit(make_train_step(model, cfg))
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_point_in_polygon():
+    square = [(0, 0), (2, 0), (2, 2), (0, 2)]
+    assert point_in_polygon(1, 1, square)
+    assert not point_in_polygon(3, 1, square)
+    assert not point_in_polygon(-0.1, 1, square)
