@@ -1,0 +1,361 @@
+"""Trajectory datasets for pretraining (MLM/MRC/SAP/OG) from annotation files.
+
+Host-side twin of pretrain_src/data/{dataset,tasks}.py: jsonl trajectory items
+(scan, path, instr_encoding — R2R_*_enc.jsonl contract, dataset.py:101-108) are
+expanded into fixed-shape PretrainBatch tensors:
+
+  * end-viewpoint sampling pos/neg_in_gt_path/neg_others (dataset.py:234-246),
+    trajectories truncated to TRAIN_MAX_STEP (dataset.py:28)
+  * per-step panorama tokens: candidate views first (nav_type 1) then the
+    remaining views (nav_type 0) (dataset.py get_traj_pano_fts)
+  * gmap in our STABLE discovery-slot space with visited/candidate scatter
+    index maps (replaces the per-item python aggregation loops)
+  * the grid point cloud is built with the same jnp geometry used on device
+  * task labels: BERT-style MLM masking (tasks.py random_word), MRC view
+    masking with soft labels (tasks.py:164-227), SAP teacher actions
+    (dataset.py global/local act labels)
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from gridmm_tpu.config import GridMMConfig
+from gridmm_tpu.env.discrete import (all_point_angle_features,
+                                     nearest_view_index, view_index_heading,
+                                     view_index_elevation)
+from gridmm_tpu.env.graph import TopoMap, angle_features, rel_pos_features
+from gridmm_tpu.ops import geometry as G
+
+TRAIN_MAX_STEP = 20
+
+
+def load_trajectory_jsonl(paths: Sequence[str]) -> List[dict]:
+    data = []
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    data.append(json.loads(line))
+    return data
+
+
+def random_word_masking(tokens: np.ndarray, rng: random.Random,
+                        vocab_range=(1996, 29611), mask_id=103,
+                        mlm_prob=0.15):
+    """BERT MLM corruption: 15% of tokens -> 80% [MASK] / 10% random / 10% keep
+    (pretrain_src/data/common.py random_word semantics)."""
+    ids = tokens.copy()
+    labels = np.full_like(ids, -1)
+    for i in range(1, len(ids) - 1):  # keep [CLS]/[SEP]
+        if rng.random() < mlm_prob:
+            labels[i] = ids[i]
+            r = rng.random()
+            if r < 0.8:
+                ids[i] = mask_id
+            elif r < 0.9:
+                ids[i] = rng.randint(*vocab_range)
+    return ids, labels
+
+
+class TextPathDataset:
+    """Builds PretrainBatch items from trajectory annotations + a world
+    provider (see env/world.py)."""
+
+    def __init__(self, data: List[dict], world, graphs,
+                 cfg: GridMMConfig, seed: int = 0,
+                 shortest_paths: Optional[dict] = None):
+        self.data = data
+        self.world = world
+        self.graphs = graphs
+        self.cfg = cfg
+        self.rng = random.Random(seed)
+        self.angle_table = all_point_angle_features(cfg.model.angle_feat_size)
+        self.shortest_paths = shortest_paths or {
+            s: g.all_pairs_paths() for s, g in graphs.items()}
+        self.shortest_distances = {
+            s: g.all_pairs_distances() for s, g in graphs.items()}
+
+    def __len__(self):
+        return len(self.data)
+
+    def sample_end_vp(self, item: dict, end_vp_type: str) -> int:
+        """Index into item['path'] of the trajectory end (dataset.py:234-246;
+        'pos' = final vp, 'neg_in_gt_path' = random midpoint)."""
+        path = item["path"]
+        if end_vp_type == "pos" or len(path) < 3:
+            return len(path) - 1
+        return self.rng.randrange(1, len(path) - 1)
+
+    def get_input(self, idx: int, end_vp_type: str = "pos") -> dict:
+        cfg = self.cfg
+        sh, mc, gc = cfg.shapes, cfg.model, cfg.grid
+        item = self.data[idx]
+        scan = item["scan"]
+        g_nav = self.graphs[scan]
+        end_idx = self.sample_end_vp(item, end_vp_type)
+        path = item["path"][: end_idx + 1][:TRAIN_MAX_STEP]
+        s_real = len(path)
+        vm1 = sh.max_vp_len - 1
+        af = mc.angle_feat_size
+        d = mc.image_feat_size
+
+        topo = TopoMap(path[0])
+        slot_of: Dict[str, int] = {}
+
+        def slot(vp):
+            if vp not in slot_of:
+                slot_of[vp] = 1 + len(slot_of)
+            return slot_of[vp]
+
+        s_max = TRAIN_MAX_STEP if s_real <= TRAIN_MAX_STEP else s_real
+        view_fts = np.zeros((s_max, vm1, d), np.float32)
+        loc_fts = np.zeros((s_max, vm1, af + 3), np.float32)
+        nav_types = np.zeros((s_max, vm1), np.int32)
+        token_mask = np.zeros((s_max, vm1), bool)
+        visited_idx = np.full((s_max, vm1), -1, np.int32)
+        cand_idx = np.full((s_max, vm1), -1, np.int32)
+        depth = np.zeros((s_max, gc.num_views, gc.patches_per_view), np.float32)
+        patch_fts = np.zeros((s_max, gc.points_per_step, d), np.float32)
+        pos_xy = np.zeros((s_max, 2), np.float32)
+        headings = np.zeros((s_max,), np.float32)
+        step_mask = np.zeros((s_max,), bool)
+
+        heading = float(item.get("heading", 0.0))
+        for t, vp in enumerate(path):
+            pos = self.world.position(scan, vp)
+            cands = sorted(g_nav.neighbors(vp))
+            topo.update(vp, pos, [(c, g_nav.positions[c]) for c in cands])
+            vfts = self.world.view_features(scan, vp)
+
+            base_view = nearest_view_index(heading, 0.0)
+            k = 0
+            used = set()
+            for cvp in cands:
+                if k >= vm1:
+                    break
+                h, e, _dd = rel_pos_features(pos, g_nav.positions[cvp])
+                pid = nearest_view_index(h, e)
+                view_fts[t, k] = vfts[pid][:d]
+                loc_fts[t, k, :af] = angle_features(
+                    h - view_index_heading(base_view),
+                    e - view_index_elevation(base_view), af)
+                loc_fts[t, k, af:] = 1.0
+                nav_types[t, k] = 1
+                cand_idx[t, k] = slot(cvp)
+                used.add(pid)
+                k += 1
+            for ix in range(vfts.shape[0]):
+                if k >= vm1:
+                    break
+                if ix in used:
+                    continue
+                view_fts[t, k] = vfts[ix][:d]
+                loc_fts[t, k, :af] = self.angle_table[base_view, ix]
+                loc_fts[t, k, af:] = 1.0
+                k += 1
+            token_mask[t, :k] = True
+            visited_idx[t, :k] = slot(vp)
+            step_mask[t] = True
+
+            depth[t] = self.world.depth_patches(scan, vp).astype(np.float32)
+            patch_fts[t] = self.world.grid_features(scan, vp)[:, :d]
+            pos_xy[t] = (pos[0], pos[1])
+            headings[t] = heading
+            if t + 1 < len(path):
+                h, _, _ = rel_pos_features(pos, g_nav.positions[path[t + 1]])
+                heading = h
+
+        # visited contributions only from each node's LAST visit step
+        # (_aggregate_gmap_features dict overwrite, pretrain vilmodel.py:590)
+        last_visit = {}
+        for t, vp in enumerate(path):
+            last_visit[vp] = t
+        for t, vp in enumerate(path):
+            if last_visit[vp] != t:
+                visited_idx[t, :] = -1
+            # candidates of visited nodes never accumulate
+        for t in range(s_real):
+            for k in range(vm1):
+                ci = cand_idx[t, k]
+                if ci > 0:
+                    vp = next((v for v, s in slot_of.items() if s == ci), None)
+                    if vp in last_visit:
+                        cand_idx[t, k] = -1
+
+        # gmap arrays (stable slots)
+        gmax = self.cfg.shapes.max_gmap_len
+        gmap_mask = np.zeros((gmax,), bool)
+        gmap_visited = np.zeros((gmax,), bool)
+        gmap_step_ids = np.zeros((gmax,), np.int32)
+        gmap_pos = np.zeros((gmax, af + 3), np.float32)
+        gmap_mask[0] = True
+        cur_vp = path[-1]
+        cur_heading = headings[s_real - 1]
+        for vp, s in slot_of.items():
+            if s >= gmax:
+                continue
+            gmap_mask[s] = True
+            gmap_visited[s] = vp in last_visit
+            if vp in last_visit:
+                gmap_step_ids[s] = min(last_visit[vp] + 1,
+                                       mc.max_action_steps - 1)
+            gmap_pos[s] = topo.pos_features(cur_vp, [vp], cur_heading, 0.0,
+                                            af)[0]
+
+        # grid build (same jnp geometry as the device path)
+        state = G.PointCloudState.create(1, gc, self.cfg.shapes.max_points)
+        for t in range(s_real):
+            state = G.append_panorama(
+                state, jnp.asarray(depth[t:t + 1]),
+                jnp.asarray(patch_fts[t:t + 1]),
+                jnp.asarray(pos_xy[t:t + 1]), gc,
+                headings=jnp.asarray(headings[t:t + 1]))
+        cells, half_len, grid_pos_fts = G.egocentric_grid_assignment(
+            state, jnp.asarray(pos_xy[s_real - 1:s_real]),
+            jnp.asarray(headings[s_real - 1:s_real]), gc)
+
+        # SAP labels: next GT node after end_vp (global), its candidate index
+        # (local); stop when end == goal (dataset.py act labels)
+        goal = item["path"][-1]
+        if cur_vp == goal:
+            global_act = 0
+            local_act = 0
+        else:
+            nxt = self.shortest_paths[scan][cur_vp][goal][1]
+            global_act = slot_of.get(nxt, 0) if slot_of.get(nxt, 0) < gmax else 0
+            cands_last = sorted(g_nav.neighbors(cur_vp))
+            local_act = (cands_last.index(nxt) + 1
+                         if nxt in cands_last else 0)
+
+        # target grid cell for the next GT node (get_global_target)
+        if global_act == 0:
+            grid_target = 0
+        else:
+            npos = g_nav.positions[goal if cur_vp == goal else nxt]
+            grid_target = int(G.target_cell_id(
+                jnp.float32(npos[0]), jnp.float32(npos[1]),
+                jnp.float32(pos_xy[s_real - 1, 0]),
+                jnp.float32(pos_xy[s_real - 1, 1]),
+                jnp.float32(headings[s_real - 1]), half_len[0]))
+
+        # vp_pos_fts / nav masks for the last step
+        v = sh.max_vp_len
+        vp_pos_fts = np.zeros((v, 2 * af + 6), np.float32)
+        start_fts = topo.pos_features(cur_vp, [path[0]], cur_heading, 0.0, af)
+        vp_pos_fts[:, : af + 3] = start_fts[0]
+        cands_last = sorted(g_nav.neighbors(cur_vp))[: v - 1]
+        cand_fts = topo.pos_features(cur_vp, cands_last, cur_heading, 0.0, af)
+        vp_pos_fts[1: 1 + len(cands_last), af + 3:] = cand_fts
+        vp_nav_mask = np.zeros((v,), bool)
+        vp_nav_mask[0] = True
+        vp_nav_mask[1: 1 + len(cands_last)] = True
+
+        fused_add_idx = np.full((gmax,), -2, np.int32)
+        cand_backtrack = np.zeros((v,), bool)
+        cand_slot = {cvp: j for j, cvp in enumerate(cands_last)}
+        for vp, s in slot_of.items():
+            if s >= gmax or vp in last_visit:
+                continue
+            fused_add_idx[s] = cand_slot[vp] + 1 if vp in cand_slot else -1
+        for j, cvp in enumerate(cands_last):
+            if cvp in last_visit:
+                cand_backtrack[j + 1] = True
+
+        return dict(
+            instr_encoding=np.asarray(item["instr_encoding"], np.int32),
+            traj_view_fts=view_fts, traj_loc_fts=loc_fts,
+            traj_nav_types=nav_types, traj_token_mask=token_mask,
+            traj_step_mask=step_mask, visited_idx=visited_idx,
+            cand_idx=cand_idx,
+            gmap_step_ids=gmap_step_ids, gmap_pos_fts=gmap_pos,
+            gmap_mask=gmap_mask, gmap_visited_mask=gmap_visited,
+            vp_pos_fts=vp_pos_fts, vp_nav_mask=vp_nav_mask,
+            fused_add_idx=fused_add_idx, cand_backtrack_mask=cand_backtrack,
+            grid_fts=np.asarray(state.features[0]),
+            grid_cells=np.asarray(cells[0]),
+            gridmap_pos_fts=np.asarray(grid_pos_fts[0]),
+            global_act=np.int32(global_act), local_act=np.int32(local_act),
+            grid_target=np.int32(grid_target),
+        )
+
+    # ---------------------------------------------------------------- batches
+    def build_batch(self, indices: Sequence[int], task: str,
+                    mlm_prob: float = 0.15, mrc_prob: float = 0.15):
+        """Collate a PretrainBatch for one task (tasks.py *_collate)."""
+        from gridmm_tpu.train.pretrain import PretrainBatch
+
+        cfg = self.cfg
+        sh, mc = cfg.shapes, cfg.model
+        end_type = "pos" if task != "sap" else self._sap_end_type()
+        items = [self.get_input(i, end_type) for i in indices]
+        b = len(items)
+        t_len = sh.max_txt_len
+        s = items[0]["traj_view_fts"].shape[0]
+        v = sh.max_vp_len
+
+        txt_ids = np.zeros((b, t_len), np.int32)
+        txt_mask = np.zeros((b, t_len), bool)
+        txt_labels = np.full((b, t_len), -1, np.int32)
+        for i, it in enumerate(items):
+            enc = it["instr_encoding"][:t_len]
+            if task == "mlm":
+                ids, labels = random_word_masking(enc, self.rng,
+                                                  mlm_prob=mlm_prob)
+                txt_ids[i, : len(ids)] = ids
+                txt_labels[i, : len(ids)] = labels
+            else:
+                txt_ids[i, : len(enc)] = enc
+            txt_mask[i, : len(enc)] = True
+
+        def stack(key):
+            return jnp.asarray(np.stack([it[key] for it in items]))
+
+        view_mrc_masks = np.zeros((b, v - 1), bool)
+        view_probs = np.zeros((b, v - 1, mc.image_prob_size), np.float32)
+        if task == "mrc":
+            for i, it in enumerate(items):
+                last = int(it["traj_step_mask"].sum()) - 1
+                ntok = int(it["traj_token_mask"][last].sum())
+                for k in range(ntok):
+                    if self.rng.random() < mrc_prob:
+                        view_mrc_masks[i, k] = True
+                # soft labels: provider may expose probs; else uniform
+                view_probs[i] = 1.0 / mc.image_prob_size
+
+        return PretrainBatch(
+            txt_ids=jnp.asarray(txt_ids), txt_mask=jnp.asarray(txt_mask),
+            traj_view_fts=stack("traj_view_fts"),
+            traj_loc_fts=stack("traj_loc_fts"),
+            traj_nav_types=stack("traj_nav_types"),
+            traj_token_mask=stack("traj_token_mask"),
+            traj_step_mask=stack("traj_step_mask"),
+            visited_idx=stack("visited_idx"), cand_idx=stack("cand_idx"),
+            gmap_step_ids=stack("gmap_step_ids"),
+            gmap_pos_fts=stack("gmap_pos_fts"), gmap_mask=stack("gmap_mask"),
+            gmap_visited_mask=stack("gmap_visited_mask"),
+            vp_pos_fts=stack("vp_pos_fts"), vp_nav_mask=stack("vp_nav_mask"),
+            fused_add_idx=stack("fused_add_idx"),
+            cand_backtrack_mask=stack("cand_backtrack_mask"),
+            grid_fts=stack("grid_fts"), grid_cells=stack("grid_cells"),
+            gridmap_pos_fts=stack("gridmap_pos_fts"),
+            txt_labels=jnp.asarray(txt_labels),
+            view_mrc_masks=jnp.asarray(view_mrc_masks),
+            view_probs=jnp.asarray(view_probs),
+            global_act_labels=stack("global_act"),
+            local_act_labels=stack("local_act"),
+            obj_labels=jnp.zeros((b,), jnp.int32),
+            vp_obj_mask=jnp.zeros((b, v), bool),
+        )
+
+    def _sap_end_type(self) -> str:
+        """SAP end-vp mix 20/40/40 pos/neg_in_gt/neg_others
+        (tasks.py:294-301; neg_others approximated by midpoints)."""
+        r = self.rng.random()
+        return "pos" if r < 0.2 else "neg_in_gt_path"

@@ -1,0 +1,80 @@
+"""Real-format pretraining dataset: trajectory expansion + task collates."""
+
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tests.test_agent_e2e import tiny_cfg  # noqa: E402
+
+from gridmm_tpu.data.pretrain_data import (TextPathDataset,  # noqa: E402
+                                           random_word_masking)
+from gridmm_tpu.env.discrete import synthetic_episodes  # noqa: E402
+from gridmm_tpu.env.world import SyntheticWorld  # noqa: E402
+
+
+def build_dataset(seed=0):
+    cfg = tiny_cfg()
+    world = SyntheticWorld(num_scans=1, nodes_per_scan=10, seed=seed)
+    eps = synthetic_episodes(world, num=8, seed=seed, max_len=4)
+    return cfg, TextPathDataset(eps, world, world.graphs, cfg, seed=seed)
+
+
+def test_get_input_shapes_and_labels():
+    cfg, ds = build_dataset()
+    it = ds.get_input(0, "pos")
+    s = it["traj_view_fts"].shape[0]
+    assert it["traj_step_mask"].sum() >= 2
+    assert it["grid_cells"].shape == (cfg.shapes.max_points,)
+    # pos end -> agent at goal -> stop labels
+    assert it["global_act"] == 0 and it["local_act"] == 0
+    assert it["grid_target"] == 0
+
+
+def test_neg_end_has_nonstop_labels():
+    cfg, ds = build_dataset()
+    found = False
+    for i in range(len(ds.data)):
+        if len(ds.data[i]["path"]) >= 3:
+            it = ds.get_input(i, "neg_in_gt_path")
+            if it["global_act"] > 0:
+                found = True
+                assert 1 <= it["grid_target"] <= 196
+                assert it["gmap_mask"][it["global_act"]]
+                assert not it["gmap_visited_mask"][it["global_act"]]
+    assert found
+
+
+def test_batches_feed_pretrain_model():
+    import dataclasses
+    cfg, ds = build_dataset()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, image_prob_size=16))
+    ds.cfg = cfg
+    from gridmm_tpu.models.pretrain import GridMMPretrain
+    from gridmm_tpu.train.pretrain import init_pretrain_params, task_loss
+
+    model = GridMMPretrain(cfg.model)
+    batch = ds.build_batch([0, 1], "mlm")
+    params = init_pretrain_params(model, cfg, jax.random.PRNGKey(0), batch)
+    for task in ("mlm", "sap", "mrc"):
+        b = ds.build_batch([0, 1], task)
+        loss = float(task_loss(model, params, b, task))
+        assert np.isfinite(loss) and loss >= 0, (task, loss)
+
+
+def test_random_word_masking():
+    import random
+
+    ids = np.asarray([101] + list(range(2000, 2030)) + [102], np.int32)
+    rng = random.Random(0)
+    masked, labels = random_word_masking(ids, rng)
+    sel = labels != -1
+    assert sel.sum() > 0
+    assert not sel[0] and not sel[-1]          # specials untouched
+    np.testing.assert_array_equal(labels[sel], ids[sel])
+    # at least some selected tokens replaced by [MASK]
+    assert (masked[sel] == 103).sum() >= 1
