@@ -1,0 +1,144 @@
+"""Continuous-env trainer: schedule-sampled imitation learning.
+
+Reference: VLN_CE/vlnce_baselines/ss_trainer_GridMap.py:141-675 — per-step
+waypoint prediction, oracle teacher via cand_dist_to_goal, CE loss, schedule-
+sampling ratio decaying per epoch (ratio^(epoch//num_epoches_per_ratio+1),
+ss_trainer:619). The update path reuses the shared jitted nav step; the CE
+loss is taken on the local ([stop]+candidates) logits, matching the CE action
+space (Policy:620-627)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gridmm_tpu.ce.agent import CEAgent
+from gridmm_tpu.ce.env import ContinuousEnv, ce_episode_metrics
+from gridmm_tpu.config import GridMMConfig
+from gridmm_tpu.train.losses import cross_entropy_ignore
+from gridmm_tpu.train.step import make_optimizer
+from gridmm_tpu.utils.logging import MetricLogger
+
+
+class CETrainer:
+    def __init__(self, cfg: GridMMConfig, agent: CEAgent,
+                 schedule_ratio: float = 0.75,
+                 epochs_per_ratio: int = 1):
+        self.cfg = cfg
+        self.agent = agent
+        self.schedule_ratio = schedule_ratio
+        self.epochs_per_ratio = epochs_per_ratio
+        self.tx = make_optimizer(cfg)
+        self.opt_state = self.tx.init(agent.nav_params)
+
+        def loss_fn(params, txt_embeds, txt_mask, carry, x):
+            from gridmm_tpu.train.step import nav_device_step
+
+            carry, out = nav_device_step(
+                self.agent.navigator, cfg, params, txt_embeds, txt_mask,
+                carry, x)
+            loss = cross_entropy_ignore(
+                out.local_logits, x.target, cfg.train.ignoreid, "mean")
+            return loss, (carry, out)
+
+        def update(params, opt_state, txt_embeds, txt_mask, carry, x):
+            (loss, (carry, out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, txt_embeds, txt_mask, carry, x)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, carry, out, loss
+
+        self._jit_update = jax.jit(update)
+
+    def ss_ratio(self, epoch: int) -> float:
+        return self.schedule_ratio ** (epoch // self.epochs_per_ratio + 1)
+
+    def train_epoch(self, env: ContinuousEnv, epoch: int, batches: int = 2,
+                    max_steps: int = 6, logger: Optional[MetricLogger] = None,
+                    seed: int = 0) -> Dict[str, float]:
+        """Schedule-sampled interactive training: per step the executed action
+        is the teacher's with prob ss_ratio, else the student's sample
+        (ss_trainer train_ml ml_ratio interleave)."""
+        rng = np.random.default_rng(seed + epoch)
+        ratio = self.ss_ratio(epoch)
+        losses = []
+        agent = self.agent
+        for bi in range(batches):
+            obs = env.reset()
+            b = env.num_envs
+            sh = self.cfg.shapes
+            txt_ids = np.zeros((b, sh.max_txt_len), np.int32)
+            txt_mask = np.zeros((b, sh.max_txt_len), bool)
+            for i, ob in enumerate(obs):
+                enc = ob.instruction_ids[: sh.max_txt_len]
+                txt_ids[i, : len(enc)] = enc
+                txt_mask[i, : len(enc)] = True
+            txt_embeds = agent._jit_language(
+                agent.nav_params, jnp.asarray(txt_ids), jnp.asarray(txt_mask))
+
+            from gridmm_tpu.train.step import init_carry
+
+            carry = init_carry(self.cfg, b)
+            ended = np.zeros((b,), bool)
+            next_slot = np.full((b,), 1, np.int32)
+            centers = np.asarray([19 + 36 * i for i in range(7)])
+
+            for t in range(max_steps):
+                rgb = jnp.asarray(np.stack([ob.rgb for ob in obs]))
+                depth = jnp.asarray(np.stack([ob.depth for ob in obs]))
+                nms_maps = np.asarray(agent._jit_waypoint(
+                    agent.wp_params, agent.rgb_params, agent.depth_params,
+                    rgb, depth))
+                clip_toks = np.asarray(
+                    agent._jit_grid_fts(agent.clip_params, rgb))
+                cand_lists = [
+                    agent.candidates_from_nms(nms_maps[i], obs[i].heading,
+                                              agent.max_candidates)
+                    for i in range(b)]
+                x, _ = agent._build_step(obs, cand_lists, clip_toks, centers,
+                                         next_slot, t)
+                targets = agent._teacher(env, obs, cand_lists, ended)
+                x = x._replace(target=targets.astype(np.int32))
+
+                (agent.nav_params, self.opt_state, carry, out,
+                 loss) = self._jit_update(
+                    agent.nav_params, self.opt_state, txt_embeds,
+                    jnp.asarray(txt_mask), carry,
+                    jax.tree_util.tree_map(jnp.asarray, x))
+                losses.append(float(loss))
+
+                logits = np.asarray(out.local_logits, np.float64)
+                student = logits.argmax(-1)
+                use_teacher = rng.random(b) < ratio
+                a_t = np.where(use_teacher & (targets >= 0), targets, student)
+                for i in range(b):
+                    if ended[i]:
+                        continue
+                    if a_t[i] == 0 or t == max_steps - 1 or \
+                            a_t[i] > len(cand_lists[i]):
+                        ended[i] = True
+                        continue
+                    h_i, d_i, _ = cand_lists[i][a_t[i] - 1]
+                    env.step_to(i, h_i, d_i)
+                obs = env.observations()
+                if ended.all():
+                    break
+            if logger:
+                logger.log(epoch * batches + bi,
+                           {"loss": float(np.mean(losses[-max_steps:])),
+                            "ss_ratio": ratio}, prefix="ce_train/")
+        return {"loss": float(np.mean(losses)), "ss_ratio": ratio}
+
+    def evaluate(self, env: ContinuousEnv, batches: int = 2,
+                 max_steps: int = 6) -> Dict[str, float]:
+        all_m: List[dict] = []
+        for _ in range(batches):
+            all_m += self.agent.rollout(env, max_steps=max_steps,
+                                        feedback="argmax")
+        keys = all_m[0].keys()
+        return {k: float(np.mean([m[k] for m in all_m])) for k in keys}
