@@ -31,6 +31,7 @@ class ModelConfig:
     hidden_act: str = "gelu"
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
+    feat_dropout: float = 0.4  # visual-feature dropout (models/model.py:18,29-31)
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12

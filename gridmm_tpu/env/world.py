@@ -97,6 +97,38 @@ class Hdf5World:
         return (info["x"], info["y"], info["z"])
 
 
+class AugmentedViewWorld:
+    """Training-time view augmentation: each view independently swapped with
+    its EnvEdit-augmented counterpart with p=0.5 (utils/data.py:22-39).
+    Wraps any WorldProvider; `aug_view_features` supplies the aug bank."""
+
+    def __init__(self, base: WorldProvider, aug_view_features, seed: int = 0):
+        self._base = base
+        self._aug = aug_view_features  # callable (scan, vp) -> (36, D)
+        self._rng = np.random.default_rng(seed)
+
+    def view_features(self, scan, vp):
+        fts = self._base.view_features(scan, vp).copy()
+        aug = self._aug(scan, vp)
+        swap = self._rng.random(fts.shape[0]) > 0.5
+        fts[swap] = aug[swap]
+        return fts
+
+    def depth_patches(self, scan, vp):
+        return self._base.depth_patches(scan, vp)
+
+    def grid_features(self, scan, vp):
+        return self._base.grid_features(scan, vp)
+
+    def position(self, scan, vp):
+        return self._base.position(scan, vp)
+
+    def objects(self, scan, vp):
+        if hasattr(self._base, "objects"):
+            return self._base.objects(scan, vp)
+        return []
+
+
 def _seeded(key: str, *shape: int) -> np.ndarray:
     seed = int.from_bytes(hashlib.sha256(key.encode()).digest()[:8], "little")
     return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)

@@ -84,6 +84,10 @@ class ImageEmbeddings(nn.Module):
     def __call__(self, view_img_fts, loc_fts, nav_types, mask,
                  token_type_embeds, obj_img_fts=None, deterministic=True):
         c = self.cfg
+        # visual-feature dropout applied before projection
+        # (models/model.py:29-31 drop_env)
+        view_img_fts = nn.Dropout(c.feat_dropout)(
+            view_img_fts, deterministic=deterministic)
         img = _dense(c.hidden_size, "img_linear", c.dtype)(view_img_fts)
         img = LayerNorm(1e-12, name="img_layer_norm")(img)
         if obj_img_fts is not None and c.obj_feat_size > 0 and \
@@ -104,6 +108,22 @@ class ImageEmbeddings(nn.Module):
             x = PreNormEncoder(c, c.num_pano_layers, name="pano_encoder")(
                 x, mask, deterministic)
         return x
+
+
+class Critic(nn.Module):
+    """Value head for A2C (models/model.py:43-54). The released configs train
+    with gamma=0 (run_r2r.sh), so this is inactive in the shipped recipes but
+    available for RL fine-tuning."""
+
+    cfg: ModelConfig
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, state, deterministic=True):
+        x = _dense(512, "fc1", self.cfg.dtype)(state)
+        x = jax.nn.relu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return _dense(1, "fc2", self.cfg.dtype)(x)[..., 0]
 
 
 class GridMMNavigator(nn.Module):
