@@ -454,3 +454,17 @@ class NavAgent:
         pred_list = list(preds.values())
         avg, _ = self.env.eval_metrics(pred_list)
         return avg, pred_list
+
+    @staticmethod
+    def write_submission(preds, path: str) -> None:
+        """Leaderboard-format JSON: [{instr_id, trajectory: [[vp, 0, 0], ...]}]
+        (main_nav.py:246-260 submit format)."""
+        import json
+
+        out = []
+        for item in preds:
+            flat = [vp for seg in item["trajectory"] for vp in seg]
+            out.append({"instr_id": item["instr_id"],
+                        "trajectory": [[vp, 0.0, 0.0] for vp in flat]})
+        with open(path, "w") as f:
+            json.dump(out, f)

@@ -30,10 +30,13 @@ def build_optimizer(name: str, cfg: TrainConfig,
         "rms": lambda: optax.rmsprop(lr),
         "sgd": lambda: optax.sgd(lr),
         "radam": lambda: optax.radam(lr, b1=b1, b2=b2),
-        # RangerLars ~= RAdam + LARS + Lookahead (optim/rangerlars.py)
-        "rangerlars": lambda: optax.lookahead(
-            optax.chain(optax.radam(lr, b1=b1, b2=b2)), sync_period=6,
-            slow_step_size=0.5),
+        # RangerLars = RAdam + layerwise trust ratio (LARS); the reference's
+        # Lookahead wrapper needs fast/slow param pairs — omitted in favor of
+        # the plain composition (optim/rangerlars.py)
+        "rangerlars": lambda: optax.chain(
+            optax.scale_by_radam(b1=b1, b2=b2),
+            optax.scale_by_trust_ratio(),
+            optax.scale_by_learning_rate(lr)),
     }
     if name not in opts:
         raise ValueError(f"unknown optimizer {name!r}")

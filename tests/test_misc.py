@@ -1,0 +1,101 @@
+"""Smaller unit tests: optimizers, multihost single-host paths, bf16 compute,
+submission writer, aug-view wrapper, critic."""
+
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tests.test_agent_e2e import tiny_cfg  # noqa: E402
+
+
+def test_optimizer_zoo_builds_and_steps():
+    import optax
+
+    from gridmm_tpu.config import TrainConfig
+    from gridmm_tpu.train.optimizers import (build_optimizer,
+                                             warmup_linear_schedule)
+
+    cfg = TrainConfig()
+    params = {"w": jnp.ones((4, 4))}
+    grads = {"w": jnp.full((4, 4), 0.1)}
+    sched = warmup_linear_schedule(1e-3, 10, 100)
+    assert float(sched(0)) == 0.0 and float(sched(10)) > 9e-4
+    for name in ("adamw", "adam", "rms", "sgd", "radam", "rangerlars"):
+        tx = build_optimizer(name, cfg, sched)
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        assert jnp.isfinite(new["w"]).all(), name
+
+
+def test_multihost_single_host_paths():
+    from gridmm_tpu.parallel.multihost import (all_mean_scalars,
+                                               merge_prediction_lists)
+
+    preds = [{"instr_id": "a", "trajectory": [["x"]]}]
+    assert merge_prediction_lists(preds) == preds
+    assert all_mean_scalars({"x": 1.0}) == {"x": 1.0}
+
+
+def test_bf16_compute_path():
+    from gridmm_tpu.models.navigator import (GridMMNavigator, dummy_batches,
+                                             init_navigator)
+
+    base = tiny_cfg()
+    cfg = dataclasses.replace(
+        base, model=dataclasses.replace(base.model,
+                                        compute_dtype="bfloat16"))
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    txt_ids, txt_mask, _, nav_batch = dummy_batches(cfg.shapes, cfg.model, 2)
+    txt = model.apply(params, "language",
+                      {"txt_ids": txt_ids, "txt_mask": txt_mask})
+    assert txt.dtype == jnp.bfloat16
+    out = model.apply(params, "navigation",
+                      dict(nav_batch, txt_embeds=txt, txt_mask=txt_mask))
+    # logits are f32 and finite on valid slots
+    assert out.fused_logits.dtype == jnp.float32
+    assert bool(jnp.isfinite(out.fused_logits[:, 0]).all())
+
+
+def test_submission_writer(tmp_path):
+    from gridmm_tpu.train.agent import NavAgent
+
+    preds = [{"instr_id": "1_0", "trajectory": [["a"], ["b", "c"]]}]
+    path = tmp_path / "submit.json"
+    NavAgent.write_submission(preds, str(path))
+    data = json.loads(path.read_text())
+    assert data[0]["trajectory"] == [["a", 0.0, 0.0], ["b", 0.0, 0.0],
+                                     ["c", 0.0, 0.0]]
+
+
+def test_aug_view_wrapper():
+    from gridmm_tpu.env.world import AugmentedViewWorld, SyntheticWorld
+
+    base = SyntheticWorld(num_scans=1, nodes_per_scan=4)
+    aug = AugmentedViewWorld(
+        base, lambda s, v: np.zeros((36, base.feat_dim), np.float32), seed=0)
+    fts = aug.view_features("scan00", "vp000")
+    orig = base.view_features("scan00", "vp000")
+    swapped = (fts == 0).all(axis=1)
+    kept = ~swapped
+    assert swapped.any() and kept.any()
+    np.testing.assert_array_equal(fts[kept], orig[kept])
+
+
+def test_critic_head():
+    from gridmm_tpu.models.navigator import Critic
+
+    cfg = tiny_cfg().model
+    critic = Critic(cfg)
+    x = jnp.ones((3, cfg.hidden_size))
+    params = critic.init(jax.random.PRNGKey(0), x)
+    v = critic.apply(params, x)
+    assert v.shape == (3,) and bool(jnp.isfinite(v).all())
