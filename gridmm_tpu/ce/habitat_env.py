@@ -1,0 +1,122 @@
+"""Habitat-sim adapter for the ContinuousEnv protocol.
+
+Binds habitat / habitat_baselines when installed (they are NOT in this image;
+the synthetic arena in ce/env.py runs everywhere). Mirrors the reference's
+environment surface (VLN_CE/vlnce_baselines/environments.py:14-125 +
+habitat_extensions/nav.py:27-172):
+
+  * 12 RGB + 12 DEPTH cameras injected at 30-degree offsets
+    (ss_trainer_GridMap.py:518-538, utils.get_camera_orientations)
+  * movement = set rotation, then k x 0.25 m forward steps, intermediate
+    frames skipped (step_without_obs, habitat_simulator.py:49-100)
+  * oracle helpers geodesic_distance-based (environments.py:54-72)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+import numpy as np
+
+from gridmm_tpu.ce.env import CEStepObs
+
+try:
+    import habitat  # noqa: F401
+    HABITAT_AVAILABLE = True
+except ImportError:
+    HABITAT_AVAILABLE = False
+
+
+class HabitatContinuousEnv:
+    """ContinuousEnv over a habitat-sim instance (one env per slot)."""
+
+    def __init__(self, config_path: str, num_envs: int = 1,
+                 step_size: float = 0.25):
+        if not HABITAT_AVAILABLE:
+            raise ImportError(
+                "habitat-sim is not installed; use SyntheticContinuousEnv or "
+                "install habitat per the reference README")
+        import habitat
+
+        self.num_envs = num_envs
+        self.step_size = step_size
+        cfg = habitat.get_config(config_path)
+        self._envs = [habitat.Env(cfg) for _ in range(num_envs)]
+        self.paths: List[List[np.ndarray]] = [[] for _ in range(num_envs)]
+        self._obs = [None] * num_envs
+
+    # -- protocol ------------------------------------------------------------
+    def reset(self) -> List[CEStepObs]:
+        out = []
+        for i, env in enumerate(self._envs):
+            raw = env.reset()
+            self.paths[i] = [self._pos(env)]
+            self._obs[i] = raw
+            out.append(self._to_obs(i, raw))
+        return out
+
+    def observations(self) -> List[CEStepObs]:
+        return [self._to_obs(i, self._obs[i]) for i in range(self.num_envs)]
+
+    def step_to(self, i: int, heading: float, distance: float) -> None:
+        env = self._envs[i]
+        sim = env.sim
+        agent_state = sim.get_agent_state()
+        # set rotation directly (nav.py:41-54), then forward steps
+        import quaternion  # habitat dependency
+
+        rot = quaternion.from_euler_angles(0.0, -heading, 0.0)
+        sim.set_agent_state(agent_state.position, rot)
+        steps = max(int(round(distance / self.step_size)), 1)
+        for k in range(steps - 1):
+            sim.step_without_obs(1)  # MOVE_FORWARD, no rendering (nav.py:96)
+        self._obs[i] = env.step(1)
+        self.paths[i].append(self._pos(env))
+
+    def cand_dist_to_goal(self, i: int, heading: float,
+                          distance: float) -> float:
+        env = self._envs[i]
+        sim = env.sim
+        pos = np.asarray(sim.get_agent_state().position)
+        d = np.asarray([math.sin(heading), 0.0, -math.cos(heading)])
+        cand = pos + d * distance
+        goal = env.current_episode.goals[0].position
+        return float(sim.geodesic_distance(cand, goal))
+
+    def dist_to_goal(self, i: int) -> float:
+        env = self._envs[i]
+        pos = self._pos3(env)
+        goal = env.current_episode.goals[0].position
+        return float(env.sim.geodesic_distance(pos, goal))
+
+    # -- helpers -------------------------------------------------------------
+    @staticmethod
+    def _pos3(env):
+        return np.asarray(env.sim.get_agent_state().position)
+
+    def _pos(self, env):
+        p = self._pos3(env)
+        return np.asarray([p[0], p[2]])  # habitat y is up
+
+    def _to_obs(self, i: int, raw) -> CEStepObs:
+        env = self._envs[i]
+        # gather the 12 per-angle sensors injected by camera config
+        rgbs = [raw[k] for k in sorted(raw) if k.startswith("rgb")]
+        depths = [raw[k][..., 0] for k in sorted(raw) if k.startswith("depth")]
+        ep = env.current_episode
+        instr = ep.instruction.instruction_tokens \
+            if hasattr(ep.instruction, "instruction_tokens") else []
+        gt = np.asarray([[p[0], p[2]] for p in
+                         getattr(ep, "reference_path", [ep.goals[0].position])])
+        state = env.sim.get_agent_state()
+        import quaternion
+
+        heading = -quaternion.as_euler_angles(state.rotation)[1]
+        return CEStepObs(
+            position=self._pos(env), heading=float(heading),
+            rgb=np.stack(rgbs), depth=np.stack(depths).astype(np.float32),
+            instruction_ids=np.asarray(instr, np.int32),
+            episode_id=str(ep.episode_id), gt_path=gt,
+            goal=np.asarray([ep.goals[0].position[0],
+                             ep.goals[0].position[2]]))
