@@ -175,6 +175,7 @@ class TrainConfig:
     batch_size: int = 8
     seed: int = 0
     feat_dropout: float = 0.4      # models/model.py:18
+    remat_steps: bool = True       # jax.checkpoint per scan step (memory/flops)
     # pretrain (pretrain_src/config/r2r_pretrain.json)
     warmup_steps: int = 10000
     num_train_steps: int = 100000
@@ -205,6 +206,16 @@ def reverie_config() -> GridMMConfig:
         base,
         model=dataclasses.replace(base.model, obj_feat_size=768, obj_prob_size=0),
         shapes=dataclasses.replace(base.shapes, max_vp_len=60, max_obj_len=20),
+    )
+
+
+def soon_config() -> GridMMConfig:
+    """SOON preset: object grounding with bbox-polygon detection metrics
+    (map_nav_src/soon/*); longer instructions than R2R."""
+    base = reverie_config()
+    return dataclasses.replace(
+        base,
+        shapes=dataclasses.replace(base.shapes, max_txt_len=256),
     )
 
 

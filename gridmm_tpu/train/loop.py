@@ -69,6 +69,14 @@ def train_navigator(
         logger.log(it, {k: float(v) for k, v in metrics.items()},
                    prefix="train/")
 
+        if it % log_every == 0 and ckpt_dir:
+            # rolling latest checkpoint for crash recovery
+            # (agent_base.py latest_dict / IL.is_requeue semantics)
+            from gridmm_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(os.path.join(os.path.abspath(ckpt_dir), "latest"),
+                            state.params)
+
         if it % log_every == 0 and val_agent is not None:
             with timer.section("eval"):
                 val_agent.params = state.params

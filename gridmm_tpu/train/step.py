@@ -225,9 +225,17 @@ def trajectory_loss(
 
     s, b = batch.steps.target.shape
 
+    # rematerialize per-step activations inside the scan: trades FLOPs for
+    # memory so long episodes / big batches fit HBM (jax.checkpoint)
+    device_step = nav_device_step
+    if getattr(cfg.train, "remat_steps", True):
+        device_step = jax.checkpoint(
+            nav_device_step, static_argnums=(0, 1, 7),
+            policy=jax.checkpoint_policies.nothing_saveable)
+
     def step_fn(carry_loss, x: StepInputs):
         carry, loss = carry_loss
-        carry, out = nav_device_step(
+        carry, out = device_step(
             model, cfg, params, txt_embeds, batch.txt_mask, carry, x,
             deterministic, rngs)
         step_loss = cross_entropy_ignore(

@@ -1,0 +1,59 @@
+"""Grid visualization + remat trajectory loss smoke."""
+
+import dataclasses
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tests.test_agent_e2e import tiny_cfg  # noqa: E402
+
+
+def test_grid_png(tmp_path):
+    from gridmm_tpu.utils.visualize import grid_occupancy_image, save_grid_png
+
+    mask = np.zeros((196,), bool)
+    mask[[0, 50, 100, 195]] = True
+    scores = np.zeros((196,))
+    scores[50] = 1.0
+    img = grid_occupancy_image(mask, scores)
+    assert img.shape == (224, 224, 3) and img.dtype == np.uint8
+    p = tmp_path / "grid.png"
+    save_grid_png(str(p), mask, scores)
+    assert p.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_remat_matches_no_remat():
+    from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
+    from gridmm_tpu.train.step import trajectory_loss
+    from gridmm_tpu.train.synthetic import synthetic_trajectory_batch
+
+    cfg = tiny_cfg()
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    batch = synthetic_trajectory_batch(cfg, batch=2, num_steps=2)
+
+    cfg_r = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, remat_steps=True))
+    cfg_n = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, remat_steps=False))
+    l_r, g_r = jax.value_and_grad(
+        lambda p: trajectory_loss(model, cfg_r, p, batch))(params)
+    l_n, g_n = jax.value_and_grad(
+        lambda p: trajectory_loss(model, cfg_n, p, batch))(params)
+    assert abs(float(l_r) - float(l_n)) < 1e-5
+    leaves_r = jax.tree_util.tree_leaves(g_r)
+    leaves_n = jax.tree_util.tree_leaves(g_n)
+    for a, b in zip(leaves_r, leaves_n):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_soon_preset():
+    from gridmm_tpu.config import soon_config
+
+    cfg = soon_config()
+    assert cfg.model.obj_feat_size > 0
+    assert cfg.shapes.max_txt_len == 256
