@@ -31,10 +31,13 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
 
+    import dataclasses
+
     cfg = r2r_config()
     gc = cfg.grid
-    ccfg = clip_b32() if on_tpu else clip_b32().__class__(
-        patch_size=32, layers=2, compute_dtype="float32")
+    ccfg = (dataclasses.replace(clip_b32(), use_pallas_attention=False)
+            if on_tpu else clip_b32().__class__(
+                patch_size=32, layers=2, compute_dtype="float32"))
 
     B = 16 if on_tpu else 2           # panoramas per iteration (16 is the
                                       # measured sweet spot on v5e)

@@ -32,6 +32,7 @@ class ClipVisionConfig:
     layers: int = 12
     heads: int = 12
     compute_dtype: str = "bfloat16"
+    use_pallas_attention: bool = False
 
     @property
     def grid(self) -> int:
@@ -85,12 +86,21 @@ class ResidualAttentionBlock(nn.Module):
         q = q.reshape(b, l, h, hd)
         k = k.reshape(b, l, h, hd)
         v = v.reshape(b, l, h, hd)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) / jnp.sqrt(
-                                jnp.float32(hd))
-        probs = jax.nn.softmax(scores, axis=-1).astype(dt)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                         preferred_element_type=jnp.float32).astype(dt)
+        if c.use_pallas_attention:
+            from gridmm_tpu.ops.pallas.attention import fused_attention
+
+            def fold(t):
+                return t.transpose(0, 2, 1, 3).reshape(b * h, l, hd)
+
+            ctx = fused_attention(fold(q), fold(k), fold(v))
+            ctx = ctx.reshape(b, h, l, hd).transpose(0, 2, 1, 3)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) / jnp.sqrt(
+                                    jnp.float32(hd))
+            probs = jax.nn.softmax(scores, axis=-1).astype(dt)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32).astype(dt)
         ctx = ctx.reshape(b, l, c.width)
         x = x + nn.Dense(c.width, dtype=dt, name="attn_out_proj")(ctx)
 
