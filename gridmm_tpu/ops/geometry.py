@@ -254,8 +254,10 @@ class PointCloudState(NamedTuple):
 
     @classmethod
     def create(cls, batch: int, cfg: GridConfig, max_points: int | None = None,
-               feature_dtype=jnp.float32) -> "PointCloudState":
+               feature_dtype=None) -> "PointCloudState":
         n = max_points if max_points is not None else cfg.max_points
+        if feature_dtype is None:
+            feature_dtype = jnp.dtype(cfg.feature_dtype)
         return cls(
             xy=jnp.zeros((batch, n, 2), jnp.float32),
             features=jnp.zeros((batch, n, cfg.feature_dim), feature_dtype),

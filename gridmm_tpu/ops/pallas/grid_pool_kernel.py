@@ -49,7 +49,8 @@ def _pool_kernel(cells_ref, w_ref, cmax_ref, g_ref, pooled_ref, denom_ref):
     e = jnp.exp(w - gm)                                             # (1, C)
     p = onehot * e                                                  # (CELL_PAD, C)
 
-    pooled_ref[:] += jnp.dot(p, g_ref[:], preferred_element_type=jnp.float32)
+    g = g_ref[:].astype(jnp.float32)  # buffer may be bf16 (HBM bandwidth)
+    pooled_ref[:] += jnp.dot(p, g, preferred_element_type=jnp.float32)
     denom_ref[:] += jnp.dot(
         p, jnp.ones((c, DENOM_LANES), jnp.float32),
         preferred_element_type=jnp.float32)
@@ -110,7 +111,7 @@ def pallas_grid_pool(
         ],
         interpret=interpret,
     )(cells2, w2, cmax.reshape(b, 1, CELL_PAD),
-      point_fts.astype(jnp.float32).reshape(b, nc, chunk, d))
+      point_fts.reshape(b, nc, chunk, d))
 
     denom = denom[:, :num_cells, 0]
     pooled = pooled[:, :num_cells]

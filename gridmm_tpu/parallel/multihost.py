@@ -50,6 +50,25 @@ def merge_prediction_lists(local_preds: List[dict]) -> List[dict]:
     return list(merged.values())
 
 
+def allocate_episodes_by_scene(episodes: List[dict], num_workers: int,
+                               scene_key: str = "scan") -> List[List[dict]]:
+    """Scene-load-balanced episode allocation across workers/hosts
+    (VLN_CE/.../ss_trainer_GridMap.py:77-139 + vlnce_baselines/utils.py:45-162):
+    whole scenes are assigned greedily to the least-loaded worker so each
+    worker touches few scenes (simulator scene loads are expensive)."""
+    by_scene: Dict[str, List[dict]] = {}
+    for ep in episodes:
+        by_scene.setdefault(str(ep[scene_key]), []).append(ep)
+    buckets: List[List[dict]] = [[] for _ in range(num_workers)]
+    loads = [0] * num_workers
+    for scene, eps in sorted(by_scene.items(),
+                             key=lambda kv: -len(kv[1])):
+        w = int(np.argmin(loads))
+        buckets[w].extend(eps)
+        loads[w] += len(eps)
+    return buckets
+
+
 def all_mean_scalars(values: Dict[str, float]) -> Dict[str, float]:
     """Mean of host-local scalars across hosts (validate_* reductions)."""
     if jax.process_count() == 1:

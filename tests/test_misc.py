@@ -99,3 +99,21 @@ def test_critic_head():
     params = critic.init(jax.random.PRNGKey(0), x)
     v = critic.apply(params, x)
     assert v.shape == (3,) and bool(jnp.isfinite(v).all())
+
+
+def test_scene_allocation_balanced():
+    from gridmm_tpu.parallel.multihost import allocate_episodes_by_scene
+
+    eps = ([{"scan": "a", "i": i} for i in range(10)]
+           + [{"scan": "b", "i": i} for i in range(6)]
+           + [{"scan": "c", "i": i} for i in range(5)]
+           + [{"scan": "d", "i": i} for i in range(1)])
+    buckets = allocate_episodes_by_scene(eps, 2)
+    sizes = sorted(len(b) for b in buckets)
+    assert sum(sizes) == 22
+    assert sizes == [11, 11]  # scenes kept whole, loads balanced
+    for b in buckets:  # each scene appears in exactly one bucket
+        scans = {e["scan"] for e in b}
+        for other in buckets:
+            if other is not b:
+                assert not scans & {e["scan"] for e in other}
