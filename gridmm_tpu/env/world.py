@@ -97,6 +97,54 @@ class Hdf5World:
         return (info["x"], info["y"], info["z"])
 
 
+class Hdf5ObjectWorld(Hdf5World):
+    """Hdf5World + REVERIE/SOON object features.
+
+    Object store contract (reverie/data_utils.py:9-53): HDF5 keyed
+    "{scan}_{vp}" with per-object feature rows and attrs
+    `directions` (heading, elevation), `sizes` (w, h), `obj_ids`. Objects are
+    exposed as {obj_id, feature, loc_fts=[angle4 | h/480, w/640, area]}."""
+
+    def __init__(self, *args, obj_ft_file: str, max_objects: int = 20,
+                 angle_feat_size: int = 4, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.obj_ft_file = obj_ft_file
+        self.max_objects = max_objects
+        self.angle_feat_size = angle_feat_size
+        self._cache["obj"] = {}
+
+    def objects(self, scan, vp):
+        from gridmm_tpu.env.graph import angle_features
+
+        key = f"{scan}_{vp}"
+        cache = self._cache["obj"]
+        if key not in cache:
+            with self._h5py.File(self.obj_ft_file, "r") as f:
+                if key not in f:
+                    cache[key] = []
+                else:
+                    fts = f[key][...].astype(np.float32)[: self.max_objects]
+                    attrs = {k: np.asarray(v)[: self.max_objects]
+                             for k, v in f[key].attrs.items()}
+                    out = []
+                    for k in range(len(fts)):
+                        heading, elevation = attrs["directions"][k][:2]
+                        w, h = attrs["sizes"][k][:2]
+                        loc = np.concatenate([
+                            angle_features(float(heading), float(elevation),
+                                           self.angle_feat_size),
+                            np.asarray([h / 480.0, w / 640.0,
+                                        (h / 480.0) * (w / 640.0)],
+                                       np.float32)])
+                        out.append({
+                            "obj_id": str(attrs["obj_ids"][k]),
+                            "feature": fts[k],
+                            "loc_fts": loc,
+                        })
+                    cache[key] = out
+        return cache[key]
+
+
 class AugmentedViewWorld:
     """Training-time view augmentation: each view independently swapped with
     its EnvEdit-augmented counterpart with p=0.5 (utils/data.py:22-39).

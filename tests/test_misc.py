@@ -117,3 +117,38 @@ def test_scene_allocation_balanced():
         for other in buckets:
             if other is not b:
                 assert not scans & {e["scan"] for e in other}
+
+
+def test_hdf5_object_world(tmp_path):
+    import pytest
+    h5py = pytest.importorskip("h5py")
+    import json
+
+    # build minimal reference-contract artifacts
+    feat = tmp_path
+    key = "scanX_vpY"
+    with h5py.File(feat / "view.h5", "w") as f:
+        f.create_dataset(key, data=np.ones((36, 768), np.float16))
+    with h5py.File(feat / "depth.h5", "w") as f:
+        f.create_dataset(key, data=np.full((36, 128, 128), 5000, np.uint16))
+    with h5py.File(feat / "grid.h5", "w") as f:
+        f.create_dataset(key, data=np.ones((12, 50, 768), np.float16))
+    with h5py.File(feat / "obj.h5", "w") as f:
+        d = f.create_dataset(key, data=np.ones((3, 768), np.float32))
+        d.attrs["directions"] = np.asarray([[0.1, 0.0], [1.0, 0.2], [2.0, -0.1]])
+        d.attrs["sizes"] = np.asarray([[100, 50], [200, 80], [60, 60]])
+        d.attrs["obj_ids"] = np.asarray(["o1", "o2", "o3"], dtype="S8")
+
+    from gridmm_tpu.env.world import Hdf5ObjectWorld
+
+    world = Hdf5ObjectWorld(
+        str(feat / "view.h5"), str(feat / "depth.h5"), str(feat / "grid.h5"),
+        {key: {"x": 0.0, "y": 0.0, "z": 0.0}},
+        obj_ft_file=str(feat / "obj.h5"))
+    assert world.view_features("scanX", "vpY").shape == (36, 768)
+    assert world.depth_patches("scanX", "vpY").shape == (12, 49)
+    assert world.grid_features("scanX", "vpY").shape == (588, 768)
+    objs = world.objects("scanX", "vpY")
+    assert len(objs) == 3
+    assert objs[0]["loc_fts"].shape == (7,)
+    assert world.objects("scanX", "nope") == []
