@@ -152,3 +152,20 @@ def test_hdf5_object_world(tmp_path):
     assert len(objs) == 3
     assert objs[0]["loc_fts"].shape == (7,)
     assert world.objects("scanX", "nope") == []
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
+    from gridmm_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = tiny_cfg()
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(3))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params)
+    # restore into a template of zeros and verify values round-trip
+    template = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), params)
+    restored = restore_checkpoint(path, template)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(restored)
+    assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
