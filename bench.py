@@ -46,10 +46,15 @@ def main():
     D = 768
     rng = np.random.default_rng(0)
 
+    from gridmm_tpu.models.clip_vit import normalize_images
+
     model = ClipVisionTransformer(ccfg)
-    images = jnp.asarray(
-        rng.standard_normal((B * V, 224, 224, 3)).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), images[:1])
+    # realistic input: uint8 camera frames; normalization is part of the
+    # measured pipeline (the real extractor pays it)
+    images = jnp.asarray(rng.integers(
+        0, 256, (B * V, 224, 224, 3)).astype(np.uint8))
+    params = model.init(jax.random.PRNGKey(0),
+                        normalize_images(images[:1]))
 
     txt = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32) * 0.3)
     wt = jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.02)
@@ -73,7 +78,7 @@ def main():
 
     @jax.jit
     def pipeline(params, images, state, depth, pos, heading, txt):
-        tokens = model.apply(params, images)              # (B*V, 50, 768)
+        tokens = model.apply(params, normalize_images(images))  # (B*V, 50, 768)
         patch = tokens[:, 1:, :].reshape(B, V * gc.patches_per_view, D)
         # project + score only the NEW points (project-at-insertion; the
         # reference reprojects the whole cloud per step)

@@ -119,6 +119,7 @@ class DiscreteNavEnv:
         self.shortest_paths = {
             s: g.all_pairs_paths() for s, g in graphs.items()}
         self.angle_table = all_point_angle_features(angle_feat_size)
+        self._cand_cache: Dict[str, list] = {}
 
     def size(self) -> int:
         return len(self.data)
@@ -144,15 +145,26 @@ class DiscreteNavEnv:
     def candidates(self, scan: str, viewpoint: str, view_index: int,
                    view_fts: np.ndarray) -> List[dict]:
         """Adjacent-node candidates with their best view and features
-        (make_candidate, env.py:506-581, computed from graph geometry)."""
+        (make_candidate, env.py:506-581, computed from graph geometry).
+        Geometry is cached per (scan, viewpoint) like the reference's
+        buffered_state_dict; features are re-attached per call (they may be
+        augmented per epoch)."""
+        key = f"{scan}_{viewpoint}"
+        cached = self._cand_cache.get(key)
+        if cached is None:
+            cur_pos = self.graphs[scan].positions[viewpoint]
+            cached = []
+            for nb, _w in self.graphs[scan].neighbors(viewpoint).items():
+                nb_pos = self.graphs[scan].positions[nb]
+                h, e, _d = rel_pos_features(cur_pos, nb_pos)
+                cached.append((nb, nearest_view_index(h, e), h, e,
+                               tuple(nb_pos)))
+            self._cand_cache[key] = cached
+
         base_h = view_index_heading(view_index)
         base_e = view_index_elevation(view_index)
-        cur_pos = self.graphs[scan].positions[viewpoint]
         out = []
-        for nb, _w in self.graphs[scan].neighbors(viewpoint).items():
-            nb_pos = self.graphs[scan].positions[nb]
-            h, e, _d = rel_pos_features(cur_pos, nb_pos)
-            point_id = nearest_view_index(h, e)
+        for nb, point_id, h, e, nb_pos in cached:
             heading = h - base_h
             elevation = e - base_e
             ang = angle_features(heading, elevation, self.angle_feat_size)
@@ -161,7 +173,7 @@ class DiscreteNavEnv:
                 "pointId": point_id,
                 "heading": heading,
                 "elevation": elevation,
-                "position": tuple(nb_pos),
+                "position": nb_pos,
                 "feature": np.concatenate(
                     [view_fts[point_id], ang]).astype(np.float32),
             })

@@ -52,10 +52,21 @@ _PARAM_RULES = [
 ]
 
 
-def param_spec(path: str) -> P:
+def param_spec(path: str, fsdp: bool = False) -> P:
     for pattern, spec in _PARAM_RULES:
         if re.search(pattern, path):
+            if fsdp:
+                # ZeRO-3 style: additionally shard the replicated kernel dim
+                # over `data` (all-gathered by XLA at use sites)
+                dims = list(spec)
+                for i, d in enumerate(dims):
+                    if d is None:
+                        dims[i] = "data"
+                        break
+                return P(*dims)
             return spec
+    if fsdp and path.endswith("kernel"):
+        return P("data")
     return P()  # replicate
 
 
@@ -63,11 +74,25 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def param_shardings(params: Any, mesh: Mesh):
-    """NamedSharding pytree matching `params`."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, _: NamedSharding(mesh, param_spec(_path_str(path))), params
-    )
+def param_shardings(params: Any, mesh: Mesh, fsdp: bool = False):
+    """NamedSharding pytree matching `params`. fsdp=True additionally shards
+    parameters over the data axis (ZeRO-3 style; XLA inserts the use-site
+    all-gathers)."""
+
+    def spec_for(path, leaf):
+        spec = param_spec(_path_str(path), fsdp)
+        # drop the fsdp sharding when the dim isn't divisible by the axis
+        if fsdp and spec != P():
+            dims = leaf.shape
+            axis_size = mesh.shape["data"]
+            for i, name in enumerate(spec):
+                if name == "data" and (i >= len(dims)
+                                       or dims[i] % axis_size != 0):
+                    spec = param_spec(_path_str(path), False)
+                    break
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
 def batch_shardings(batch: Any, mesh: Mesh, data_axis: str = "data",

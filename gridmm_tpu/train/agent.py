@@ -62,9 +62,11 @@ class NavAgent:
         self._jit_language = jax.jit(
             lambda p, ids, mask: model.apply(
                 p, "language", {"txt_ids": ids, "txt_mask": mask}))
+        # donate the carry: the point buffer (tens of MB) updates in place
         self._jit_step = jax.jit(
             lambda p, txt, mask, carry, x: nav_device_step(
-                model, cfg, p, txt, mask, carry, x))
+                model, cfg, p, txt, mask, carry, x),
+            donate_argnums=(3,))
         self.scanvp_cands: Dict[str, Dict[str, int]] = {}
 
     # ------------------------------------------------------------- language
