@@ -1,6 +1,8 @@
 # Drive the framework through its public surface: a full simulated 3-step
 # navigation episode — language encode once, then per step: panorama encode,
 # point-buffer append, grid assignment, navigation forward -> action logits.
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_platforms", "cpu")
 
