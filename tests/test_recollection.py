@@ -1,0 +1,60 @@
+"""Recollection store: record -> persist -> offline training."""
+
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tests.test_agent_e2e import build_all  # noqa: E402
+
+from gridmm_tpu.train.recollection import (RecollectionStore,  # noqa: E402
+                                           load_trajectory_batch,
+                                           save_trajectory_batch)
+from gridmm_tpu.train.step import create_train_state, make_train_step  # noqa: E402
+
+
+def test_record_and_train_offline(tmp_path):
+    cfg, env, model, params, agent = build_all()
+    store = RecollectionStore(str(tmp_path / "recollect"))
+    n = store.record(agent, num_batches=2)
+    assert n == 2 and len(store) == 2
+
+    # round-trip fidelity
+    _, live, _ = agent.rollout(feedback="teacher", record=True)
+    p = tmp_path / "x.npz"
+    save_trajectory_batch(str(p), live)
+    back = load_trajectory_batch(str(p))
+    np.testing.assert_array_equal(np.asarray(live.steps.target),
+                                  back.steps.target)
+    np.testing.assert_array_equal(np.asarray(live.txt_ids), back.txt_ids)
+
+    # offline training from disk only (no env)
+    state = create_train_state(cfg, params)
+    step = jax.jit(make_train_step(model, cfg))
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for batch in store.batches(epochs=2):
+        state, m = step(state, batch, rng)
+        losses.append(float(m["loss"]))
+    assert len(losses) == 4 and all(np.isfinite(l) for l in losses)
+
+
+def test_pad_to_steps_loss_neutral():
+    from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
+    from gridmm_tpu.train.recollection import pad_to_steps
+    from gridmm_tpu.train.step import trajectory_loss
+    from gridmm_tpu.train.synthetic import synthetic_trajectory_batch
+    from tests.test_agent_e2e import tiny_cfg
+
+    cfg = tiny_cfg()
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    batch = synthetic_trajectory_batch(cfg, batch=2, num_steps=2)
+    padded = pad_to_steps(batch, 4)
+    assert padded.steps.target.shape[0] == 4
+    l0 = float(trajectory_loss(model, cfg, params, batch))
+    l1 = float(trajectory_loss(model, cfg, params, padded))
+    assert abs(l0 - l1) < 1e-4, (l0, l1)
