@@ -35,7 +35,7 @@ def main():
 
     cfg = r2r_config()
     gc = cfg.grid
-    ccfg = (dataclasses.replace(clip_b32(), use_pallas_attention=False)
+    ccfg = (dataclasses.replace(clip_b32(), int8_matmuls=True)
             if on_tpu else clip_b32().__class__(
                 patch_size=32, layers=2, compute_dtype="float32"))
 

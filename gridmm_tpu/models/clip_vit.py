@@ -33,6 +33,7 @@ class ClipVisionConfig:
     heads: int = 12
     compute_dtype: str = "bfloat16"
     use_pallas_attention: bool = False
+    int8_matmuls: bool = False  # serving path: int8 MXU projections/MLP
 
     @property
     def grid(self) -> int:
@@ -68,6 +69,27 @@ class ClipLayerNorm(nn.Module):
             x.astype(jnp.float32)).astype(dt)
 
 
+class MaybeInt8Dense(nn.Module):
+    """nn.Dense-compatible layer (same param layout) with an optional int8
+    MXU matmul path."""
+
+    features: int
+    use_int8: bool
+    dtype: any
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.use_int8:
+            from gridmm_tpu.ops.quant import int8_dense
+
+            return int8_dense(x, kernel, bias)
+        y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        return y + bias.astype(self.dtype)
+
+
 class ResidualAttentionBlock(nn.Module):
     """Pre-norm attention + QuickGELU MLP (model_clip.py:29-54)."""
 
@@ -79,8 +101,11 @@ class ResidualAttentionBlock(nn.Module):
         h, hd = c.heads, c.width // c.heads
         dt = c.dtype
 
+        def dense(features, name):
+            return MaybeInt8Dense(features, c.int8_matmuls, dt, name=name)
+
         y = ClipLayerNorm(name="ln_1")(x)
-        qkv = nn.Dense(3 * c.width, dtype=dt, name="attn_in_proj")(y)
+        qkv = dense(3 * c.width, "attn_in_proj")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         b, l, _ = q.shape
         q = q.reshape(b, l, h, hd)
@@ -102,12 +127,12 @@ class ResidualAttentionBlock(nn.Module):
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                              preferred_element_type=jnp.float32).astype(dt)
         ctx = ctx.reshape(b, l, c.width)
-        x = x + nn.Dense(c.width, dtype=dt, name="attn_out_proj")(ctx)
+        x = x + dense(c.width, "attn_out_proj")(ctx)
 
         y = ClipLayerNorm(name="ln_2")(x)
-        y = nn.Dense(4 * c.width, dtype=dt, name="mlp_c_fc")(y)
+        y = dense(4 * c.width, "mlp_c_fc")(y)
         y = y * jax.nn.sigmoid(1.702 * y)  # QuickGELU (model_clip.py:24-26)
-        x = x + nn.Dense(c.width, dtype=dt, name="mlp_c_proj")(y)
+        x = x + dense(c.width, "mlp_c_proj")(y)
         return x
 
 

@@ -169,3 +169,27 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     a = jax.tree_util.tree_leaves(params)
     b = jax.tree_util.tree_leaves(restored)
     assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+
+
+def test_int8_clip_accuracy():
+    """int8 serving path: features must stay close to the f32 tower."""
+    import dataclasses
+
+    from gridmm_tpu.models.clip_vit import (ClipVisionConfig,
+                                            ClipVisionTransformer)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((4, 64, 64, 3)).astype(np.float32))
+    base = ClipVisionConfig(input_resolution=64, patch_size=32, width=64,
+                            layers=2, heads=4, compute_dtype="float32")
+    m_f32 = ClipVisionTransformer(base)
+    params = m_f32.init(jax.random.PRNGKey(0), imgs)
+    ref = np.asarray(m_f32.apply(params, imgs))
+
+    m_i8 = ClipVisionTransformer(dataclasses.replace(base, int8_matmuls=True))
+    got = np.asarray(m_i8.apply(params, imgs))
+    a = ref.reshape(-1, ref.shape[-1])
+    b = got.reshape(-1, got.shape[-1])
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
+                               * np.linalg.norm(b, axis=-1) + 1e-9)
+    assert cos.min() > 0.98, cos.min()
