@@ -81,11 +81,13 @@ def main():
         tokens = model.apply(params, normalize_images(images))  # (B*V, 50, 768)
         patch = tokens[:, 1:, :].reshape(B, V * gc.patches_per_view, D)
         # project + score only the NEW points (project-at-insertion; the
-        # reference reprojects the whole cloud per step)
-        f32 = jnp.float32
-        proj_txt = txt.astype(f32) @ wt + bt
-        w_new = instruction_relevance(patch.astype(f32), proj_txt)
-        g_new = patch.astype(f32) @ wg + bg
+        # reference reprojects the whole cloud per step). bf16 matmuls match
+        # the buffer precision (reference stores grid features in fp16).
+        ct = jnp.bfloat16 if on_tpu else jnp.float32
+        proj_txt = txt.astype(ct) @ wt.astype(ct) + bt.astype(ct)
+        w_new = instruction_relevance(
+            patch.astype(ct), proj_txt).astype(jnp.float32)
+        g_new = patch.astype(ct) @ wg.astype(ct) + bg.astype(ct)
         state = G.append_panorama(state, depth, g_new, pos, gc, w_new)
         cells, _, pos_fts = G.egocentric_grid_assignment(state, pos, heading, gc)
         if on_tpu:
