@@ -73,7 +73,8 @@ class CEAgent:
 
     # ------------------------------------------------------------- device fns
     def _waypoint_impl(self, wp_params, rgb_params, depth_params, rgb, depth):
-        """(B,12,H,W,3) u8 + (B,12,Hd,Wd) -> NMS'd heatmap (B,120,12)."""
+        """(B,12,H,W,3) u8 + (B,12,Hd,Wd) -> (NMS'd heatmap, probs), each
+        (B,120,12)."""
         b = rgb.shape[0]
         rgb_flat = rgb.reshape((-1,) + rgb.shape[2:])
         depth_flat = depth.reshape((-1,) + depth.shape[2:])[..., None]
@@ -83,7 +84,7 @@ class CEAgent:
         probs = jax.nn.softmax(
             logits.reshape(b, -1), axis=-1).reshape(b, NUM_ANGLES, NUM_DISTS)
         return waypoint_nms(probs, max_predictions=self.max_candidates,
-                            sigma=(7.0, 5.0))
+                            sigma=(7.0, 5.0)), probs
 
     def _grid_fts_impl(self, clip_params, rgb):
         """(B,12,H,W,3) u8 -> (B, 12, tokens, width) CLIP tokens."""
@@ -94,15 +95,31 @@ class CEAgent:
     # ------------------------------------------------------------ host logic
     @staticmethod
     def candidates_from_nms(nms_map: np.ndarray, heading: float,
-                            max_candidates: int):
+                            max_candidates: int,
+                            probs: Optional[np.ndarray] = None,
+                            rng: Optional[np.random.Generator] = None):
         """Nonzero peaks -> [(abs_heading, distance, score)] (Policy:360-391;
-        heatmap angle 0 is the agent's heading)."""
+        heatmap angle 0 is the agent's heading).
+
+        Train-time augmentation (Policy:393-425): when `probs` is given, each
+        peak's (angle, distance) is re-sampled from the probability mass of
+        its 30-degree image sector instead of taken at the argmax."""
         out = []
         ang, dst = np.nonzero(nms_map)
+        per_img = NUM_ANGLES // 12  # 10 angle bins per image sector
         for a, d in zip(ang, dst):
+            score = float(nms_map[a, d])
+            if probs is not None and rng is not None:
+                img = ((a + per_img // 2) // per_img) % 12
+                start = 0 if img == 0 else (img - 1) * per_img + per_img // 2
+                region = probs[start: start + per_img]  # (10, 12)
+                p = region.reshape(-1).astype(np.float64)
+                p = p / p.sum() if p.sum() > 0 else np.full(p.size, 1 / p.size)
+                pick = rng.choice(p.size, p=p)
+                a = (start + pick // NUM_DISTS) % NUM_ANGLES
+                d = pick % NUM_DISTS
             abs_heading = heading + a * (2 * math.pi / NUM_ANGLES)
-            out.append((abs_heading, (d + 1) * DIST_BIN,
-                        float(nms_map[a, d])))
+            out.append((abs_heading, (d + 1) * DIST_BIN, score))
         out.sort(key=lambda x: -x[2])
         return out[:max_candidates]
 
@@ -140,9 +157,10 @@ class CEAgent:
         for t in range(max_steps):
             rgb = jnp.asarray(np.stack([ob.rgb for ob in obs]))
             depth = jnp.asarray(np.stack([ob.depth for ob in obs]))
-            nms_maps = np.asarray(self._jit_waypoint(
+            nms_maps, _probs = self._jit_waypoint(
                 self.wp_params, self.rgb_params, self.depth_params, rgb,
-                depth))
+                depth)
+            nms_maps = np.asarray(nms_maps)
             clip_toks = np.asarray(
                 self._jit_grid_fts(self.clip_params, rgb))  # (B,12,T,W)
 

@@ -91,14 +91,17 @@ class CETrainer:
             for t in range(max_steps):
                 rgb = jnp.asarray(np.stack([ob.rgb for ob in obs]))
                 depth = jnp.asarray(np.stack([ob.depth for ob in obs]))
-                nms_maps = np.asarray(agent._jit_waypoint(
+                nms_maps, probs = agent._jit_waypoint(
                     agent.wp_params, agent.rgb_params, agent.depth_params,
-                    rgb, depth))
+                    rgb, depth)
+                nms_maps, probs = np.asarray(nms_maps), np.asarray(probs)
                 clip_toks = np.asarray(
                     agent._jit_grid_fts(agent.clip_params, rgb))
+                # train-time waypoint sampling augmentation (Policy:393-425)
                 cand_lists = [
                     agent.candidates_from_nms(nms_maps[i], obs[i].heading,
-                                              agent.max_candidates)
+                                              agent.max_candidates,
+                                              probs=probs[i], rng=rng)
                     for i in range(b)]
                 x, _ = agent._build_step(obs, cand_lists, clip_toks, centers,
                                          next_slot, t)
