@@ -85,13 +85,24 @@ class TextPathDataset:
     def __len__(self):
         return len(self.data)
 
-    def sample_end_vp(self, item: dict, end_vp_type: str) -> int:
-        """Index into item['path'] of the trajectory end (dataset.py:234-246;
-        'pos' = final vp, 'neg_in_gt_path' = random midpoint)."""
+    def sample_trajectory(self, item: dict, end_vp_type: str) -> list:
+        """Trajectory to encode (dataset.py:234-246):
+        'pos' ends at the goal; 'neg_in_gt_path' truncates at a midpoint;
+        'neg_others' walks the shortest path to a random off-GT-path node."""
         path = item["path"]
+        scan = item["scan"]
+        if end_vp_type == "neg_others":
+            on_path = set(path)
+            others = [vp for vp in self.graphs[scan].positions
+                      if vp not in on_path
+                      and vp in self.shortest_paths[scan][path[0]]]
+            if others:
+                end = self.rng.choice(others)
+                return self.shortest_paths[scan][path[0]][end]
+            end_vp_type = "neg_in_gt_path"
         if end_vp_type == "pos" or len(path) < 3:
-            return len(path) - 1
-        return self.rng.randrange(1, len(path) - 1)
+            return list(path)
+        return list(path[: self.rng.randrange(1, len(path) - 1) + 1])
 
     def get_input(self, idx: int, end_vp_type: str = "pos") -> dict:
         cfg = self.cfg
@@ -99,8 +110,7 @@ class TextPathDataset:
         item = self.data[idx]
         scan = item["scan"]
         g_nav = self.graphs[scan]
-        end_idx = self.sample_end_vp(item, end_vp_type)
-        path = item["path"][: end_idx + 1][:TRAIN_MAX_STEP]
+        path = self.sample_trajectory(item, end_vp_type)[:TRAIN_MAX_STEP]
         s_real = len(path)
         vm1 = sh.max_vp_len - 1
         af = mc.angle_feat_size
@@ -356,6 +366,8 @@ class TextPathDataset:
 
     def _sap_end_type(self) -> str:
         """SAP end-vp mix 20/40/40 pos/neg_in_gt/neg_others
-        (tasks.py:294-301; neg_others approximated by midpoints)."""
+        (tasks.py:294-301)."""
         r = self.rng.random()
-        return "pos" if r < 0.2 else "neg_in_gt_path"
+        if r < 0.2:
+            return "pos"
+        return "neg_in_gt_path" if r < 0.6 else "neg_others"

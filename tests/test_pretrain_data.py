@@ -78,3 +78,18 @@ def test_random_word_masking():
     np.testing.assert_array_equal(labels[sel], ids[sel])
     # at least some selected tokens replaced by [MASK]
     assert (masked[sel] == 103).sum() >= 1
+
+
+def test_neg_others_trajectory():
+    cfg, ds = build_dataset()
+    found_off_path = False
+    for i in range(len(ds.data)):
+        it_item = ds.data[i]
+        traj = ds.sample_trajectory(it_item, "neg_others")
+        if traj[-1] not in set(it_item["path"]):
+            found_off_path = True
+            assert traj[0] == it_item["path"][0]
+            inp = ds.get_input(i, "neg_others")
+            # teacher still points toward the GT goal (non-stop unless lucky)
+            assert inp["global_act"] >= 0
+    assert found_off_path
