@@ -98,7 +98,7 @@ class TextPathDataset:
                       and vp in self.shortest_paths[scan][path[0]]]
             if others:
                 end = self.rng.choice(others)
-                return self.shortest_paths[scan][path[0]][end]
+                return list(self.shortest_paths[scan][path[0]][end])
             end_vp_type = "neg_in_gt_path"
         if end_vp_type == "pos" or len(path) < 3:
             return list(path)
@@ -231,24 +231,35 @@ class TextPathDataset:
             state, jnp.asarray(pos_xy[s_real - 1:s_real]),
             jnp.asarray(headings[s_real - 1:s_real]), gc)
 
-        # SAP labels: next GT node after end_vp (global), its candidate index
-        # (local); stop when end == goal (dataset.py act labels)
+        # SAP labels (dataset.py get_act_labels): stop at the goal; otherwise
+        # the teacher is the UNVISITED observed node minimizing
+        # dist(cur->v)+dist(v->goal) — visited nodes are masked to -inf in the
+        # SAP heads, so labeling one would yield infinite loss (this matters
+        # for neg_others trajectories that walked away from the goal and must
+        # backtrack through the frontier, not through visited nodes).
         goal = item["path"][-1]
+        dists = self.shortest_distances[scan]
         if cur_vp == goal:
             global_act = 0
             local_act = 0
         else:
-            nxt = self.shortest_paths[scan][cur_vp][goal][1]
-            global_act = slot_of.get(nxt, 0) if slot_of.get(nxt, 0) < gmax else 0
+            best_vp, best_d, global_act = None, float("inf"), 0
+            for vp, s in slot_of.items():
+                if s >= gmax or vp in last_visit:
+                    continue
+                d = dists[cur_vp].get(vp, float("inf")) + \
+                    dists[vp].get(goal, float("inf"))
+                if d < best_d:
+                    best_d, best_vp, global_act = d, vp, s
             cands_last = sorted(g_nav.neighbors(cur_vp))
-            local_act = (cands_last.index(nxt) + 1
-                         if nxt in cands_last else 0)
+            local_act = (cands_last.index(best_vp) + 1
+                         if best_vp in cands_last else 0)
 
         # target grid cell for the next GT node (get_global_target)
         if global_act == 0:
             grid_target = 0
         else:
-            npos = g_nav.positions[goal if cur_vp == goal else nxt]
+            npos = g_nav.positions[best_vp]
             grid_target = int(G.target_cell_id(
                 jnp.float32(npos[0]), jnp.float32(npos[1]),
                 jnp.float32(pos_xy[s_real - 1, 0]),

@@ -89,7 +89,24 @@ def test_neg_others_trajectory():
         if traj[-1] not in set(it_item["path"]):
             found_off_path = True
             assert traj[0] == it_item["path"][0]
-            inp = ds.get_input(i, "neg_others")
-            # teacher still points toward the GT goal (non-stop unless lucky)
-            assert inp["global_act"] >= 0
+        # aliasing guard: mutating the returned trajectory must not corrupt
+        # the shortest-path cache
+        traj.append("junk")
+        assert "junk" not in ds.shortest_paths[it_item["scan"]][
+            it_item["path"][0]].get(traj[-2] if len(traj) > 1 else traj[0],
+                                    [])
     assert found_off_path
+
+
+def test_neg_others_labels_never_visited():
+    """The SAP teacher must never label a visited (masked-to--inf) node — an
+    infinite loss would poison pretraining (reference restricts the teacher to
+    unvisited nodes, dataset.py get_act_labels)."""
+    cfg, ds = build_dataset()
+    for i in range(len(ds.data)):
+        for _ in range(6):
+            inp = ds.get_input(i, "neg_others")
+            ga = int(inp["global_act"])
+            if ga > 0:
+                assert inp["gmap_mask"][ga]
+                assert not inp["gmap_visited_mask"][ga], i
