@@ -105,8 +105,17 @@ def main(argv=None):
         cfg, args.batch_size, args.num_traj_steps, seed=args.seed + 100)]
     params = init_pretrain_params(model, cfg, jax.random.PRNGKey(args.seed),
                                   train_batches[0])
-    state = create_train_state(cfg, params)
-    steps = {t: make_pretrain_step(model, cfg, t) for t in tasks}
+    # warmup + linear decay, the reference pretraining schedule
+    # (pretrain_src/optim/sched.py warmup_linear)
+    from gridmm_tpu.train.optimizers import (build_optimizer,
+                                             warmup_linear_schedule)
+
+    sched = warmup_linear_schedule(
+        cfg.train.lr, min(cfg.train.warmup_steps, max(args.steps // 10, 1)),
+        max(cfg.train.num_train_steps, args.steps))
+    tx = build_optimizer("adamw", cfg.train, sched)
+    state = create_train_state(cfg, params, tx)
+    steps = {t: make_pretrain_step(model, cfg, t, tx) for t in tasks}
     mux = iter(TaskMultiplexer(tasks, mix, seed=args.seed))
     logger = MetricLogger(args.output_dir)
     rng = jax.random.PRNGKey(args.seed + 1)

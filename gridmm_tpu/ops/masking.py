@@ -11,9 +11,11 @@ import jax.numpy as jnp
 
 # BERT-style additive mask value (models/ops.py:33 uses -10000.0).
 NEG_MASK = -10000.0
-# Large-negative for logit masking; finite to keep softmax/grad NaN-free where
-# the reference uses -inf (vilmodel.py:868-877). -inf is reproduced at the
-# caller when exact parity is needed.
+# Exact -inf for logit masking, matching the reference's masked_fill_
+# (vilmodel.py:868-877). Downstream consumers MUST be -inf-safe: losses go
+# through masked_log_softmax (train/losses.py) and host-side softmaxes in the
+# agents special-case non-finite entries — do not feed these logits to a plain
+# jax.nn.softmax if a row can be fully masked.
 NEG_INF = -jnp.inf
 
 

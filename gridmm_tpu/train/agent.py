@@ -58,6 +58,11 @@ class NavAgent:
         self.env = env
         self.params = params
         self.shapes = cfg.shapes
+        need = cfg.train.max_action_len * cfg.grid.points_per_step
+        assert need <= cfg.shapes.max_points, (
+            f"point buffer too small: max_action_len={cfg.train.max_action_len}"
+            f" needs {need} points but max_points={cfg.shapes.max_points}"
+            " (dynamic_update_slice would silently clamp and corrupt the tail)")
 
         self._jit_language = jax.jit(
             lambda p, ids, mask: model.apply(
@@ -89,8 +94,8 @@ class NavAgent:
             for c in ob["candidate"]:
                 slot[c["viewpointId"]] = int(c["pointId"])
 
-    def build_step_inputs(self, obs, books: List[EpisodeBook],
-                          step_t: int) -> Tuple[StepInputs, List[List[Optional[str]]], List[Optional[str]]]:
+    def build_step_inputs(self, obs, books: List[EpisodeBook]
+                          ) -> Tuple[StepInputs, List[List[Optional[str]]], List[Optional[str]]]:
         """Assemble fixed-shape StepInputs (numpy) for one step.
 
         Returns (inputs, slot_vpids per item, gmap slot->vpid map)."""
@@ -272,7 +277,7 @@ class NavAgent:
         return a
 
     # --------------------------------------------------------------- rollout
-    def rollout(self, feedback: str = "argmax", train: bool = False,
+    def rollout(self, feedback: str = "argmax",
                 rng: Optional[np.random.Generator] = None,
                 record: bool = False):
         """Run one minibatch of episodes.
@@ -300,7 +305,6 @@ class NavAgent:
         carry = init_carry(cfg, b)
         ended = np.zeros((b,), bool)
         recorded: List[StepInputs] = []
-        total_ce = 0.0
 
         for t in range(cfg.train.max_action_len):
             for i, ob in enumerate(obs):
@@ -308,7 +312,7 @@ class NavAgent:
                     books[i].topo.node_step_ids[ob["viewpoint"]] = t + 1
 
             inputs, slot_vpids, cand_vpids = self.build_step_inputs(
-                obs, books, t)
+                obs, books)
             targets = self.teacher_actions(obs, slot_vpids, books, ended)
             inputs = inputs._replace(target=targets.astype(np.int32))
             # object-grounding teacher (_teacher_object, reverie/agent_obj.py):
@@ -435,8 +439,7 @@ class NavAgent:
                 np.stack([np.asarray(getattr(s, f)) for s in recorded])
                 for f in StepInputs._fields])
             batch = TrajectoryBatch(txt_ids=txt_ids, txt_mask=txt_mask,
-                                    steps=jax.tree_util.tree_map(
-                                        lambda a: a, stacked))
+                                    steps=stacked)
         stats = {"steps": t + 1}
         return traj, batch, stats
 

@@ -65,6 +65,12 @@ def train_navigator(
             _, batch, _ = agent.rollout(feedback=feedback, record=True,
                                         rng=np_rng)
         with timer.section("update"):
+            # pad to a fixed step count: variable episode lengths would force
+            # a recompile of the scanned fwd+bwd per distinct length
+            from gridmm_tpu.train.recollection import pad_to_steps
+
+            batch = pad_to_steps(batch, cfg.train.max_action_len,
+                                 cfg.train.ignoreid)
             state, metrics = train_step(state, batch, rng)
         logger.log(it, {k: float(v) for k, v in metrics.items()},
                    prefix="train/")

@@ -65,6 +65,17 @@ def _enc_kwargs(b: PretrainBatch) -> Dict[str, Any]:
         grid_cells=b.grid_cells, gridmap_pos_fts=b.gridmap_pos_fts)
 
 
+def _mask_mrc_features(batch: PretrainBatch) -> PretrainBatch:
+    """Zero the view features selected for MRC on the LAST trajectory step
+    (reference _mask_img_feat, pretrain_src/data/tasks.py:195-196)."""
+    b, s, vm1, _ = batch.traj_view_fts.shape
+    last = jnp.maximum(jnp.sum(batch.traj_step_mask, axis=1) - 1, 0)  # (B,)
+    is_last = jnp.arange(s)[None, :] == last[:, None]                 # (B,S)
+    kill = is_last[:, :, None] & batch.view_mrc_masks[:, None, :]     # (B,S,V-1)
+    fts = jnp.where(kill[..., None], 0.0, batch.traj_view_fts)
+    return batch._replace(traj_view_fts=fts)
+
+
 def task_loss(model: GridMMPretrain, params, batch: PretrainBatch, task: str,
               rng: Optional[jax.Array] = None):
     """Per-task scalar loss (pretrain_cmt.py forward_*)."""
@@ -79,6 +90,12 @@ def task_loss(model: GridMMPretrain, params, batch: PretrainBatch, task: str,
                      batch.txt_ids, batch.txt_mask, _enc_kwargs(batch),
                      deterministic=deterministic)
         return mlm_loss(logits, batch.txt_labels, ignore_id=-1)
+
+    if task == "mrc":
+        # zero the masked regions BEFORE encoding (reference _mask_img_feat,
+        # tasks.py:195-196) — otherwise the classifier sees the feature it
+        # must label and the objective degenerates to a lookup
+        batch = _mask_mrc_features(batch)
 
     enc = run(GridMMPretrain.encode, batch.txt_ids, batch.txt_mask,
               deterministic=deterministic, **_enc_kwargs(batch))

@@ -233,11 +233,16 @@ def trajectory_loss(
             nav_device_step, static_argnums=(0, 1, 7),
             policy=jax.checkpoint_policies.nothing_saveable)
 
-    def step_fn(carry_loss, x: StepInputs):
+    def step_fn(carry_loss, xs):
+        x, step_idx = xs
         carry, loss = carry_loss
+        # fresh dropout mask per timestep (the reference draws i.i.d. masks;
+        # reusing one key would correlate dropout across the whole episode)
+        step_rngs = None if deterministic else {
+            "dropout": jax.random.fold_in(rng, step_idx)}
         carry, out = device_step(
             model, cfg, params, txt_embeds, batch.txt_mask, carry, x,
-            deterministic, rngs)
+            deterministic, step_rngs)
         step_loss = cross_entropy_ignore(
             out.fused_logits, x.target, cfg.train.ignoreid, "sum")
         if out.obj_logits is not None:
@@ -247,8 +252,13 @@ def trajectory_loss(
         return (carry, loss + step_loss), None
 
     g = batch.steps.gmap_mask.shape[-1]
+    ppstep = cfg.grid.points_per_step
+    assert s * ppstep <= cfg.shapes.max_points, (
+        f"point buffer overflow: {s} steps x {ppstep} points/step exceeds "
+        f"max_points={cfg.shapes.max_points}; raise NavigatorShapes.max_points")
     (_, total), _ = jax.lax.scan(
-        step_fn, (init_carry(cfg, b, g), jnp.float32(0.0)), batch.steps)
+        step_fn, (init_carry(cfg, b, g), jnp.float32(0.0)),
+        (batch.steps, jnp.arange(s)))
 
     # reference scales by ml_weight / batch_size (agent.py:447)
     return total * cfg.train.ml_weight / b
