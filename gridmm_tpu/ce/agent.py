@@ -111,12 +111,16 @@ class CEAgent:
             score = float(nms_map[a, d])
             if probs is not None and rng is not None:
                 img = ((a + per_img // 2) // per_img) % 12
-                start = 0 if img == 0 else (img - 1) * per_img + per_img // 2
-                region = probs[start: start + per_img]  # (10, 12)
+                # sector 0 wraps: original angle bins {-5..4} mod 120
+                # (the reference rolls by HEATMAP_OFFSET before reshaping,
+                # Policy:397-401)
+                start = (img * per_img - per_img // 2) % NUM_ANGLES
+                rows = (start + np.arange(per_img)) % NUM_ANGLES
+                region = probs[rows]  # (10, 12)
                 p = region.reshape(-1).astype(np.float64)
                 p = p / p.sum() if p.sum() > 0 else np.full(p.size, 1 / p.size)
                 pick = rng.choice(p.size, p=p)
-                a = (start + pick // NUM_DISTS) % NUM_ANGLES
+                a = int(rows[pick // NUM_DISTS])
                 d = pick % NUM_DISTS
             abs_heading = heading + a * (2 * math.pi / NUM_ANGLES)
             out.append((abs_heading, (d + 1) * DIST_BIN, score))

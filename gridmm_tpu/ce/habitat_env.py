@@ -63,10 +63,11 @@ class HabitatContinuousEnv:
         env = self._envs[i]
         sim = env.sim
         agent_state = sim.get_agent_state()
-        # set rotation directly (nav.py:41-54), then forward steps
+        # set rotation directly (nav.py:41-54), then forward steps; use an
+        # axis-angle y-rotation (euler zyz conventions are ambiguous here)
         import quaternion  # habitat dependency
 
-        rot = quaternion.from_euler_angles(0.0, -heading, 0.0)
+        rot = quaternion.from_rotation_vector([0.0, -heading, 0.0])
         sim.set_agent_state(agent_state.position, rot)
         steps = max(int(round(distance / self.step_size)), 1)
         for k in range(steps - 1):
@@ -99,11 +100,25 @@ class HabitatContinuousEnv:
         p = self._pos3(env)
         return np.asarray([p[0], p[2]])  # habitat y is up
 
+    @staticmethod
+    def _angle_sorted(raw, prefix):
+        """Sensor UUIDs are 'rgb', 'rgb_30.0', ... 'rgb_330.0'
+        (ss_trainer_GridMap.py:521-535); lexicographic sort would scramble the
+        angular order — sort by the numeric suffix instead."""
+
+        def angle_of(k):
+            parts = k.split("_", 1)
+            return float(parts[1]) if len(parts) > 1 else 0.0
+
+        keys = [k for k in raw if k == prefix or k.startswith(prefix + "_")]
+        return [raw[k] for k in sorted(keys, key=angle_of)]
+
     def _to_obs(self, i: int, raw) -> CEStepObs:
         env = self._envs[i]
-        # gather the 12 per-angle sensors injected by camera config
-        rgbs = [raw[k] for k in sorted(raw) if k.startswith("rgb")]
-        depths = [raw[k][..., 0] for k in sorted(raw) if k.startswith("depth")]
+        # gather the 12 per-angle sensors injected by camera config, in
+        # angular order
+        rgbs = self._angle_sorted(raw, "rgb")
+        depths = [d[..., 0] for d in self._angle_sorted(raw, "depth")]
         ep = env.current_episode
         instr = ep.instruction.instruction_tokens \
             if hasattr(ep.instruction, "instruction_tokens") else []
@@ -112,7 +127,11 @@ class HabitatContinuousEnv:
         state = env.sim.get_agent_state()
         import quaternion
 
-        heading = -quaternion.as_euler_angles(state.rotation)[1]
+        # derive heading by rotating the forward vector — euler-angle
+        # readback is sign-ambiguous for negative y-rotations
+        fwd = quaternion.rotate_vectors(state.rotation,
+                                        np.asarray([0.0, 0.0, -1.0]))
+        heading = math.atan2(fwd[0], -fwd[2])
         return CEStepObs(
             position=self._pos(env), heading=float(heading),
             rgb=np.stack(rgbs), depth=np.stack(depths).astype(np.float32),

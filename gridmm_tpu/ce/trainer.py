@@ -20,7 +20,6 @@ import optax
 from gridmm_tpu.ce.agent import CEAgent
 from gridmm_tpu.ce.env import ContinuousEnv, ce_episode_metrics
 from gridmm_tpu.config import GridMMConfig
-from gridmm_tpu.train.losses import cross_entropy_ignore
 from gridmm_tpu.train.step import make_optimizer
 from gridmm_tpu.utils.logging import MetricLogger
 
@@ -29,29 +28,29 @@ class CETrainer:
     def __init__(self, cfg: GridMMConfig, agent: CEAgent,
                  schedule_ratio: float = 0.75,
                  epochs_per_ratio: int = 1):
-        self.cfg = cfg
+        import dataclasses
+
+        # CE selects among [stop]+current candidates -> train the local head
+        # (Policy:620-627); loss accumulates over the WHOLE episode and
+        # updates once, like the reference ss_trainer — per-step updates would
+        # invalidate the project-at-insertion point cache mid-episode.
+        self.cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, loss_head="local"))
         self.agent = agent
         self.schedule_ratio = schedule_ratio
         self.epochs_per_ratio = epochs_per_ratio
-        self.tx = make_optimizer(cfg)
+        self.tx = make_optimizer(self.cfg)
         self.opt_state = self.tx.init(agent.nav_params)
 
-        def loss_fn(params, txt_embeds, txt_mask, carry, x):
-            from gridmm_tpu.train.step import nav_device_step
+        from gridmm_tpu.train.step import trajectory_loss
 
-            carry, out = nav_device_step(
-                self.agent.navigator, cfg, params, txt_embeds, txt_mask,
-                carry, x)
-            loss = cross_entropy_ignore(
-                out.local_logits, x.target, cfg.train.ignoreid, "mean")
-            return loss, (carry, out)
-
-        def update(params, opt_state, txt_embeds, txt_mask, carry, x):
-            (loss, (carry, out)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, txt_embeds, txt_mask, carry, x)
+        def update(params, opt_state, batch, rng):
+            loss, grads = jax.value_and_grad(
+                lambda p: trajectory_loss(self.agent.navigator, self.cfg, p,
+                                          batch, rng))(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, carry, out, loss
+            return params, opt_state, loss
 
         self._jit_update = jax.jit(update)
 
@@ -61,10 +60,18 @@ class CETrainer:
     def train_epoch(self, env: ContinuousEnv, epoch: int, batches: int = 2,
                     max_steps: int = 6, logger: Optional[MetricLogger] = None,
                     seed: int = 0) -> Dict[str, float]:
-        """Schedule-sampled interactive training: per step the executed action
-        is the teacher's with prob ss_ratio, else the student's sample
-        (ss_trainer train_ml ml_ratio interleave)."""
+        """Schedule-sampled training: during the rollout the executed action is
+        the teacher's with prob ss_ratio, else the student's argmax
+        (ss_trainer train_ml); the recorded episode then replays through the
+        scanned trajectory loss for ONE update per batch (the reference also
+        accumulates the whole rollout before stepping, ss_trainer:644-646)."""
+        import jax.random as jrandom
+
+        from gridmm_tpu.train.recollection import pad_to_steps
+        from gridmm_tpu.train.step import TrajectoryBatch, StepInputs, init_carry
+
         rng = np.random.default_rng(seed + epoch)
+        jrng = jrandom.PRNGKey(seed * 1000 + epoch)
         ratio = self.ss_ratio(epoch)
         losses = []
         agent = self.agent
@@ -81,12 +88,11 @@ class CETrainer:
             txt_embeds = agent._jit_language(
                 agent.nav_params, jnp.asarray(txt_ids), jnp.asarray(txt_mask))
 
-            from gridmm_tpu.train.step import init_carry
-
             carry = init_carry(self.cfg, b)
             ended = np.zeros((b,), bool)
             next_slot = np.full((b,), 1, np.int32)
             centers = np.asarray([19 + 36 * i for i in range(7)])
+            recorded = []
 
             for t in range(max_steps):
                 rgb = jnp.asarray(np.stack([ob.rgb for ob in obs]))
@@ -107,14 +113,11 @@ class CETrainer:
                                          next_slot, t)
                 targets = agent._teacher(env, obs, cand_lists, ended)
                 x = x._replace(target=targets.astype(np.int32))
+                recorded.append(x)
 
-                (agent.nav_params, self.opt_state, carry, out,
-                 loss) = self._jit_update(
-                    agent.nav_params, self.opt_state, txt_embeds,
-                    jnp.asarray(txt_mask), carry,
-                    jax.tree_util.tree_map(jnp.asarray, x))
-                losses.append(float(loss))
-
+                carry, out = agent._jit_nav(
+                    agent.nav_params, txt_embeds, jnp.asarray(txt_mask),
+                    carry, jax.tree_util.tree_map(jnp.asarray, x))
                 logits = np.asarray(out.local_logits, np.float64)
                 student = logits.argmax(-1)
                 use_teacher = rng.random(b) < ratio
@@ -131,10 +134,22 @@ class CETrainer:
                 obs = env.observations()
                 if ended.all():
                     break
+
+            stacked = StepInputs(*[
+                np.stack([np.asarray(getattr(s, f)) for s in recorded])
+                for f in StepInputs._fields])
+            batch = pad_to_steps(
+                TrajectoryBatch(txt_ids, txt_mask, stacked), max_steps,
+                self.cfg.train.ignoreid)
+            agent.nav_params, self.opt_state, loss = self._jit_update(
+                agent.nav_params, self.opt_state,
+                jax.tree_util.tree_map(jnp.asarray, batch),
+                jrandom.fold_in(jrng, bi))
+            losses.append(float(loss))
             if logger:
                 logger.log(epoch * batches + bi,
-                           {"loss": float(np.mean(losses[-max_steps:])),
-                            "ss_ratio": ratio}, prefix="ce_train/")
+                           {"loss": losses[-1], "ss_ratio": ratio},
+                           prefix="ce_train/")
         return {"loss": float(np.mean(losses)), "ss_ratio": ratio}
 
     def evaluate(self, env: ContinuousEnv, batches: int = 2,

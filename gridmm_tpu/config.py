@@ -181,6 +181,7 @@ class TrainConfig:
     seed: int = 0
     feat_dropout: float = 0.4      # models/model.py:18
     remat_steps: bool = True       # jax.checkpoint per scan step (memory/flops)
+    loss_head: str = "fused"       # CE trains on 'local' ([stop]+candidates)
     # pretrain (pretrain_src/config/r2r_pretrain.json)
     warmup_steps: int = 10000
     num_train_steps: int = 100000

@@ -136,6 +136,7 @@ class TextPathDataset:
         pos_xy = np.zeros((s_max, 2), np.float32)
         headings = np.zeros((s_max,), np.float32)
         step_mask = np.zeros((s_max,), bool)
+        last_view_ids = np.full((vm1,), -1, np.int32)  # token -> view index
 
         heading = float(item.get("heading", 0.0))
         for t, vp in enumerate(path):
@@ -159,6 +160,8 @@ class TextPathDataset:
                 loc_fts[t, k, af:] = 1.0
                 nav_types[t, k] = 1
                 cand_idx[t, k] = slot(cvp)
+                if t == len(path) - 1:
+                    last_view_ids[k] = pid
                 used.add(pid)
                 k += 1
             for ix in range(vfts.shape[0]):
@@ -169,6 +172,8 @@ class TextPathDataset:
                 view_fts[t, k] = vfts[ix][:d]
                 loc_fts[t, k, :af] = self.angle_table[base_view, ix]
                 loc_fts[t, k, af:] = 1.0
+                if t == len(path) - 1:
+                    last_view_ids[k] = ix
                 k += 1
             token_mask[t, :k] = True
             visited_idx[t, :k] = slot(vp)
@@ -206,6 +211,9 @@ class TextPathDataset:
         gmap_step_ids = np.zeros((gmax,), np.int32)
         gmap_pos = np.zeros((gmax, af + 3), np.float32)
         gmap_mask[0] = True
+        # [stop] slot positional features: angle_features(0, 0) = [0,1,0,1],
+        # matching the fine-tune agent's None branch (graph_utils.py:133-134)
+        gmap_pos[0, :af] = angle_features(0.0, 0.0, af)
         cur_vp = path[-1]
         cur_heading = headings[s_real - 1]
         for vp, s in slot_of.items():
@@ -304,6 +312,8 @@ class TextPathDataset:
             gridmap_pos_fts=np.asarray(grid_pos_fts[0]),
             global_act=np.int32(global_act), local_act=np.int32(local_act),
             grid_target=np.int32(grid_target),
+            last_scan_vp=(scan, path[-1]),
+            last_view_ids=last_view_ids,
         )
 
     # ---------------------------------------------------------------- batches
@@ -339,7 +349,8 @@ class TextPathDataset:
             return jnp.asarray(np.stack([it[key] for it in items]))
 
         view_mrc_masks = np.zeros((b, v - 1), bool)
-        view_probs = np.zeros((b, v - 1, mc.image_prob_size), np.float32)
+        view_probs = np.full((b, v - 1, mc.image_prob_size),
+                             1.0 / mc.image_prob_size, np.float32)
         if task == "mrc":
             for i, it in enumerate(items):
                 last = int(it["traj_step_mask"].sum()) - 1
@@ -347,8 +358,22 @@ class TextPathDataset:
                 for k in range(ntok):
                     if self.rng.random() < mrc_prob:
                         view_mrc_masks[i, k] = True
-                # soft labels: provider may expose probs; else uniform
-                view_probs[i] = 1.0 / mc.image_prob_size
+                # soft labels from the provider's per-view class probs
+                # (the reference view-feature files append prob columns);
+                # uniform only when the provider has none
+                probs_fn = getattr(self.world, "view_probs", None)
+                if probs_fn is not None:
+                    scan, vp = it["last_scan_vp"]
+                    try:
+                        vp_probs = probs_fn(scan, vp, mc.image_prob_size)
+                    except TypeError:
+                        vp_probs = probs_fn(scan, vp)
+                    if vp_probs is not None:
+                        for k, vid in enumerate(it["last_view_ids"][: v - 1]):
+                            if vid >= 0 and vid < len(vp_probs):
+                                p = vp_probs[vid][: mc.image_prob_size]
+                                if p.sum() > 0:
+                                    view_probs[i, k] = p / p.sum()
 
         return PretrainBatch(
             txt_ids=jnp.asarray(txt_ids), txt_mask=jnp.asarray(txt_mask),

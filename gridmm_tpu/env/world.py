@@ -80,6 +80,16 @@ class Hdf5World:
         ft = self._read("view", self.view_ft_file, key)
         return ft[:, : self.image_feat_size].astype(np.float32)
 
+    def view_probs(self, scan, vp):
+        """(36, prob_size) soft class labels for MRC; the reference view
+        feature files append prob columns after the features
+        (pretrain image_prob_size contract). None when absent."""
+        key = f"{scan}_{vp}"
+        ft = self._read("view", self.view_ft_file, key)
+        if ft.shape[1] <= self.image_feat_size:
+            return None
+        return ft[:, self.image_feat_size:].astype(np.float32)
+
     def depth_patches(self, scan, vp):
         key = f"{scan}_{vp}"
         d = self._read("depth", self.depth_file, key)  # (36, 128, 128)
@@ -213,6 +223,11 @@ class SyntheticWorld:
     def view_features(self, scan, vp):
         return _seeded(f"view/{scan}/{vp}", VIEWS_PER_PANO, self.feat_dim) * 0.4
 
+    def view_probs(self, scan, vp, prob_size: int = 1000):
+        logits = _seeded(f"probs/{scan}/{vp}", VIEWS_PER_PANO, prob_size)
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        return (e / e.sum(-1, keepdims=True)).astype(np.float32)
+
     def depth_patches(self, scan, vp):
         rng_d = np.abs(_seeded(f"depth/{scan}/{vp}",
                                HORIZON_VIEWS, DEPTH_PATCHES))
@@ -229,13 +244,21 @@ class SyntheticWorld:
     def position(self, scan, vp):
         return tuple(self.graphs[scan].positions[vp])
 
+    @staticmethod
+    def _stable_int(key: str, mod: int) -> int:
+        import hashlib
+
+        return int.from_bytes(
+            hashlib.sha256(key.encode()).digest()[:4], "little") % mod
+
     def objects(self, scan, vp):
         """Deterministic synthetic objects (REVERIE-style): 0..3 per viewpoint
-        with stable ids shared across nearby viewpoints."""
-        h = abs(hash((scan, vp))) % 4
+        with stable ids shared across nearby viewpoints. (sha256-keyed —
+        builtin hash() is randomized per process.)"""
+        h = self._stable_int(f"objn/{scan}/{vp}", 4)
         out = []
         for j in range(h):
-            obj_id = f"obj{(abs(hash((scan, vp, j))) % 20):02d}"
+            obj_id = f"obj{self._stable_int(f'objid/{scan}/{vp}/{j}', 20):02d}"
             out.append({
                 "obj_id": obj_id,
                 "feature": _seeded(f"obj/{scan}/{obj_id}", self.feat_dim) * 0.4,

@@ -88,12 +88,19 @@ class ImageEmbeddings(nn.Module):
         # (models/model.py:29-31 drop_env)
         view_img_fts = nn.Dropout(c.feat_dropout)(
             view_img_fts, deterministic=deterministic)
-        img = _dense(c.hidden_size, "img_linear", c.dtype)(view_img_fts)
-        img = LayerNorm(1e-12, name="img_layer_norm")(img)
-        if obj_img_fts is not None and c.obj_feat_size > 0 and \
-                c.obj_feat_size != c.image_feat_size:
-            obj = _dense(c.hidden_size, "obj_linear", c.dtype)(obj_img_fts)
-            obj = LayerNorm(1e-12, name="obj_layer_norm")(obj)
+        img_linear = _dense(c.hidden_size, "img_linear", c.dtype)
+        img_ln = LayerNorm(1e-12, name="img_layer_norm")
+        img = img_ln(img_linear(view_img_fts))
+        if obj_img_fts is not None and c.obj_feat_size > 0:
+            obj_img_fts = nn.Dropout(c.feat_dropout)(
+                obj_img_fts, deterministic=deterministic)
+            if c.obj_feat_size != c.image_feat_size:
+                obj = _dense(c.hidden_size, "obj_linear", c.dtype)(obj_img_fts)
+                obj = LayerNorm(1e-12, name="obj_layer_norm")(obj)
+            else:
+                # equal dims share the image projection (vilmodel.py:506-509,
+                # 745-749: obj_linear is None -> img_linear path)
+                obj = img_ln(img_linear(obj_img_fts))
             img = jnp.concatenate([img, obj], axis=1)
         loc = _dense(c.hidden_size, "loc_linear", c.dtype)(loc_fts)
         loc = LayerNorm(1e-12, name="loc_layer_norm")(loc)

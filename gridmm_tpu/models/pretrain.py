@@ -119,21 +119,17 @@ class GridMMPretrain(nn.Module):
         return gmap_img.at[:, 0].set(0.0)  # [stop] slot
 
     # --------------------------------------------------------------- encoding
-    def encode(
-        self,
-        txt_ids, txt_mask,
-        traj_view_fts,    # (B, S, V-1, D_img) per-step tokens (views [+objs])
-        traj_loc_fts,     # (B, S, V-1, angle+3)
-        traj_nav_types,   # (B, S, V-1)
-        traj_token_mask,  # (B, S, V-1)
-        traj_step_mask,   # (B, S)
-        visited_idx,      # (B, S, V) incl. [stop] column offsets? no: (B,S,V-1)
-        cand_idx,         # (B, S, V-1)
-        gmap_step_ids, gmap_pos_fts, gmap_mask,
-        vp_pos_fts,
-        grid_fts, grid_cells, gridmap_pos_fts,
-        deterministic=True,
-    ) -> TrajectoryEncodings:
+    def _encode_trunk(
+        self, txt_ids, txt_mask,
+        traj_view_fts, traj_loc_fts, traj_nav_types, traj_token_mask,
+        traj_step_mask, visited_idx, cand_idx,
+        gmap_step_ids, gmap_pos_fts, gmap_mask, vp_pos_fts,
+        grid_fts, grid_cells, gridmap_pos_fts, deterministic,
+    ):
+        """Shared prefix of encode() and forward_mlm_logits(): text encode,
+        per-step panorama encode, gmap aggregation, last-step vp tokens, grid
+        encode. Returns (txt_embeds, gmap_embeds, vp_embeds, vp_mask,
+        grid_embeds, cell_mask)."""
         b, s, vm1, _ = traj_view_fts.shape
         c = self.cfg
         g = gmap_mask.shape[1]
@@ -173,6 +169,30 @@ class GridMMPretrain(nn.Module):
 
         grid_embeds, cell_mask = self.bert.encode_grid(
             txt_embeds, grid_fts, grid_cells, gridmap_pos_fts, txt_mask)
+        return (txt_embeds, gmap_embeds, vp_embeds, vp_mask, grid_embeds,
+                cell_mask)
+
+    def encode(
+        self,
+        txt_ids, txt_mask,
+        traj_view_fts,    # (B, S, V-1, D_img) per-step tokens (views [+objs])
+        traj_loc_fts,     # (B, S, V-1, angle+3)
+        traj_nav_types,   # (B, S, V-1)
+        traj_token_mask,  # (B, S, V-1)
+        traj_step_mask,   # (B, S)
+        visited_idx,      # (B, S, V-1)
+        cand_idx,         # (B, S, V-1)
+        gmap_step_ids, gmap_pos_fts, gmap_mask,
+        vp_pos_fts,
+        grid_fts, grid_cells, gridmap_pos_fts,
+        deterministic=True,
+    ) -> TrajectoryEncodings:
+        (txt_embeds, gmap_embeds, vp_embeds, vp_mask, grid_embeds,
+         cell_mask) = self._encode_trunk(
+            txt_ids, txt_mask, traj_view_fts, traj_loc_fts, traj_nav_types,
+            traj_token_mask, traj_step_mask, visited_idx, cand_idx,
+            gmap_step_ids, gmap_pos_fts, gmap_mask, vp_pos_fts,
+            grid_fts, grid_cells, gridmap_pos_fts, deterministic)
 
         map_embeds, gmap_out, vp_out = self.bert.fusion_trunk(
             txt_embeds, txt_mask, grid_embeds, cell_mask,
@@ -188,44 +208,16 @@ class GridMMPretrain(nn.Module):
         """Language tokens re-attend to the fused [gmap||vp] context, then the
         tied-embedding MLM head scores every position
         (pretrain vilmodel.py:765-854, pretrain_cmt.py:125-153)."""
-        c = self.cfg
-        txt_embeds = self.bert.forward_text(txt_ids, txt_mask, deterministic)
-
-        b, s, vm1, _ = enc_kwargs["traj_view_fts"].shape
-
-        def flat(x):
-            return x.reshape((b * s,) + x.shape[2:])
-
-        pano, _ = self.bert.forward_panorama(
-            flat(enc_kwargs["traj_view_fts"]), flat(enc_kwargs["traj_loc_fts"]),
-            flat(enc_kwargs["traj_nav_types"]),
-            flat(enc_kwargs["traj_token_mask"]), deterministic=deterministic)
-        pano = pano.reshape(b, s, vm1, c.hidden_size)
-        token_mask = (enc_kwargs["traj_token_mask"]
-                      & enc_kwargs["traj_step_mask"][..., None])
-        g = enc_kwargs["gmap_mask"].shape[1]
-        gmap_img = self._aggregate_gmap(
-            pano, token_mask, enc_kwargs["visited_idx"], enc_kwargs["cand_idx"], g)
-        gmap_embeds = (
-            gmap_img.astype(c.dtype)
-            + self.bert.gmap_step_embeddings(enc_kwargs["gmap_step_ids"])
-            + self.bert.gmap_pos_ln(
-                self.bert.gmap_pos_dense(enc_kwargs["gmap_pos_fts"]))
-        )
-        last_idx = jnp.maximum(jnp.sum(
-            enc_kwargs["traj_step_mask"], axis=1).astype(jnp.int32) - 1, 0)
-        bi = jnp.arange(b)
-        last_pano = pano[bi, last_idx]
-        last_tok_mask = enc_kwargs["traj_token_mask"][bi, last_idx]
-        vp_img = jnp.concatenate(
-            [jnp.zeros((b, 1, c.hidden_size), last_pano.dtype), last_pano], 1)
-        vp_mask = jnp.concatenate([jnp.ones((b, 1), bool), last_tok_mask], 1)
-        vp_embeds = vp_img + self.bert.vp_pos_ln(
-            self.bert.vp_pos_dense(enc_kwargs["vp_pos_fts"]))
-
-        grid_embeds, cell_mask = self.bert.encode_grid(
-            txt_embeds, enc_kwargs["grid_fts"], enc_kwargs["grid_cells"],
-            enc_kwargs["gridmap_pos_fts"], txt_mask)
+        (txt_embeds, gmap_embeds, vp_embeds, vp_mask, grid_embeds,
+         cell_mask) = self._encode_trunk(
+            txt_ids, txt_mask, enc_kwargs["traj_view_fts"],
+            enc_kwargs["traj_loc_fts"], enc_kwargs["traj_nav_types"],
+            enc_kwargs["traj_token_mask"], enc_kwargs["traj_step_mask"],
+            enc_kwargs["visited_idx"], enc_kwargs["cand_idx"],
+            enc_kwargs["gmap_step_ids"], enc_kwargs["gmap_pos_fts"],
+            enc_kwargs["gmap_mask"], enc_kwargs["vp_pos_fts"],
+            enc_kwargs["grid_fts"], enc_kwargs["grid_cells"],
+            enc_kwargs["gridmap_pos_fts"], deterministic)
 
         # map encoder (no fusion of vp queries; MLM attends lang->[gmap||vp],
         # pretrain vilmodel.py:828-853)

@@ -93,9 +93,16 @@ def waypoint_nms(heatmap: jnp.ndarray, max_predictions: int = 10,
     batched: keep the global max, zero a rectangular neighborhood (with
     circular wrap on the angle axis), repeat (utils.py:37-64).
 
+    sigma follows the reference's (distance_radius, angle_radius) order: the
+    Policy calls nms(..., sigma=(7.0, 5.0)) where sigma[0] applies to the
+    LAST axis (distance bins, utils.py:55-58 x = ix % width) and sigma[1] to
+    the angle axis — with (7, 5) nearly the whole distance column within
+    +/-5 angle bins is suppressed.
+
     heatmap: (B, A, D) non-negative scores. Returns (B, A, D) sparse map of
     kept peaks."""
     b, a, d = heatmap.shape
+    sigma_dist, sigma_ang = sigma
 
     def body(_, carry):
         supp, out = carry
@@ -111,7 +118,7 @@ def waypoint_nms(heatmap: jnp.ndarray, max_predictions: int = 10,
         di = jnp.arange(d)[None, None, :]
         ang_diff = jnp.abs(ai - ang)
         ang_diff = jnp.minimum(ang_diff, a - ang_diff)  # circular angles
-        g = (ang_diff <= sigma[0]) & (jnp.abs(di - dist) <= sigma[1])
+        g = (ang_diff <= sigma_ang) & (jnp.abs(di - dist) <= sigma_dist)
         supp = supp * (1.0 - g.astype(supp.dtype))
         return supp, out
 

@@ -243,8 +243,9 @@ def trajectory_loss(
         carry, out = device_step(
             model, cfg, params, txt_embeds, batch.txt_mask, carry, x,
             deterministic, step_rngs)
+        head_logits = getattr(out, f"{cfg.train.loss_head}_logits")
         step_loss = cross_entropy_ignore(
-            out.fused_logits, x.target, cfg.train.ignoreid, "sum")
+            head_logits, x.target, cfg.train.ignoreid, "sum")
         if out.obj_logits is not None:
             # object-grounding CE (REVERIE agent_obj.py og_loss)
             step_loss = step_loss + cross_entropy_ignore(
