@@ -25,11 +25,15 @@ def build_reverie(seed=0):
         base, model=dataclasses.replace(base.model, obj_feat_size=128))
     world = SyntheticWorld(num_scans=1, nodes_per_scan=10, feat_dim=768,
                            seed=seed)
-    episodes = synthetic_episodes(world, num=6, seed=seed, max_len=4)
-    # attach a gt object reachable at the goal viewpoint
+    episodes = synthetic_episodes(world, num=10, seed=seed, max_len=4)
+    # attach a gt object reachable at the goal viewpoint; REVERIE episodes
+    # always have one, so keep only goals that expose objects (mixing
+    # object-less episodes would give det_sr a different support than sr)
+    episodes = [ep for ep in episodes
+                if world.objects(ep["scan"], ep["path"][-1])]
+    assert len(episodes) >= 3
     for ep in episodes:
-        objs = world.objects(ep["scan"], ep["path"][-1])
-        ep["gt_obj_id"] = objs[0]["obj_id"] if objs else None
+        ep["gt_obj_id"] = world.objects(ep["scan"], ep["path"][-1])[0]["obj_id"]
         ep["gt_end_vps"] = [ep["path"][-1]]
     env = DiscreteNavEnv(world, world.graphs, episodes, batch_size=3,
                          seed=seed)
