@@ -29,7 +29,9 @@ def main():
     from gridmm_tpu.ops.grid_pool import relevance_weighted_grid
 
     backend = jax.default_backend()
-    on_tpu = backend not in ("cpu",)
+    # pallas/int8 paths are TPU-specific ("axon" is the hosted TPU plugin);
+    # GPU must take the XLA fallback
+    on_tpu = backend in ("tpu", "axon")
 
     import dataclasses
 
@@ -105,10 +107,10 @@ def main():
     jax.block_until_ready(pooled)
 
     iters = 20 if on_tpu else 3
-    # steady state: keep re-running the final-step workload
+    # steady state: re-run the final-step workload against the FILLED buffer
     start = time.perf_counter()
     for _ in range(iters):
-        _, pooled, mask = pipeline(params, images, state0, depth, pos, heading, txt)
+        _, pooled, mask = pipeline(params, images, state, depth, pos, heading, txt)
     jax.block_until_ready(pooled)
     elapsed = time.perf_counter() - start
 

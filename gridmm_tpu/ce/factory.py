@@ -1,0 +1,77 @@
+"""Construction helpers for the continuous-env stack."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gridmm_tpu.ce.agent import CEAgent
+from gridmm_tpu.ce.encoders import DepthTower, RgbTower
+from gridmm_tpu.config import (GridMMConfig, ModelConfig, NavigatorShapes,
+                               TrainConfig, r2r_ce_config)
+from gridmm_tpu.models.clip_vit import ClipVisionConfig, ClipVisionTransformer
+from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
+from gridmm_tpu.models.waypoint import WaypointConfig, WaypointPredictor
+
+
+def build_ce_agent(img: int = 56, depth_sz: int = 256, tiny: bool = True,
+                   seed: int = 0):
+    """Assemble a CEAgent with fresh parameters.
+
+    tiny=True uses smoke-scale dims (tests/synthetic arena); tiny=False uses
+    the full r2r_ce preset with ViT-B/32 grid features."""
+    base = r2r_ce_config()
+    if tiny:
+        cfg = dataclasses.replace(
+            base,
+            model=ModelConfig(
+                vocab_size=30522, hidden_size=64, num_attention_heads=4,
+                intermediate_size=128, num_l_layers=1, num_x_layers=1,
+                num_pano_layers=1, image_feat_size=64,
+                max_position_embeddings=32),
+            grid=dataclasses.replace(base.grid, feature_dim=64, max_steps=4),
+            shapes=NavigatorShapes(max_txt_len=16, max_gmap_len=16,
+                                   max_vp_len=20, max_points=4 * 588),
+            train=TrainConfig(max_action_len=4),
+        )
+        wp_cfg = WaypointConfig(hidden_dim=64, num_heads=4, num_layers=1,
+                                rgb_feat_dim=2048 * 7 * 7 // 49,
+                                depth_feat_dim=128 * 16)
+        # 7x7 patches + cls = 50 tokens feed the 49-points/view contract
+        clip_cfg = ClipVisionConfig(input_resolution=56, patch_size=8,
+                                    width=64, layers=1, heads=4,
+                                    compute_dtype="float32")
+    else:
+        cfg = base
+        wp_cfg = WaypointConfig()
+        clip_cfg = ClipVisionConfig(patch_size=32)
+        img = 224
+
+    key = jax.random.PRNGKey(seed)
+    navigator = GridMMNavigator(cfg.model)
+    nav_params = init_navigator(navigator, cfg.shapes, key)
+
+    wp = WaypointPredictor(wp_cfg)
+    rgb_tower = RgbTower(out_ch=wp_cfg.rgb_feat_dim // 49, grid=7)
+    depth_tower = DepthTower(out_ch=128)
+    rgb0 = jnp.zeros((12, img, img, 3), jnp.uint8)
+    dep0 = jnp.zeros((12, depth_sz, depth_sz, 1))
+    rgb_params = rgb_tower.init(jax.random.fold_in(key, 1), rgb0)
+    depth_params = depth_tower.init(jax.random.fold_in(key, 2), dep0)
+    rgb_f = rgb_tower.apply(rgb_params, rgb0)
+    dep_f = depth_tower.apply(depth_params, dep0)
+    wp_params = wp.init(jax.random.fold_in(key, 3), rgb_f, dep_f)
+
+    clip = ClipVisionTransformer(clip_cfg)
+    clip_params = clip.init(
+        jax.random.fold_in(key, 4),
+        jnp.zeros((1, clip_cfg.input_resolution, clip_cfg.input_resolution,
+                   3)))
+
+    agent = CEAgent(cfg, navigator, nav_params, wp, wp_params,
+                    clip_model=clip, clip_params=clip_params,
+                    rgb_tower=rgb_tower, rgb_params=rgb_params,
+                    depth_tower=depth_tower, depth_params=depth_params)
+    return cfg, agent

@@ -24,21 +24,26 @@ def main(argv=None):
 
     import h5py
 
-    from gridmm_tpu.data.store import write_store
+    from gridmm_tpu.data.store import write_store_streaming
     from gridmm_tpu.env.world import DEPTH_PATCH_CENTERS, HORIZON_VIEWS
 
-    records = {}
     with h5py.File(args.input, "r") as f:
-        for key in f:
-            arr = f[key][...]
+        keys = list(f.keys())
+
+        def transform(arr):
             if args.slice_depth_patches:
                 arr = arr[:, DEPTH_PATCH_CENTERS][:, :, DEPTH_PATCH_CENTERS]
                 arr = arr[HORIZON_VIEWS: 2 * HORIZON_VIEWS].reshape(12, 49)
             if args.dtype:
                 arr = arr.astype(np.dtype(args.dtype))
-            records[key] = arr
-    write_store(args.output, records)
-    print(f"wrote {len(records)} records -> {args.output}")
+            return arr
+
+        first = transform(f[keys[0]][...])
+        # streaming: one record in RAM at a time (real stores are tens of GB)
+        write_store_streaming(
+            args.output, keys, lambda k: transform(f[k][...]),
+            first.shape, first.dtype)
+    print(f"wrote {len(keys)} records -> {args.output}")
 
 
 if __name__ == "__main__":

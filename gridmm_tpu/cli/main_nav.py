@@ -60,7 +60,7 @@ def build_real(args, cfg):
     from gridmm_tpu.data.datasets import construct_instrs
     from gridmm_tpu.env.discrete import DiscreteNavEnv
     from gridmm_tpu.env.nav_graph import load_nav_graphs
-    from gridmm_tpu.env.world import Hdf5World
+    from gridmm_tpu.env.world import Hdf5ObjectWorld, Hdf5World
 
     ds = args.world.upper()
     root = os.path.join(args.root_dir, ds)
@@ -74,11 +74,18 @@ def build_real(args, cfg):
                                 cfg.shapes.max_txt_len)
     with open(os.path.join(feat, "viewpoint_info.json")) as f:
         vp_info = json.load(f)
-    world = Hdf5World(
+    base_files = (
         os.path.join(feat, "pth_vit_base_patch16_224_imagenet.hdf5"),
         os.path.join(feat, "depth.hdf5"),
-        os.path.join(feat, "clip_p32.hdf5"),
-        vp_info)
+        os.path.join(feat, "clip_p32.hdf5"))
+    obj_ft = os.path.join(feat, "obj.avg.top3.min80_vit_base_patch16_224.hdf5")
+    if args.world in ("reverie", "soon") and os.path.exists(obj_ft):
+        world = Hdf5ObjectWorld(*base_files, vp_info, obj_ft_file=obj_ft)
+    else:
+        if args.world in ("reverie", "soon"):
+            print(f"warning: object features not found at {obj_ft}; "
+                  "object grounding disabled")
+        world = Hdf5World(*base_files, vp_info)
     scans = {x["scan"] for x in train_data} | {x["scan"] for x in val_data}
     graphs = load_nav_graphs(conn, scans)
     train_env = DiscreteNavEnv(world, graphs, train_data,
@@ -97,12 +104,12 @@ def main(argv=None):
     from gridmm_tpu.train.loop import train_navigator
     from gridmm_tpu.utils.logging import MetricLogger
 
-    cfg = {"reverie": reverie_config, "rxr": rxr_config}.get(
-        args.world, r2r_config)()
-    if args.tiny or args.world == "synthetic":
-        from tests.test_agent_e2e import tiny_cfg  # smoke dims
+    from gridmm_tpu.config import soon_config, tiny_config
 
-        cfg = tiny_cfg()
+    cfg = {"reverie": reverie_config, "soon": soon_config,
+           "rxr": rxr_config}.get(args.world, r2r_config)()
+    if args.tiny or args.world == "synthetic":
+        cfg = tiny_config()
     if args.lr:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, lr=args.lr))

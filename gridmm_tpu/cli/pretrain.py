@@ -28,7 +28,8 @@ def parse_args(argv=None):
     p.add_argument("--num_traj_steps", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output_dir", default="runs/pretrain")
-    p.add_argument("--tiny", action="store_true", default=True)
+    p.add_argument("--full", action="store_true",
+                   help="full r2r dims (default: tiny smoke dims)")
     return p.parse_args(argv)
 
 
@@ -81,8 +82,6 @@ def validate(model, params, batches, tasks):
 
 def main(argv=None):
     args = parse_args(argv)
-    from tests.test_agent_e2e import tiny_cfg
-
     from gridmm_tpu.models.pretrain import GridMMPretrain
     from gridmm_tpu.train.pretrain import (TaskMultiplexer,
                                            init_pretrain_params,
@@ -91,9 +90,14 @@ def main(argv=None):
     from gridmm_tpu.train.synthetic import synthetic_pretrain_batch
     from gridmm_tpu.utils.logging import MetricLogger
 
-    cfg = tiny_cfg()
-    cfg = dataclasses.replace(
-        cfg, model=dataclasses.replace(cfg.model, image_prob_size=32))
+    from gridmm_tpu.config import r2r_config, tiny_config
+
+    if args.full:
+        cfg = r2r_config()
+    else:
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, image_prob_size=32))
     tasks = args.tasks.split(",")
     mix = [float(x) for x in args.mix_ratio.split(",")]
 

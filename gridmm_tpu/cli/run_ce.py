@@ -30,8 +30,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    from tests.test_ce_agent import build_ce_agent
-
+    from gridmm_tpu.ce.factory import build_ce_agent
     from gridmm_tpu.ce.env import SyntheticContinuousEnv
     from gridmm_tpu.ce.trainer import CETrainer
     from gridmm_tpu.utils.logging import MetricLogger

@@ -235,6 +235,20 @@ def rxr_config() -> GridMMConfig:
     )
 
 
+def tiny_config() -> GridMMConfig:
+    """Smoke-scale dims for tests, CLI dry runs, and the synthetic world."""
+    model = ModelConfig(
+        vocab_size=30522, hidden_size=128, num_attention_heads=4,
+        intermediate_size=256, num_l_layers=2, num_x_layers=2,
+        num_pano_layers=1, image_feat_size=128, max_position_embeddings=64)
+    grid = GridConfig(feature_dim=128, max_steps=4)
+    shapes = NavigatorShapes(
+        max_txt_len=24, max_gmap_len=16, max_vp_len=40, max_points=4 * 588)
+    train = TrainConfig(batch_size=3, max_action_len=4, lr=1e-4)
+    return GridMMConfig(model=model, grid=grid, shapes=shapes,
+                        mesh=MeshConfig(), train=train)
+
+
 def r2r_ce_config() -> GridMMConfig:
     """Continuous R2R-CE preset: Habitat HFOV 90deg, heading offset
     (VLN_CE/.../Policy_ViewSelection_GridMap.py:632-641,785)."""

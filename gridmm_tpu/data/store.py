@@ -24,6 +24,35 @@ DTYPES = {0: np.float32, 1: np.float16, 2: np.uint16, 3: np.int32, 4: np.uint8}
 DTYPE_CODES = {np.dtype(v): k for k, v in DTYPES.items()}
 
 
+def write_store_streaming(path: str, keys: Sequence[str], fetch,
+                          shape, dtype) -> None:
+    """Two-pass streaming writer: keys are known up front, records are
+    fetched one at a time via `fetch(key) -> np.ndarray` — RAM stays at one
+    record regardless of store size."""
+    dtype = np.dtype(dtype)
+    code = DTYPE_CODES[dtype]
+    keys = sorted(keys)
+    rec_bytes = int(np.prod(shape)) * dtype.itemsize
+    for k in keys:
+        if len(k.encode()) >= KEY_LEN:
+            raise ValueError(f"key too long: {k}")
+
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<II", code, len(shape)))
+        f.write(struct.pack(f"<{len(shape)}Q", *shape))
+        f.write(struct.pack("<Q", len(keys)))
+        for i, k in enumerate(keys):
+            f.write(k.encode().ljust(KEY_LEN, b"\0"))
+            f.write(struct.pack("<Q", i * rec_bytes))
+        f.write(b"\0" * ((-f.tell()) % 64))
+        for k in keys:
+            arr = np.ascontiguousarray(fetch(k))
+            if arr.shape != tuple(shape) or arr.dtype != dtype:
+                raise ValueError(f"record {k}: shape/dtype mismatch")
+            f.write(arr.tobytes())
+
+
 def write_store(path: str, records: Dict[str, np.ndarray]) -> None:
     """Write records (all same dtype+shape) to a gmmstore file."""
     items = sorted(records.items())

@@ -14,7 +14,7 @@ def grid_occupancy_image(cell_mask: np.ndarray, cell_scores=None,
     the agent cell (center of the egocentric window) is marked blue."""
     g = grid_w
     img = np.zeros((g, g, 3), np.uint8)
-    occ = np.asarray(cell_mask).reshape(g, g)
+    occ = np.asarray(cell_mask).reshape(g, g).astype(bool)
     img[occ] = (160, 160, 160)
     if cell_scores is not None:
         s = np.asarray(cell_scores, np.float64).reshape(g, g)

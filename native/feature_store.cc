@@ -117,18 +117,35 @@ void* gmm_store_open(const char* path, int num_prefetch_threads) {
   auto* s = new Store();
   s->fd = fd;
   s->file_size = static_cast<size_t>(st.st_size);
+  if (s->file_size < 24) {  // magic + dtype + rank at minimum
+    delete s;
+    return nullptr;
+  }
   s->base = static_cast<uint8_t*>(
       mmap(nullptr, s->file_size, PROT_READ, MAP_SHARED, fd, 0));
-  if (s->base == MAP_FAILED || memcmp(s->base, kMagic, 8) != 0) {
+  if (s->base == MAP_FAILED) {
     s->base = nullptr;
     delete s;
     return nullptr;
   }
+  if (memcmp(s->base, kMagic, 8) != 0) {
+    delete s;  // ~Store munmaps
+    return nullptr;
+  }
+  // Every header read is bounds-checked against the file size: a truncated
+  // or corrupt file must fail cleanly, not SIGBUS the training process.
   size_t off = 8;
+  auto fits = [&](size_t need) { return off + need <= s->file_size; };
+  if (!fits(8)) { delete s; return nullptr; }
   memcpy(&s->dtype, s->base + off, 4);
   off += 4;
   memcpy(&s->rank, s->base + off, 4);
   off += 4;
+  if (dtype_size(s->dtype) == 0 || s->rank == 0 || s->rank > 8 ||
+      !fits(8 * static_cast<size_t>(s->rank) + 8)) {
+    delete s;
+    return nullptr;
+  }
   s->dims.resize(s->rank);
   memcpy(s->dims.data(), s->base + off, 8 * s->rank);
   off += 8 * s->rank;
@@ -137,7 +154,14 @@ void* gmm_store_open(const char* path, int num_prefetch_threads) {
   off += 8;
 
   s->record_bytes = dtype_size(s->dtype);
-  for (uint32_t i = 0; i < s->rank; ++i) s->record_bytes *= s->dims[i];
+  for (uint32_t i = 0; i < s->rank; ++i) {
+    if (s->dims[i] == 0 || s->dims[i] > (1ull << 32)) { delete s; return nullptr; }
+    s->record_bytes *= s->dims[i];
+  }
+  if (count > (s->file_size - off) / (kKeyLen + 8)) {  // index must fit
+    delete s;
+    return nullptr;
+  }
 
   s->index.reserve(count * 2);
   for (uint64_t i = 0; i < count; ++i) {
@@ -149,7 +173,16 @@ void* gmm_store_open(const char* path, int num_prefetch_threads) {
   }
   // align blob start to 64
   off = (off + 63) & ~size_t(63);
+  if (off > s->file_size) { delete s; return nullptr; }
   s->blob = s->base + off;
+  // every record must lie inside the blob
+  const size_t blob_size = s->file_size - off;
+  for (const auto& kv : s->index) {
+    if (kv.second > blob_size || s->record_bytes > blob_size - kv.second) {
+      delete s;
+      return nullptr;
+    }
+  }
 
   for (int i = 0; i < num_prefetch_threads; ++i)
     s->workers.emplace_back([s] { s->prefetch_loop(); });

@@ -10,8 +10,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from gridmm_tpu.config import (GridConfig, GridMMConfig, MeshConfig,  # noqa: E402
-                               ModelConfig, NavigatorShapes, TrainConfig)
+from gridmm_tpu.config import tiny_config  # noqa: E402
 from gridmm_tpu.env.discrete import DiscreteNavEnv, synthetic_episodes  # noqa: E402
 from gridmm_tpu.env.world import SyntheticWorld  # noqa: E402
 from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator  # noqa: E402
@@ -20,16 +19,7 @@ from gridmm_tpu.train.step import create_train_state, make_train_step  # noqa: E
 
 
 def tiny_cfg():
-    model = ModelConfig(
-        vocab_size=30522, hidden_size=128, num_attention_heads=4,
-        intermediate_size=256, num_l_layers=2, num_x_layers=2,
-        num_pano_layers=1, image_feat_size=128, max_position_embeddings=64)
-    grid = GridConfig(feature_dim=128, max_steps=4)
-    shapes = NavigatorShapes(
-        max_txt_len=24, max_gmap_len=16, max_vp_len=40, max_points=4 * 588)
-    train = TrainConfig(batch_size=3, max_action_len=4, lr=1e-4)
-    return GridMMConfig(model=model, grid=grid, shapes=shapes,
-                        mesh=MeshConfig(), train=train)
+    return tiny_config()
 
 
 def build_all(seed=0):
