@@ -58,3 +58,30 @@ def test_pad_to_steps_loss_neutral():
     l0 = float(trajectory_loss(model, cfg, params, batch))
     l1 = float(trajectory_loss(model, cfg, params, padded))
     assert abs(l0 - l1) < 1e-4, (l0, l1)
+
+
+def test_device_prefetch_pipeline():
+    """Offline training through the async prefetch wrapper."""
+    from gridmm_tpu.train.prefetch import device_prefetch
+    from gridmm_tpu.train.synthetic import synthetic_trajectory_batch
+    from tests.test_agent_e2e import tiny_cfg
+
+    cfg = tiny_cfg()
+    host_batches = [synthetic_trajectory_batch(cfg, 2, 2, seed=i)
+                    for i in range(3)]
+    seen = list(device_prefetch(iter(host_batches), size=2))
+    assert len(seen) == 3
+    for hb, db in zip(host_batches, seen):
+        np.testing.assert_array_equal(np.asarray(hb.txt_ids),
+                                      np.asarray(db.txt_ids))
+
+    # producer errors must surface, not hang
+    def boom():
+        yield host_batches[0]
+        raise RuntimeError("producer failed")
+
+    it = device_prefetch(boom(), size=1)
+    next(it)
+    import pytest
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(it)
