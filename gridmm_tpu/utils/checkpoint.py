@@ -287,6 +287,21 @@ def get_from_tree(tree: dict, path: str):
     return node
 
 
+def remap_pretrain_to_navigator(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Adapt a PRETRAIN checkpoint's key space to the fine-tune layout before
+    import (map_nav_src/models/vlnbert_init.py:19-27): strip the 'bert.'
+    trunk prefix, keep '*_head'/fusion keys as-is, drop pretrain-only heads
+    (mlm_head, image_classifier — the fine-tune model doesn't own them)."""
+    out = {}
+    for k, v in _strip_prefixes(state_dict).items():
+        if k.startswith(("mlm_head.", "image_classifier.", "obj_classifier.")):
+            continue
+        if k.startswith("bert."):
+            k = k[len("bert."):]
+        out[k] = v
+    return out
+
+
 def import_torch_navigator(
     state_dict: Dict[str, Any],
     template_params: dict,

@@ -62,3 +62,25 @@ def test_navigator_rules_cover_all_leaves():
     w0 = CK.get_from_tree(loaded["params"], "text_proj/kernel")
     np.testing.assert_allclose(np.asarray(w0), sd["text_proj.weight"].T,
                                atol=0)
+
+
+def test_pretrain_checkpoint_remap():
+    """Pretrain ckpts carry 'bert.' trunk prefixes + top-level heads
+    (vlnbert_init.py:19-27); the remap must strip/keep/drop correctly."""
+    from gridmm_tpu.utils.checkpoint import remap_pretrain_to_navigator
+
+    sd = {
+        "module.bert.embeddings.word_embeddings.weight": 1,
+        "bert.lang_encoder.layer.0.attention.self.query.weight": 2,
+        "global_sap_head.net.0.weight": 3,
+        "sap_fuse_linear.net.3.bias": 4,
+        "mlm_head.predictions.bias": 5,
+        "image_classifier.net.0.weight": 6,
+    }
+    out = remap_pretrain_to_navigator(sd)
+    assert out["embeddings.word_embeddings.weight"] == 1
+    assert out["lang_encoder.layer.0.attention.self.query.weight"] == 2
+    assert out["global_sap_head.net.0.weight"] == 3
+    assert out["sap_fuse_linear.net.3.bias"] == 4
+    assert not any(k.startswith(("mlm_head", "image_classifier"))
+                   for k in out)
