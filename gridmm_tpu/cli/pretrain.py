@@ -1,10 +1,19 @@
 """Multi-task pretraining driver (MLM/MRC/SAP[/OG]).
 
 Equivalent of pretrain_src/train_r2r.py:70-333: task-multiplexed training with
-periodic task-accuracy validation. Data: synthetic trajectory batches (smoke /
-benchmark) or a trajectory-jsonl loader for the reference's pretrain_map files.
+periodic task-accuracy validation. Two data sources:
+
+  * real trajectory annotations: --traj_files jsonl + the preprocess HDF5
+    artifacts (view/depth/grid stores + viewpoint_info + connectivity), the
+    contract of pretrain_src/train_r2r.py:162-203 / config/r2r_pretrain.json
+  * synthetic batches (default; smoke tests and benchmarks)
 
   python -m gridmm_tpu.cli.pretrain --steps 20 --valid_every 10
+  python -m gridmm_tpu.cli.pretrain --preset r2r \
+      --traj_files anns/train_1.jsonl,anns/train_2.jsonl \
+      --connectivity_dir connectivity/ \
+      --view_ft_file fts/views.hdf5 --depth_file fts/depth.hdf5 \
+      --grid_ft_file fts/clip_p32.hdf5 --viewpoint_info fts/vp_info.json
 """
 
 from __future__ import annotations
@@ -28,18 +37,131 @@ def parse_args(argv=None):
     p.add_argument("--num_traj_steps", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output_dir", default="runs/pretrain")
+    p.add_argument("--preset", default=None,
+                   choices=["tiny", "r2r", "reverie", "soon", "rxr"],
+                   help="config preset (default tiny; r2r when --full)")
     p.add_argument("--full", action="store_true",
-                   help="full r2r dims (default: tiny smoke dims)")
+                   help="alias for --preset r2r")
+    # real-data mode (pretrain_src/train_r2r.py:162-203 contract)
+    p.add_argument("--traj_files", default=None,
+                   help="comma-separated trajectory jsonl files")
+    p.add_argument("--val_traj_files", default=None,
+                   help="validation jsonl files (default: tail split)")
+    p.add_argument("--val_fraction", type=float, default=0.1)
+    p.add_argument("--val_batches", type=int, default=2)
+    p.add_argument("--connectivity_dir", default=None)
+    p.add_argument("--view_ft_file", default=None)
+    p.add_argument("--depth_file", default=None)
+    p.add_argument("--grid_ft_file", default=None)
+    p.add_argument("--viewpoint_info", default=None)
+    p.add_argument("--obj_ft_file", default=None,
+                   help="REVERIE/SOON object feature HDF5 (enables og)")
     return p.parse_args(argv)
 
 
-def validate(model, params, batches, tasks):
-    """Task accuracies (train_r2r.py:355-448 validate_{mlm,mrc,sap})."""
+def _resolve_config(args):
+    from gridmm_tpu import config as C
+
+    preset = args.preset or ("r2r" if args.full else "tiny")
+    cfg = {
+        "tiny": C.tiny_config, "r2r": C.r2r_config,
+        "reverie": C.reverie_config, "soon": C.soon_config,
+        "rxr": C.rxr_config,
+    }[preset]()
+    if preset == "tiny":
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, image_prob_size=32))
+    if args.obj_ft_file and cfg.model.obj_feat_size == 0:
+        # object store provided -> enable object tokens + the og head
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model,
+                                      obj_feat_size=cfg.model.image_feat_size),
+            shapes=dataclasses.replace(cfg.shapes, max_obj_len=20))
+    return cfg
+
+
+def build_dataset(args, cfg):
+    """TextPathDataset over real annotations (train_r2r.py:162-203)."""
+    from gridmm_tpu.data.pretrain_data import (TextPathDataset,
+                                               load_trajectory_jsonl)
+    from gridmm_tpu.env.nav_graph import load_nav_graphs
+    from gridmm_tpu.env.world import Hdf5ObjectWorld, Hdf5World
+
+    data = load_trajectory_jsonl(args.traj_files.split(","))
+    if not data:
+        raise ValueError(f"no trajectories in {args.traj_files}")
+    with open(args.viewpoint_info) as f:
+        vp_info = json.load(f)
+    kwargs = dict(view_ft_file=args.view_ft_file, depth_file=args.depth_file,
+                  grid_ft_file=args.grid_ft_file, viewpoint_info=vp_info,
+                  image_feat_size=cfg.model.image_feat_size)
+    if args.obj_ft_file:
+        world = Hdf5ObjectWorld(obj_ft_file=args.obj_ft_file,
+                                max_objects=cfg.shapes.max_obj_len or 20,
+                                angle_feat_size=cfg.model.angle_feat_size,
+                                **kwargs)
+    else:
+        world = Hdf5World(**kwargs)
+
+    scans = sorted({d["scan"] for d in data})
+    graphs = load_nav_graphs(args.connectivity_dir, scans)
+    if args.val_traj_files:
+        val_data = load_trajectory_jsonl(args.val_traj_files.split(","))
+        train_data = data
+    else:
+        n_val = max(int(len(data) * args.val_fraction), 1)
+        train_data, val_data = data[:-n_val] or data, data[-n_val:]
+    train_ds = TextPathDataset(train_data, world, graphs, cfg, seed=args.seed)
+    val_ds = TextPathDataset(val_data, world, graphs, cfg,
+                             seed=args.seed + 1,
+                             shortest_paths=train_ds.shortest_paths)
+    return train_ds, val_ds
+
+
+class DatasetBatcher:
+    """Shuffled-epoch index sampler over a TextPathDataset."""
+
+    def __init__(self, ds, batch_size: int, seed: int = 0):
+        self.ds = ds
+        self.batch_size = batch_size
+        self._rng = np.random.default_rng(seed)
+        self._queue: list = []
+
+    def _next_indices(self):
+        while len(self._queue) < self.batch_size:
+            self._queue.extend(self._rng.permutation(len(self.ds)).tolist())
+        out, self._queue = (self._queue[: self.batch_size],
+                            self._queue[self.batch_size:])
+        return out
+
+    def batch(self, task: str):
+        return self.ds.build_batch(self._next_indices(), task)
+
+
+class SyntheticBatcher:
+    """Rotating synthetic batches (all task labels present in every batch)."""
+
+    def __init__(self, cfg, batch_size, num_traj_steps, seed, n=4):
+        from gridmm_tpu.train.synthetic import synthetic_pretrain_batch
+
+        self._batches = [synthetic_pretrain_batch(
+            cfg, batch_size, num_traj_steps, seed=seed + i) for i in range(n)]
+        self._i = 0
+
+    def batch(self, task: str):
+        b = self._batches[self._i % len(self._batches)]
+        self._i += 1
+        return b
+
+
+def validate(model, params, batches_by_task):
+    """Task accuracies (train_r2r.py:355-448 validate_{mlm,mrc,sap,og})."""
     from gridmm_tpu.models.pretrain import GridMMPretrain
-    from gridmm_tpu.train.pretrain import _enc_kwargs
+    from gridmm_tpu.train.pretrain import _enc_kwargs, _mask_mrc_features
 
     out = {}
-    for task in tasks:
+    for task, batches in batches_by_task.items():
         accs = []
         for batch in batches:
             if task == "mlm":
@@ -50,10 +172,13 @@ def validate(model, params, batches, tasks):
                 pred = jnp.argmax(logits, -1)
                 correct = (pred == batch.txt_labels) & sel
                 accs.append(float(correct.sum()) / max(float(sel.sum()), 1))
-            elif task == "mrc":
-                enc = model.apply(params, batch.txt_ids, batch.txt_mask,
-                                  method=GridMMPretrain.encode,
-                                  **_enc_kwargs(batch))
+                continue
+            if task == "mrc":
+                batch = _mask_mrc_features(batch)
+            enc = model.apply(params, batch.txt_ids, batch.txt_mask,
+                              method=GridMMPretrain.encode,
+                              **_enc_kwargs(batch))
+            if task == "mrc":
                 logits = model.apply(params, enc,
                                      method=GridMMPretrain.forward_mrc_logits)
                 sel = batch.view_mrc_masks
@@ -62,20 +187,24 @@ def validate(model, params, batches, tasks):
                 correct = (pred == tgt) & sel
                 accs.append(float(correct.sum()) / max(float(sel.sum()), 1))
             elif task == "sap":
-                enc = model.apply(params, batch.txt_ids, batch.txt_mask,
-                                  method=GridMMPretrain.encode,
-                                  **_enc_kwargs(batch))
                 g, l, f, gr = model.apply(
                     params, enc, batch.gmap_mask, batch.gmap_visited_mask,
                     batch.vp_nav_mask, batch.fused_add_idx,
                     batch.cand_backtrack_mask,
                     method=GridMMPretrain.forward_sap_logits)
-                out[f"sap_gacc"] = float(
+                out["sap_gacc"] = float(
                     (jnp.argmax(g, -1) == batch.global_act_labels).mean())
-                out[f"sap_lacc"] = float(
+                out["sap_lacc"] = float(
                     (jnp.argmax(l, -1) == batch.local_act_labels).mean())
                 accs.append(float(
                     (jnp.argmax(f, -1) == batch.global_act_labels).mean()))
+            elif task == "og":
+                logits = model.apply(params, enc, batch.vp_obj_mask,
+                                     method=GridMMPretrain.forward_og_logits)
+                sel = batch.obj_labels >= 0
+                pred = jnp.argmax(logits, -1)
+                correct = (pred == batch.obj_labels) & sel
+                accs.append(float(correct.sum()) / max(float(sel.sum()), 1))
         out[f"{task}_acc"] = float(np.mean(accs)) if accs else 0.0
     return out
 
@@ -87,28 +216,37 @@ def main(argv=None):
                                            init_pretrain_params,
                                            make_pretrain_step)
     from gridmm_tpu.train.step import create_train_state
-    from gridmm_tpu.train.synthetic import synthetic_pretrain_batch
     from gridmm_tpu.utils.logging import MetricLogger
 
-    from gridmm_tpu.config import r2r_config, tiny_config
-
-    if args.full:
-        cfg = r2r_config()
-    else:
-        cfg = tiny_config()
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, image_prob_size=32))
+    cfg = _resolve_config(args)
     tasks = args.tasks.split(",")
     mix = [float(x) for x in args.mix_ratio.split(",")]
+    if len(mix) != len(tasks):
+        raise ValueError(f"--mix_ratio has {len(mix)} entries for "
+                         f"{len(tasks)} tasks")
 
     model = GridMMPretrain(cfg.model)
-    train_batches = [synthetic_pretrain_batch(
-        cfg, args.batch_size, args.num_traj_steps, seed=args.seed + i)
-        for i in range(4)]
-    val_batches = [synthetic_pretrain_batch(
-        cfg, args.batch_size, args.num_traj_steps, seed=args.seed + 100)]
+    if args.traj_files:
+        train_ds, val_ds = build_dataset(args, cfg)
+        batcher = DatasetBatcher(train_ds, args.batch_size, seed=args.seed)
+        val_batcher = DatasetBatcher(val_ds, args.batch_size,
+                                     seed=args.seed + 1)
+        val_by_task = {
+            t: [val_batcher.batch(t) for _ in range(args.val_batches)]
+            for t in tasks}
+        init_batch = batcher.batch(tasks[0])
+    else:
+        batcher = SyntheticBatcher(cfg, args.batch_size, args.num_traj_steps,
+                                   seed=args.seed)
+        from gridmm_tpu.train.synthetic import synthetic_pretrain_batch
+
+        val_batches = [synthetic_pretrain_batch(
+            cfg, args.batch_size, args.num_traj_steps, seed=args.seed + 100)]
+        val_by_task = {t: val_batches for t in tasks}
+        init_batch = batcher.batch(tasks[0])
+
     params = init_pretrain_params(model, cfg, jax.random.PRNGKey(args.seed),
-                                  train_batches[0])
+                                  init_batch)
     # warmup + linear decay, the reference pretraining schedule
     # (pretrain_src/optim/sched.py warmup_linear)
     from gridmm_tpu.train.optimizers import (build_optimizer,
@@ -126,12 +264,12 @@ def main(argv=None):
 
     for it in range(1, args.steps + 1):
         task = next(mux)
-        batch = train_batches[it % len(train_batches)]
+        batch = batcher.batch(task)
         state, metrics = steps[task](state, batch, rng)
         logger.log(it, {k: float(v) for k, v in metrics.items()},
                    prefix="pretrain/")
         if it % args.valid_every == 0 or it == args.steps:
-            acc = validate(model, state.params, val_batches, tasks)
+            acc = validate(model, state.params, val_by_task)
             logger.log(it, acc, prefix="valid/")
             print(json.dumps({"step": it, **acc}))
     return state

@@ -137,6 +137,8 @@ class TextPathDataset:
         headings = np.zeros((s_max,), np.float32)
         step_mask = np.zeros((s_max,), bool)
         last_view_ids = np.full((vm1,), -1, np.int32)  # token -> view index
+        last_obj_ids: List[str] = []      # last step's object ids, token order
+        last_obj_tokens: List[int] = []   # their vp-token indices ([stop]+1)
 
         heading = float(item.get("heading", 0.0))
         for t, vp in enumerate(path):
@@ -175,6 +177,21 @@ class TextPathDataset:
                 if t == len(path) - 1:
                     last_view_ids[k] = ix
                 k += 1
+            # object tokens (nav_type 2) appended after views — REVERIE/SOON
+            # object trajectories (pretrain_src/data/dataset.py:90-230
+            # get_traj_pano_fts: [cand views | other views | objects])
+            if mc.obj_feat_size > 0 and hasattr(self.world, "objects"):
+                for obj in self.world.objects(scan, vp)[: sh.max_obj_len
+                                                        or None]:
+                    if k >= vm1:
+                        break
+                    view_fts[t, k] = np.asarray(obj["feature"])[:d]
+                    loc_fts[t, k] = np.asarray(obj["loc_fts"])[: af + 3]
+                    nav_types[t, k] = 2
+                    if t == len(path) - 1:
+                        last_obj_ids.append(obj["obj_id"])
+                        last_obj_tokens.append(k + 1)  # +1: [stop] offset
+                    k += 1
             token_mask[t, :k] = True
             visited_idx[t, :k] = slot(vp)
             step_mask[t] = True
@@ -286,6 +303,21 @@ class TextPathDataset:
         vp_nav_mask[0] = True
         vp_nav_mask[1: 1 + len(cands_last)] = True
 
+        # object grounding supervision (pretrain_src/data/tasks.py:381-430
+        # OGDataset): the GT object's vp-token index when visible at the
+        # trajectory end, ignore (-100) otherwise
+        vp_obj_mask = np.zeros((v,), bool)
+        for tok in last_obj_tokens:
+            if tok < v:
+                vp_obj_mask[tok] = True
+        gt_obj = item.get("objId") or item.get("obj_id")
+        obj_label = np.int32(-100)
+        if gt_obj is not None and cur_vp == goal:
+            for oid, tok in zip(last_obj_ids, last_obj_tokens):
+                if oid == str(gt_obj) and tok < v:
+                    obj_label = np.int32(tok)
+                    break
+
         fused_add_idx = np.full((gmax,), -2, np.int32)
         cand_backtrack = np.zeros((v,), bool)
         cand_slot = {cvp: j for j, cvp in enumerate(cands_last)}
@@ -314,6 +346,7 @@ class TextPathDataset:
             grid_target=np.int32(grid_target),
             last_scan_vp=(scan, path[-1]),
             last_view_ids=last_view_ids,
+            obj_label=obj_label, vp_obj_mask=vp_obj_mask,
         )
 
     # ---------------------------------------------------------------- batches
@@ -324,6 +357,7 @@ class TextPathDataset:
 
         cfg = self.cfg
         sh, mc = cfg.shapes, cfg.model
+        # og always ends at the goal (OGDataset, tasks.py:381); sap mixes
         end_type = "pos" if task != "sap" else self._sap_end_type()
         items = [self.get_input(i, end_type) for i in indices]
         b = len(items)
@@ -356,6 +390,11 @@ class TextPathDataset:
                 last = int(it["traj_step_mask"].sum()) - 1
                 ntok = int(it["traj_token_mask"][last].sum())
                 for k in range(ntok):
+                    # only view tokens carry image-class soft labels; object
+                    # tokens (nav_type 2) are masked by the separate obj-MRC
+                    # variant in the reference (tasks.py:164-227)
+                    if it["traj_nav_types"][last, k] == 2:
+                        continue
                     if self.rng.random() < mrc_prob:
                         view_mrc_masks[i, k] = True
                 # soft labels from the provider's per-view class probs
@@ -396,8 +435,8 @@ class TextPathDataset:
             view_probs=jnp.asarray(view_probs),
             global_act_labels=stack("global_act"),
             local_act_labels=stack("local_act"),
-            obj_labels=jnp.zeros((b,), jnp.int32),
-            vp_obj_mask=jnp.zeros((b, v), bool),
+            obj_labels=stack("obj_label"),
+            vp_obj_mask=stack("vp_obj_mask"),
         )
 
     def _sap_end_type(self) -> str:

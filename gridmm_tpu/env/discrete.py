@@ -261,8 +261,13 @@ class DiscreteNavEnv:
 
 
 def synthetic_episodes(world, num: int, seed: int = 0,
-                       max_len: int = 6) -> List[dict]:
-    """Generate GT trajectories as graph shortest paths on a SyntheticWorld."""
+                       max_len: int = 6,
+                       with_objects: bool = False) -> List[dict]:
+    """Generate GT trajectories as graph shortest paths on a SyntheticWorld.
+
+    with_objects=True labels each episode with a goal object visible at the
+    trajectory end (REVERIE-style `objId`, reverie/data_utils.py episodes);
+    episodes whose goal node has no objects are resampled."""
     rng = random.Random(seed)
     scans = world.scans()
     paths_cache = {s: world.graphs[s].all_pairs_paths() for s in scans}
@@ -270,12 +275,15 @@ def synthetic_episodes(world, num: int, seed: int = 0,
     for k in range(num):
         scan = rng.choice(scans)
         vps = list(world.graphs[scan].positions)
-        while True:
+        for _attempt in range(200):
             a, b = rng.sample(vps, 2)
             path = paths_cache[scan][a].get(b)
-            if path and 2 <= len(path) <= max_len:
-                break
-        out.append({
+            if not (path and 2 <= len(path) <= max_len):
+                continue
+            if with_objects and not world.objects(scan, path[-1]):
+                continue
+            break
+        item = {
             "instr_id": f"syn_{k}",
             "path_id": f"syn_{k}",
             "scan": scan,
@@ -284,5 +292,10 @@ def synthetic_episodes(world, num: int, seed: int = 0,
             "instruction": "walk to the goal",
             "instr_encoding": [101] + [rng.randrange(1000, 29000)
                                        for _ in range(rng.randrange(6, 16))] + [102],
-        })
+        }
+        if with_objects:
+            objs = world.objects(scan, path[-1])
+            if objs:
+                item["objId"] = rng.choice(objs)["obj_id"]
+        out.append(item)
     return out

@@ -98,6 +98,82 @@ def test_neg_others_trajectory():
     assert found_off_path
 
 
+def build_object_dataset(seed=0):
+    """REVERIE-style dataset: object tokens + OG labels."""
+    import dataclasses
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, obj_feat_size=128,
+                                  image_prob_size=16),
+        shapes=dataclasses.replace(cfg.shapes, max_obj_len=4))
+    world = SyntheticWorld(num_scans=1, nodes_per_scan=10, feat_dim=128,
+                           seed=seed)
+    eps = synthetic_episodes(world, num=8, seed=seed, max_len=4,
+                             with_objects=True)
+    return cfg, TextPathDataset(eps, world, world.graphs, cfg, seed=seed)
+
+
+def test_og_labels_and_object_tokens():
+    """Object trajectories emit nav_type-2 tokens and a real OG target
+    (ref pretrain_src/data/dataset.py:90-230, tasks.py:381-430)."""
+    cfg, ds = build_object_dataset()
+    got_label = False
+    for i in range(len(ds.data)):
+        it = ds.get_input(i, "pos")
+        s_last = int(it["traj_step_mask"].sum()) - 1
+        obj_tok = it["traj_nav_types"][s_last] == 2
+        # goal node was sampled to have objects
+        assert obj_tok.sum() >= 1
+        # vp_obj_mask mirrors last-step object tokens at +1 ([stop] offset)
+        np.testing.assert_array_equal(
+            it["vp_obj_mask"][1: 1 + len(obj_tok)], obj_tok)
+        lab = int(it["obj_label"])
+        if lab >= 0:
+            got_label = True
+            assert it["vp_obj_mask"][lab]
+    assert got_label
+
+
+def test_og_task_trains():
+    """task_loss('og') on non-degenerate labels is finite and decreases."""
+    import jax
+    import optax
+
+    from gridmm_tpu.models.pretrain import GridMMPretrain
+    from gridmm_tpu.train.pretrain import init_pretrain_params, task_loss
+
+    cfg, ds = build_object_dataset()
+    model = GridMMPretrain(cfg.model)
+    batch = ds.build_batch(list(range(6)), "og")
+    labels = np.asarray(batch.obj_labels)
+    assert (labels >= 0).sum() >= 2, "fixture must have real OG targets"
+    params = init_pretrain_params(model, cfg, jax.random.PRNGKey(0), batch)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    loss0 = None
+    for _ in range(5):
+        loss, grads = jax.value_and_grad(
+            lambda p: task_loss(model, p, batch, "og"))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        loss0 = loss0 if loss0 is not None else float(loss)
+    assert np.isfinite(loss0) and loss0 > 0
+    final = float(task_loss(model, params, batch, "og"))
+    assert final < loss0
+
+
+def test_mrc_never_masks_object_tokens():
+    cfg, ds = build_object_dataset()
+    batch = ds.build_batch(list(range(6)), "mrc")
+    masks = np.asarray(batch.view_mrc_masks)
+    nav_types = np.asarray(batch.traj_nav_types)
+    step_mask = np.asarray(batch.traj_step_mask)
+    for i in range(masks.shape[0]):
+        last = int(step_mask[i].sum()) - 1
+        assert not (masks[i] & (nav_types[i, last] == 2)).any()
+
+
 def test_neg_others_labels_never_visited():
     """The SAP teacher must never label a visited (masked-to--inf) node — an
     infinite loss would poison pretraining (reference restricts the teacher to
