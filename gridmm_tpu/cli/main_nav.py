@@ -32,12 +32,26 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--eval", action="store_true")
-    p.add_argument("--eval_batches", type=int, default=4)
+    p.add_argument("--eval_batches", type=int, default=4,
+                   help="0 = full val split (reference test() wraparound)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true",
                    help="tiny model dims (tests/smoke)")
     p.add_argument("--resume", default=None, help="orbax checkpoint path")
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--feature_backend", choices=["auto", "hdf5", "gmmstore"],
+                   default="auto",
+                   help="gmmstore = mmap stores from cli/convert_store.py "
+                        "(auto uses them when present next to the HDF5 files)")
+    p.add_argument("--aug", default=None,
+                   help="EnvEdit augmented-view HDF5; train views swapped "
+                        "p=0.5 (utils/data.py:22-39, main_nav.py:35-47)")
+    p.add_argument("--dagger_sum", action="store_true",
+                   help="sum teacher+sample losses per iteration "
+                        "(reference DAgger gradient shape)")
+    p.add_argument("--submit", default=None,
+                   help="write leaderboard-format predictions JSON here "
+                        "after the final eval (main_nav.py:246-260)")
     return p.parse_args(argv)
 
 
@@ -56,11 +70,29 @@ def build_synthetic(args, cfg):
     return train_env, val_env
 
 
+def _hdf5_view_bank(path: str, image_feat_size: int):
+    """Aug-view lookup over aug_views.hdf5 (utils/data.py:36 contract)."""
+    import h5py
+
+    cache = {}
+
+    def lookup(scan, vp):
+        key = f"{scan}_{vp}"
+        if key not in cache:
+            with h5py.File(path, "r") as f:
+                cache[key] = f[key][...][:, :image_feat_size].astype(
+                    "float32")
+        return cache[key]
+
+    return lookup
+
+
 def build_real(args, cfg):
     from gridmm_tpu.data.datasets import construct_instrs
     from gridmm_tpu.env.discrete import DiscreteNavEnv
     from gridmm_tpu.env.nav_graph import load_nav_graphs
-    from gridmm_tpu.env.world import Hdf5ObjectWorld, Hdf5World
+    from gridmm_tpu.env.world import (AugmentedViewWorld, GmmStoreWorld,
+                                      Hdf5ObjectWorld, Hdf5World)
 
     ds = args.world.upper()
     root = os.path.join(args.root_dir, ds)
@@ -78,17 +110,33 @@ def build_real(args, cfg):
         os.path.join(feat, "pth_vit_base_patch16_224_imagenet.hdf5"),
         os.path.join(feat, "depth.hdf5"),
         os.path.join(feat, "clip_p32.hdf5"))
+    gmm_files = tuple(os.path.splitext(f)[0] + ".gmm" for f in base_files)
+    use_gmm = args.feature_backend == "gmmstore" or (
+        args.feature_backend == "auto"
+        and all(os.path.exists(f) for f in gmm_files))
     obj_ft = os.path.join(feat, "obj.avg.top3.min80_vit_base_patch16_224.hdf5")
-    if args.world in ("reverie", "soon") and os.path.exists(obj_ft):
+    if use_gmm:
+        # mmap + native prefetch; convert via cli/convert_store.py
+        world = GmmStoreWorld(*gmm_files, vp_info)
+        if args.world in ("reverie", "soon"):
+            print("warning: gmmstore backend has no object store; "
+                  "object grounding disabled")
+    elif args.world in ("reverie", "soon") and os.path.exists(obj_ft):
         world = Hdf5ObjectWorld(*base_files, vp_info, obj_ft_file=obj_ft)
     else:
         if args.world in ("reverie", "soon"):
             print(f"warning: object features not found at {obj_ft}; "
                   "object grounding disabled")
         world = Hdf5World(*base_files, vp_info)
+    # EnvEdit aug bank on the TRAIN env only (main_nav.py:35-47)
+    train_world = world
+    if args.aug:
+        train_world = AugmentedViewWorld(
+            world, _hdf5_view_bank(args.aug, cfg.model.image_feat_size),
+            seed=args.seed)
     scans = {x["scan"] for x in train_data} | {x["scan"] for x in val_data}
     graphs = load_nav_graphs(conn, scans)
-    train_env = DiscreteNavEnv(world, graphs, train_data,
+    train_env = DiscreteNavEnv(train_world, graphs, train_data,
                                batch_size=args.batch_size, seed=args.seed)
     val_env = DiscreteNavEnv(world, graphs, val_data,
                              batch_size=args.batch_size, seed=args.seed,
@@ -116,7 +164,7 @@ def main(argv=None):
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(
             cfg.train, batch_size=args.batch_size, iters=args.iters,
-            log_every=args.log_every))
+            log_every=args.log_every, dagger_sum=args.dagger_sum))
 
     if args.world == "synthetic":
         train_env, val_env = build_synthetic(args, cfg)
@@ -136,9 +184,17 @@ def main(argv=None):
     logger = MetricLogger(os.path.join(args.output_dir, "logs"))
     result = train_navigator(
         cfg, model, agent, val_agent, iters=args.iters,
-        log_every=args.log_every, eval_batches=args.eval_batches,
+        log_every=args.log_every,
+        eval_batches=args.eval_batches or None,  # 0 -> full split
         ckpt_dir=os.path.join(args.output_dir, "ckpts"), logger=logger,
         seed=args.seed)
+    if args.submit and val_agent is not None:
+        # final full-split predictions in leaderboard format
+        # (main_nav.py:246-260 valid() submit JSON)
+        val_agent.params = agent.params
+        _, preds = val_agent.evaluate(None)
+        val_agent.write_submission(preds, args.submit)
+        print(f"wrote {len(preds)} predictions -> {args.submit}")
     print(json.dumps({
         "best_spl": result.best_spl, "best_iter": result.best_iter,
         **{f"final_{k}": v for k, v in result.final_metrics.items()}}))

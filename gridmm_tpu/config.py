@@ -182,6 +182,8 @@ class TrainConfig:
     feat_dropout: float = 0.4      # models/model.py:18
     remat_steps: bool = True       # jax.checkpoint per scan step (memory/flops)
     loss_head: str = "fused"       # CE trains on 'local' ([stop]+candidates)
+    dagger_sum: bool = False       # True = sum teacher+sample losses per iter
+                                   # (reference agent_base.py:164-196 shape)
     # pretrain (pretrain_src/config/r2r_pretrain.json)
     warmup_steps: int = 10000
     num_train_steps: int = 100000

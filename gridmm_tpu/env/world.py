@@ -25,6 +25,22 @@ DEPTH_PATCHES = 49
 DEPTH_PATCH_CENTERS = np.asarray([9 + i * 18 for i in range(7)])
 
 
+def _depth_to_patches(d: np.ndarray) -> np.ndarray:
+    """Normalize any stored depth layout to (12, 49) patch centers.
+
+    Accepts the reference's 36-view store (rows 12..24 are the horizon sweep,
+    r2r/env.py:281-289), our own Hdf5Sink's 12-row store, or records already
+    sliced to patch centers (convert_store --slice-depth-patches)."""
+    if d.ndim == 2 and d.shape == (HORIZON_VIEWS, DEPTH_PATCHES):
+        return d
+    if d.shape[0] == VIEWS_PER_PANO:
+        d = d[HORIZON_VIEWS: 2 * HORIZON_VIEWS]
+    elif d.shape[0] != HORIZON_VIEWS:
+        raise ValueError(f"unrecognized depth layout {d.shape}")
+    d = d[:, DEPTH_PATCH_CENTERS][:, :, DEPTH_PATCH_CENTERS]
+    return d.reshape(HORIZON_VIEWS, DEPTH_PATCHES)
+
+
 class WorldProvider(Protocol):
     """Everything the discrete environment needs about a (scan, viewpoint)."""
 
@@ -92,10 +108,8 @@ class Hdf5World:
 
     def depth_patches(self, scan, vp):
         key = f"{scan}_{vp}"
-        d = self._read("depth", self.depth_file, key)  # (36, 128, 128)
-        d = d[:, DEPTH_PATCH_CENTERS][:, :, DEPTH_PATCH_CENTERS]
-        return d[HORIZON_VIEWS: 2 * HORIZON_VIEWS].reshape(
-            HORIZON_VIEWS, DEPTH_PATCHES)
+        d = self._read("depth", self.depth_file, key)
+        return _depth_to_patches(d)
 
     def grid_features(self, scan, vp):
         key = f"{scan}_{vp}"
@@ -153,6 +167,55 @@ class Hdf5ObjectWorld(Hdf5World):
                         })
                     cache[key] = out
         return cache[key]
+
+
+class GmmStoreWorld:
+    """WorldProvider over gmmstore files (data/store.py): C++ mmap reads with
+    async prefetch instead of per-key h5py opens — the read path SURVEY §6
+    flags as the preprocessing bottleneck. Stores are produced by
+    cli/convert_store.py from the reference HDF5 artifacts."""
+
+    def __init__(self, view_store: str, depth_store: str, grid_store: str,
+                 viewpoint_info: Dict[str, Dict[str, float]],
+                 image_feat_size: int = 768, prefer_native: bool = True):
+        from gridmm_tpu.data.store import open_store
+
+        self._view = open_store(view_store, prefer_native)
+        self._depth = open_store(depth_store, prefer_native)
+        self._grid = open_store(grid_store, prefer_native)
+        self.viewpoint_info = viewpoint_info
+        self.image_feat_size = image_feat_size
+
+    def view_features(self, scan, vp):
+        ft = self._view.get(f"{scan}_{vp}")
+        return ft[:, : self.image_feat_size].astype(np.float32)
+
+    def view_probs(self, scan, vp):
+        ft = self._view.get(f"{scan}_{vp}")
+        if ft.shape[1] <= self.image_feat_size:
+            return None
+        return ft[:, self.image_feat_size:].astype(np.float32)
+
+    def depth_patches(self, scan, vp):
+        return _depth_to_patches(self._depth.get(f"{scan}_{vp}"))
+
+    def grid_features(self, scan, vp):
+        g = self._grid.get(f"{scan}_{vp}")  # (12, 50, W) incl. cls token
+        return g[:, 1:].reshape(-1, g.shape[-1]).astype(np.float32)
+
+    def position(self, scan, vp):
+        info = self.viewpoint_info[f"{scan}_{vp}"]
+        return (info["x"], info["y"], info["z"])
+
+    def prefetch(self, scan_vps: Iterable[Tuple[str, str]]) -> None:
+        """Queue async page-ins for upcoming viewpoints (native reader only)."""
+        keys = [f"{s}_{v}" for s, v in scan_vps]
+        for reader in (self._view, self._depth, self._grid):
+            reader.prefetch(keys)
+
+    def close(self):
+        for reader in (self._view, self._depth, self._grid):
+            reader.close()
 
 
 class AugmentedViewWorld:

@@ -444,18 +444,28 @@ class NavAgent:
         return traj, batch, stats
 
     # ------------------------------------------------------------------ eval
-    def evaluate(self, num_batches: int) -> Tuple[dict, List[dict]]:
-        """Greedy eval over minibatches; dedupes by instr_id
-        (agent_base.py:43-65 test loop)."""
+    def evaluate(self, num_batches: Optional[int] = None
+                 ) -> Tuple[dict, List[dict]]:
+        """Greedy eval with instr_id dedup (agent_base.py:43-65 test loop).
+
+        num_batches=None iterates the WHOLE split to wraparound — reference
+        `test()` semantics; a fixed count is a subsample and should only be
+        used for cheap mid-training probes."""
         preds: Dict[str, dict] = {}
         self.env.reset_epoch(shuffle=False)
-        for _ in range(num_batches):
+        total = self.env.size()
+        batch_size = getattr(self.env, "batch_size", len(self.env._get_obs()))
+        limit = num_batches if num_batches else (
+            -(-total // max(batch_size, 1)) + 1)  # +1 absorbs wraparound
+        for _ in range(limit):
             traj, _, _ = self.rollout(feedback="argmax")
             for item in traj:
                 preds.setdefault(item["instr_id"], {
                     "instr_id": item["instr_id"],
                     "trajectory": item["trajectory"],
                     "pred_obj_id": item.get("pred_obj_id")})
+            if num_batches is None and len(preds) >= total:
+                break
         pred_list = list(preds.values())
         avg, _ = self.env.eval_metrics(pred_list)
         return avg, pred_list

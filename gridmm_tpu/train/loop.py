@@ -36,42 +36,62 @@ def train_navigator(
     val_agent: Optional[NavAgent] = None,
     iters: Optional[int] = None,
     log_every: Optional[int] = None,
-    eval_batches: int = 4,
+    eval_batches: Optional[int] = 4,
     ckpt_dir: Optional[str] = None,
     logger: Optional[MetricLogger] = None,
     seed: int = 0,
 ) -> TrainerResult:
-    """DAgger-style training: alternate teacher-forced and student-sampled
-    rollouts (train_alg=dagger interleaves ml + sample passes,
-    agent_base.py:164-196), each replayed through the scanned trajectory loss.
+    """DAgger-style training, replayed through the scanned trajectory loss.
+
+    cfg.train.dagger_sum=True reproduces the reference gradient shape exactly:
+    one optimizer step per iteration over the SUM of a teacher-forced loss
+    (ml_weight) and a student-sampled loss (weight 1), agent_base.py:164-196.
+    Default (False) alternates the two passes across iterations — half the
+    rollout cost per update, acknowledged schedule drift.
+
+    eval_batches=None evaluates the full val split (reference test() loop).
     """
     iters = iters or cfg.train.iters
     log_every = log_every or cfg.train.log_every
     logger = logger or MetricLogger()
     timer = SectionTimer()
+    dagger_sum = getattr(cfg.train, "dagger_sum", False)
+
+    from gridmm_tpu.train.recollection import pad_to_steps
+    from gridmm_tpu.train.step import make_dagger_step
 
     state = create_train_state(cfg, agent.params)
     train_step = jax.jit(make_train_step(model, cfg))
+    dagger_step = jax.jit(make_dagger_step(model, cfg)) if dagger_sum else None
     rng = jax.random.PRNGKey(seed)
     np_rng = np.random.default_rng(seed)
 
     best_spl, best_iter = -1.0, -1
     final_metrics: Dict[str, float] = {}
 
-    for it in range(1, iters + 1):
-        feedback = "teacher" if it % 2 == 1 else "sample"
-        with timer.section("rollout"):
-            agent.params = state.params
-            _, batch, _ = agent.rollout(feedback=feedback, record=True,
-                                        rng=np_rng)
-        with timer.section("update"):
-            # pad to a fixed step count: variable episode lengths would force
-            # a recompile of the scanned fwd+bwd per distinct length
-            from gridmm_tpu.train.recollection import pad_to_steps
+    def _rollout(feedback):
+        _, batch, _ = agent.rollout(feedback=feedback, record=True,
+                                    rng=np_rng)
+        # pad to a fixed step count: variable episode lengths would force
+        # a recompile of the scanned fwd+bwd per distinct length
+        return pad_to_steps(batch, cfg.train.max_action_len,
+                            cfg.train.ignoreid)
 
-            batch = pad_to_steps(batch, cfg.train.max_action_len,
-                                 cfg.train.ignoreid)
-            state, metrics = train_step(state, batch, rng)
+    for it in range(1, iters + 1):
+        agent.params = state.params
+        if dagger_sum:
+            with timer.section("rollout"):
+                teacher_batch = _rollout("teacher")
+                sample_batch = _rollout("sample")
+            with timer.section("update"):
+                state, metrics = dagger_step(state, teacher_batch,
+                                             sample_batch, rng)
+        else:
+            feedback = "teacher" if it % 2 == 1 else "sample"
+            with timer.section("rollout"):
+                batch = _rollout(feedback)
+            with timer.section("update"):
+                state, metrics = train_step(state, batch, rng)
         logger.log(it, {k: float(v) for k, v in metrics.items()},
                    prefix="train/")
 

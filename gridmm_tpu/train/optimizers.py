@@ -4,9 +4,24 @@ the linear warmup+decay schedule (pretrain_src/optim/sched.py:18-29)."""
 
 from __future__ import annotations
 
+import jax
 import optax
 
 from gridmm_tpu.config import TrainConfig
+
+
+def decay_mask(params):
+    """True where weight decay applies. The reference excludes biases and
+    LayerNorm weights from decay (pretrain_src/optim/misc.py:12-37,
+    no_decay=['bias', 'LayerNorm.weight']); our LayerNorm params live under an
+    `ln` submodule as scale/bias."""
+
+    def decay(path, _leaf):
+        p = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                     for k in path)
+        return not (p.endswith("bias") or p.endswith("scale") or "/ln/" in p)
+
+    return jax.tree_util.tree_map_with_path(decay, params)
 
 
 def warmup_linear_schedule(lr: float, warmup_steps: int,
@@ -25,7 +40,8 @@ def build_optimizer(name: str, cfg: TrainConfig,
     b1, b2 = cfg.betas
     opts = {
         "adamw": lambda: optax.adamw(lr, b1=b1, b2=b2,
-                                     weight_decay=cfg.weight_decay),
+                                     weight_decay=cfg.weight_decay,
+                                     mask=decay_mask),
         "adam": lambda: optax.adam(lr, b1=b1, b2=b2),
         "rms": lambda: optax.rmsprop(lr),
         "sgd": lambda: optax.sgd(lr),

@@ -212,6 +212,7 @@ def trajectory_loss(
     params,
     batch: TrajectoryBatch,
     rng: Optional[jax.Array] = None,
+    ml_weight: Optional[float] = None,
 ):
     """Teacher-forced loss over a full episode, all on device."""
     deterministic = rng is None
@@ -261,8 +262,10 @@ def trajectory_loss(
         step_fn, (init_carry(cfg, b, g), jnp.float32(0.0)),
         (batch.steps, jnp.arange(s)))
 
-    # reference scales by ml_weight / batch_size (agent.py:447)
-    return total * cfg.train.ml_weight / b
+    # reference scales by ml_weight / batch_size (agent.py:447); the DAgger
+    # student-sampled pass uses weight 1.0 (agent_base.py:164-196)
+    w = cfg.train.ml_weight if ml_weight is None else ml_weight
+    return total * w / b
 
 
 def make_train_step(model: GridMMNavigator, cfg: GridMMConfig, tx=None):
@@ -276,6 +279,38 @@ def make_train_step(model: GridMMNavigator, cfg: GridMMConfig, tx=None):
         params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_dagger_step(model: GridMMNavigator, cfg: GridMMConfig, tx=None):
+    """Reference DAgger gradient shape (agent_base.py:164-196): per iteration
+    the teacher-forced loss (weight ml_weight) and the student-sampled-replay
+    loss (weight 1.0) are SUMMED into one optimizer step — not alternated."""
+    tx = tx or make_optimizer(cfg)
+
+    def train_step(state: TrainState, teacher_batch: TrajectoryBatch,
+                   sample_batch: TrajectoryBatch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        r_t, r_s = jax.random.split(rng)
+
+        def total(p):
+            lt = trajectory_loss(model, cfg, p, teacher_batch, r_t)
+            ls = trajectory_loss(model, cfg, p, sample_batch, r_s,
+                                 ml_weight=1.0)
+            return lt + ls, (lt, ls)
+
+        (loss, (lt, ls)), grads = jax.value_and_grad(
+            total, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "loss_teacher": lt,
+            "loss_sample": ls,
             "grad_norm": optax.global_norm(grads),
         }
         return TrainState(params, opt_state, state.step + 1), metrics

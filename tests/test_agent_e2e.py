@@ -86,3 +86,27 @@ def test_rollout_record_replay_training():
         losses.append(float(metrics["loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0], losses
+
+
+def test_full_split_eval_covers_split():
+    """evaluate(None) iterates the whole split with wraparound + dedup
+    (reference agent_base.py:43-65 test() loop)."""
+    cfg, env, model, params, agent = build_all()
+    avg, preds = agent.evaluate(None)
+    assert len(preds) == env.size()
+    ids = [p["instr_id"] for p in preds]
+    assert len(set(ids)) == len(ids)
+
+
+def test_train_loop_dagger_sum():
+    import dataclasses
+
+    from gridmm_tpu.train.loop import train_navigator
+
+    cfg, env, model, params, agent = build_all()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, dagger_sum=True))
+    agent.cfg = cfg
+    result = train_navigator(cfg, model, agent, val_agent=None, iters=2,
+                             log_every=2, seed=0)
+    assert result.best_iter == -1  # no val agent

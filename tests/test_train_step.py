@@ -51,3 +51,52 @@ def test_loss_decreases_under_training():
 
 def test_dryrun_multichip_8():
     dryrun_multichip(8)
+
+
+def test_dagger_step_sums_losses():
+    """make_dagger_step = one update over teacher(ml_weight) + sample(1.0)
+    losses (reference agent_base.py:164-196 gradient shape)."""
+    import dataclasses
+
+    from gridmm_tpu.train.step import make_dagger_step, trajectory_loss
+
+    cfg = _tiny_config()
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    state = create_train_state(cfg, params)
+    tb = synthetic_trajectory_batch(cfg, batch=2, num_steps=2, seed=0)
+    sb = synthetic_trajectory_batch(cfg, batch=2, num_steps=2, seed=1)
+    step = jax.jit(make_dagger_step(model, cfg))
+    rng = jax.random.PRNGKey(3)
+    new_state, metrics = step(state, tb, sb, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(
+        float(metrics["loss"]),
+        float(metrics["loss_teacher"]) + float(metrics["loss_sample"]),
+        rtol=1e-5)
+    # sample pass uses weight 1.0 vs teacher's ml_weight: for identical
+    # batches+rng the deterministic losses differ by exactly that ratio
+    lt = float(trajectory_loss(model, cfg, params, tb))
+    ls = float(trajectory_loss(model, cfg, params, tb, ml_weight=1.0))
+    np.testing.assert_allclose(ls * cfg.train.ml_weight, lt, rtol=1e-5)
+    assert int(new_state.step) == 1
+
+
+def test_decay_mask_excludes_bias_and_layernorm():
+    from gridmm_tpu.train.optimizers import decay_mask
+
+    cfg = _tiny_config()
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    mask = decay_mask(params)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    n_decay = n_skip = 0
+    for path, decays in flat:
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        if p.endswith("bias") or "/ln/" in p:
+            assert not decays, p
+            n_skip += 1
+        elif p.endswith("kernel") or p.endswith("embedding"):
+            assert decays, p
+            n_decay += 1
+    assert n_decay > 10 and n_skip > 10

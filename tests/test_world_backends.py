@@ -1,0 +1,186 @@
+"""World-provider backends: depth-layout round-trip + gmmstore provider parity.
+
+Covers VERDICT round-1 weak #4 (Hdf5Sink writes 12-row depth that Hdf5World
+couldn't read back) and weak #5 (gmmstore built but unused by any provider).
+"""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from gridmm_tpu.env.world import (DEPTH_PATCHES, GmmStoreWorld,  # noqa: E402
+                                  HORIZON_VIEWS, Hdf5World,
+                                  _depth_to_patches)
+
+h5py = pytest.importorskip("h5py")
+
+D = 32
+SCAN, VP = "scanRT", "vp000"
+KEY = f"{SCAN}_{VP}"
+
+
+def test_depth_to_patches_layouts():
+    rng = np.random.default_rng(0)
+    d36 = rng.integers(0, 9000, (36, 128, 128)).astype(np.uint16)
+    p_ref = _depth_to_patches(d36)
+    assert p_ref.shape == (HORIZON_VIEWS, DEPTH_PATCHES)
+    # 12-row store (our Hdf5Sink) of the same horizon rows -> identical
+    np.testing.assert_array_equal(_depth_to_patches(d36[12:24]), p_ref)
+    # pre-sliced (12, 49) records (convert_store --slice-depth-patches)
+    np.testing.assert_array_equal(_depth_to_patches(p_ref), p_ref)
+    with pytest.raises(ValueError):
+        _depth_to_patches(d36[:5])
+
+
+def _write_fixture_stores(root, rng):
+    views = rng.standard_normal((36, D)).astype(np.float32)
+    depth36 = rng.integers(100, 9000, (36, 128, 128)).astype(np.uint16)
+    grid = rng.standard_normal((12, 50, D)).astype(np.float16)
+    with h5py.File(root / "views.hdf5", "w") as f:
+        f[KEY] = views
+    with h5py.File(root / "depth.hdf5", "w") as f:
+        f[KEY] = depth36
+    with h5py.File(root / "grid.hdf5", "w") as f:
+        f[KEY] = grid
+    vp_info = {KEY: {"x": 1.0, "y": 2.0, "z": 0.5}}
+    return views, depth36, grid, vp_info
+
+
+def test_sink_world_roundtrip(tmp_path):
+    """Artifacts produced by our own preprocess sink are readable by our own
+    world provider (round-1 VERDICT: 12-row depth crashed the 36-row slice)."""
+    from gridmm_tpu.data.preprocess import (ClipFeatureExtractor, Hdf5Sink,
+                                            synthetic_renderer)
+    from gridmm_tpu.models.clip_vit import ClipVisionConfig
+
+    cfg = ClipVisionConfig(input_resolution=64, patch_size=32, width=D,
+                           layers=1, heads=4, compute_dtype="float32")
+    ex = ClipFeatureExtractor(cfg, batch_panos=2)
+    sink = Hdf5Sink(str(tmp_path / "clip.hdf5"), str(tmp_path / "depth.hdf5"))
+    vps = [(SCAN, VP)]
+    ex.run(synthetic_renderer(vps, resolution=64), sink)
+    sink.close()
+
+    # view store is produced separately in the reference; fake one
+    rng = np.random.default_rng(1)
+    with h5py.File(tmp_path / "views.hdf5", "w") as f:
+        f[KEY] = rng.standard_normal((36, D)).astype(np.float32)
+    world = Hdf5World(str(tmp_path / "views.hdf5"),
+                      str(tmp_path / "depth.hdf5"),
+                      str(tmp_path / "clip.hdf5"),
+                      {KEY: {"x": 0.0, "y": 0.0, "z": 0.0}},
+                      image_feat_size=D)
+    dp = world.depth_patches(SCAN, VP)
+    assert dp.shape == (HORIZON_VIEWS, DEPTH_PATCHES)
+    gf = world.grid_features(SCAN, VP)
+    # tiny CLIP: (input/patch)^2 grid tokens per view after stripping cls
+    assert gf.shape == (12 * (cfg.num_tokens - 1), D)
+    assert np.isfinite(gf).all()
+
+
+def test_gmmstore_world_matches_hdf5(tmp_path):
+    """GmmStoreWorld over converted stores returns byte-identical features to
+    Hdf5World over the source HDF5 artifacts."""
+    from gridmm_tpu.cli.convert_store import main as convert
+
+    rng = np.random.default_rng(2)
+    views, depth36, grid, vp_info = _write_fixture_stores(tmp_path, rng)
+    h5 = Hdf5World(str(tmp_path / "views.hdf5"), str(tmp_path / "depth.hdf5"),
+                   str(tmp_path / "grid.hdf5"), vp_info, image_feat_size=D)
+
+    convert(["--input", str(tmp_path / "views.hdf5"),
+             "--output", str(tmp_path / "views.gmm")])
+    convert(["--input", str(tmp_path / "depth.hdf5"),
+             "--output", str(tmp_path / "depth.gmm"),
+             "--slice-depth-patches"])
+    convert(["--input", str(tmp_path / "grid.hdf5"),
+             "--output", str(tmp_path / "grid.gmm")])
+    gw = GmmStoreWorld(str(tmp_path / "views.gmm"),
+                       str(tmp_path / "depth.gmm"),
+                       str(tmp_path / "grid.gmm"), vp_info,
+                       image_feat_size=D)
+
+    np.testing.assert_array_equal(gw.view_features(SCAN, VP),
+                                  h5.view_features(SCAN, VP))
+    np.testing.assert_array_equal(gw.depth_patches(SCAN, VP),
+                                  h5.depth_patches(SCAN, VP))
+    np.testing.assert_array_equal(gw.grid_features(SCAN, VP),
+                                  h5.grid_features(SCAN, VP))
+    assert gw.position(SCAN, VP) == h5.position(SCAN, VP)
+    gw.prefetch([(SCAN, VP)])  # native prefetch is a no-op on the fallback
+    gw.close()
+
+
+def test_main_nav_auto_picks_gmmstore(tmp_path, monkeypatch):
+    """--feature_backend auto selects gmmstore when converted files exist."""
+    from gridmm_tpu.cli.main_nav import build_real, parse_args
+    from gridmm_tpu.cli.convert_store import main as convert
+    from gridmm_tpu.env.world import SyntheticWorld
+    from gridmm_tpu.data.preprocess import extract_viewpoint_info
+
+    # reference directory layout: ROOT/R2R/{features,connectivity,annotations}
+    root = tmp_path / "R2R"
+    feat = root / "features"
+    conn = root / "connectivity"
+    anno = root / "annotations"
+    for p in (feat, conn, anno):
+        p.mkdir(parents=True)
+
+    world = SyntheticWorld(num_scans=1, nodes_per_scan=6, feat_dim=D, seed=3)
+    scan = world.scans()[0]
+    g = world.graphs[scan]
+    rng = np.random.default_rng(3)
+    names = ["pth_vit_base_patch16_224_imagenet.hdf5", "depth.hdf5",
+             "clip_p32.hdf5"]
+    with h5py.File(feat / names[0], "w") as fv, \
+            h5py.File(feat / names[1], "w") as fd, \
+            h5py.File(feat / names[2], "w") as fg:
+        for vp in g.positions:
+            key = f"{scan}_{vp}"
+            fv[key] = world.view_features(scan, vp)
+            fd[key] = rng.integers(100, 9000, (36, 128, 128)).astype(np.uint16)
+            fg[key] = rng.standard_normal((12, 50, D)).astype(np.float16)
+    (feat / "viewpoint_info.json").write_text(
+        json.dumps(extract_viewpoint_info(world.graphs)))
+    # connectivity json
+    items = []
+    vps = list(g.positions)
+    for vp in vps:
+        pose = [0.0] * 16
+        pose[3], pose[7], pose[11] = g.positions[vp]
+        items.append({"image_id": vp, "included": True,
+                      "unobstructed": [n in g.neighbors(vp) for n in vps],
+                      "pose": pose, "height": 1.5})
+    (conn / f"{scan}_connectivity.json").write_text(json.dumps(items))
+    # annotations
+    from gridmm_tpu.env.discrete import synthetic_episodes
+
+    eps = synthetic_episodes(world, num=4, seed=3, max_len=3)
+    (anno / "R2R_train_enc.json").write_text(json.dumps(eps))
+    (anno / "R2R_val_unseen_enc.json").write_text(json.dumps(eps))
+
+    for name in names:
+        cargs = ["--input", str(feat / name),
+                 "--output", str(feat / name.replace(".hdf5", ".gmm"))]
+        if name == "depth.hdf5":
+            cargs.append("--slice-depth-patches")
+        convert(cargs)
+
+    import dataclasses
+
+    from gridmm_tpu.config import tiny_config
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, image_feat_size=D))
+    args = parse_args(["--world", "r2r", "--root_dir", str(tmp_path),
+                       "--batch_size", "2", "--tiny"])
+    train_env, val_env = build_real(args, cfg)
+    assert type(train_env.world).__name__ == "GmmStoreWorld"
+    obs = train_env.reset()
+    assert len(obs) == 2 and obs[0]["feature"].shape[1] >= D
