@@ -3,10 +3,11 @@
 The reference uses frozen external towers — a ddppo ResNet50 for depth and a
 TorchVision ResNet for RGB (VLN_CE/.../models/encoders/*, loaded in
 Policy_ViewSelection_GridMap.__init__). Those are feature extractors with
-fixed output contracts ((2048,7,7) rgb / (128,4,4) depth); here the default
-implementation is a compact strided-conv flax tower with the same output
-contract, and any callable with that contract can be swapped in (e.g. imported
-frozen weights).
+fixed output contracts ((2048,7,7) rgb / (128,4,4) depth). This module holds
+compact strided-conv stand-ins for smoke-scale training; the faithful frozen
+towers (TorchVision ResNet50 + ddppo GroupNorm ResNet50, with released-weight
+importers) live in models/resnet.py and are wired by ce/factory.py at full
+scale (tiny=False).
 """
 
 from __future__ import annotations

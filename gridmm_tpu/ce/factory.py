@@ -54,8 +54,17 @@ def build_ce_agent(img: int = 56, depth_sz: int = 256, tiny: bool = True,
     nav_params = init_navigator(navigator, cfg.shapes, key)
 
     wp = WaypointPredictor(wp_cfg)
-    rgb_tower = RgbTower(out_ch=wp_cfg.rgb_feat_dim // 49, grid=7)
-    depth_tower = DepthTower(out_ch=128)
+    if tiny:
+        rgb_tower = RgbTower(out_ch=wp_cfg.rgb_feat_dim // 49, grid=7)
+        depth_tower = DepthTower(out_ch=128)
+    else:
+        # the reference's frozen towers: TorchVision ResNet50 (2048*7*7) and
+        # ddppo GroupNorm ResNet50 (128*4*4) — models/resnet.py
+        from gridmm_tpu.models.resnet import (DdppoDepthEncoder,
+                                              RgbResNet50Tower)
+
+        rgb_tower = RgbResNet50Tower()
+        depth_tower = DdppoDepthEncoder()
     rgb0 = jnp.zeros((12, img, img, 3), jnp.uint8)
     dep0 = jnp.zeros((12, depth_sz, depth_sz, 1))
     rgb_params = rgb_tower.init(jax.random.fold_in(key, 1), rgb0)
@@ -75,3 +84,66 @@ def build_ce_agent(img: int = 56, depth_sz: int = 256, tiny: bool = True,
                     rgb_tower=rgb_tower, rgb_params=rgb_params,
                     depth_tower=depth_tower, depth_params=depth_params)
     return cfg, agent
+
+
+def load_ce_released_weights(agent, waypoint_ckpt=None, navigator_ckpt=None,
+                             clip_ckpt=None, rgb_resnet_sd=None,
+                             ddppo_sd=None, use_rgb_waypoint: bool = True):
+    """Import the released-artifact set the reference trainer assembles
+    (base_il_trainer.py:80-117 + gridmap/vlnbert_init.py:11-65):
+
+      waypoint_ckpt   check_val_best_avg_wayscore (R2R) /
+                      check_cwp_bestdist_hfov79 (RxR depth-only) — either the
+                      loaded dict or a path; state_dict nested under
+                      ['predictor']['state_dict']
+      navigator_ckpt  grid_map.pt state_dict (fine-tuned GridMM navigator)
+      clip_ckpt       ViT-B-32.pt visual tower state_dict
+      rgb_resnet_sd   torchvision resnet50 state_dict
+      ddppo_sd        gibson ddppo visual_encoder state_dict (already stripped
+                      to the visual_encoder scope like resnet_encoders.py:38-48)
+
+    Any argument left None keeps that component's current params. Mutates and
+    returns the agent."""
+    from gridmm_tpu.utils import checkpoint as CK
+
+    def _load(obj):
+        if isinstance(obj, (str,)):
+            import torch
+
+            return torch.load(obj, map_location="cpu")
+        return obj
+
+    if waypoint_ckpt is not None:
+        ckpt = _load(waypoint_ckpt)
+        sd = ckpt.get("predictor", {}).get("state_dict", ckpt) \
+            if isinstance(ckpt, dict) else ckpt
+        agent.wp_params, report = CK.import_torch_waypoint(
+            sd, agent.wp_params, num_layers=agent.waypoint.cfg.num_layers,
+            use_rgb=use_rgb_waypoint)
+        if report["unfilled_flax_leaves"]:
+            raise ValueError(
+                f"waypoint import left leaves unfilled: "
+                f"{report['unfilled_flax_leaves']}")
+    if navigator_ckpt is not None:
+        sd = _load(navigator_ckpt)
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+        agent.nav_params, _ = CK.import_torch_navigator(
+            sd, agent.nav_params,
+            num_l_layers=agent.cfg.model.num_l_layers,
+            num_x_layers=agent.cfg.model.num_x_layers,
+            num_pano_layers=agent.cfg.model.num_pano_layers,
+            has_obj=agent.cfg.model.obj_feat_size > 0)
+    if clip_ckpt is not None:
+        agent.clip_params = CK.import_torch_clip_visual(
+            _load(clip_ckpt), agent.clip_params)
+    if rgb_resnet_sd is not None:
+        from gridmm_tpu.models.resnet import import_torchvision_resnet50
+
+        agent.rgb_params = import_torchvision_resnet50(
+            _load(rgb_resnet_sd), agent.rgb_params)
+    if ddppo_sd is not None:
+        from gridmm_tpu.models.resnet import import_ddppo_depth_encoder
+
+        agent.depth_params = import_ddppo_depth_encoder(
+            _load(ddppo_sd), agent.depth_params)
+    return agent

@@ -29,6 +29,7 @@ class WaypointConfig:
     n_classes: int = 12          # distance bins
     num_layers: int = 2
     num_heads: int = 12
+    intermediate_size: int = 3072  # BertConfig() default (TRM_net.py:38-44)
     neighbor: int = 1            # attention neighborhood radius
     heatmap_offset: int = 5      # each view points at the agent heading
     rgb_feat_dim: int = 2048 * 7 * 7     # flattened ResNet feature
@@ -60,16 +61,18 @@ class WaypointPredictor(nn.Module):
         if c.use_rgb:
             rgb_x = jax.nn.relu(_dense(c.hidden_dim, "visual_fc_rgb")(
                 rgb_feats.reshape(bsi * c.num_imgs, -1)))
+            vis = jnp.concatenate([rgb_x, depth_x], axis=-1)
+            vis = jax.nn.relu(_dense(c.hidden_dim, "visual_merge")(vis))
         else:
-            # depth-only variant merges depth with itself (TRM_net.py:152-156)
-            rgb_x = depth_x
-        vis = jnp.concatenate([rgb_x, depth_x], axis=-1)
-        vis = jax.nn.relu(_dense(c.hidden_dim, "visual_merge")(vis))
+            # depth-only variant feeds depth_x straight to the transformer —
+            # visual_merge exists in the released ckpt but is NOT applied
+            # (TRM_net.py:146-156 vis_x = depth_x)
+            vis = depth_x
         vis = vis.reshape(bsi, c.num_imgs, c.hidden_dim)
 
         bert_cfg = ModelConfig(
             hidden_size=c.hidden_dim, num_attention_heads=c.num_heads,
-            intermediate_size=3072, hidden_dropout_prob=0.3,
+            intermediate_size=c.intermediate_size, hidden_dropout_prob=0.3,
             attention_probs_dropout_prob=0.1)
         mask = neighbor_attention_mask(c.num_imgs, c.neighbor)
         bias = (1.0 - mask.astype(jnp.float32)) * -10000.0
@@ -77,6 +80,9 @@ class WaypointPredictor(nn.Module):
         for i in range(c.num_layers):
             vis = BertLayer(bert_cfg, name=f"layer_{i}")(
                 vis, bias, deterministic)
+        # WaypointBert drops out the sequence output before classification
+        # (waypoint_bert.py WaypointBert.forward, p=hidden_dropout_prob)
+        vis = nn.Dropout(0.3)(vis, deterministic=deterministic)
 
         per_img = c.num_angles // c.num_imgs
         logits = _dense(c.hidden_dim, "cls_hidden")(vis)

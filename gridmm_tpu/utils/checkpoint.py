@@ -302,19 +302,23 @@ def remap_pretrain_to_navigator(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def import_torch_navigator(
-    state_dict: Dict[str, Any],
-    template_params: dict,
-    num_l_layers=9, num_x_layers=4, num_pano_layers=2, has_obj=False,
-    strict: bool = False,
-) -> Tuple[dict, Dict[str, List[str]]]:
-    """Map a reference GlocalTextPathNavCMT state_dict onto our param tree.
+def _leaf_paths(tree, prefix=""):
+    out = []
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out += _leaf_paths(v, p)
+        else:
+            out.append(p)
+    return out
+
+
+def _apply_rules(sd: Dict[str, Any], rules, template_params: dict,
+                 strict: bool = False) -> Tuple[dict, Dict[str, List[str]]]:
+    """Apply (torch key, flax path, transform) rules onto a param tree copy.
 
     Returns (params, report) where report lists torch keys not consumed and
     flax leaves not filled (kept from the template)."""
-    sd = _strip_prefixes(state_dict)
-    rules = navigator_rules(num_l_layers, num_x_layers, num_pano_layers,
-                            has_obj)
     params = jax.tree_util.tree_map(np.asarray, template_params)
     inner = params["params"] if "params" in params else params
 
@@ -334,23 +338,73 @@ def import_torch_navigator(
         used.add(src)
         filled.add(dst)
 
-    def leaf_paths(tree, prefix=""):
-        out = []
-        for k, v in tree.items():
-            p = f"{prefix}/{k}" if prefix else k
-            if isinstance(v, dict):
-                out += leaf_paths(v, p)
-            else:
-                out.append(p)
-        return out
-
     report = {
         "unused_torch_keys": sorted(set(sd) - used),
-        "unfilled_flax_leaves": sorted(set(leaf_paths(inner)) - filled),
+        "unfilled_flax_leaves": sorted(set(_leaf_paths(inner)) - filled),
     }
     if strict and report["unfilled_flax_leaves"]:
         raise ValueError(f"unfilled leaves: {report['unfilled_flax_leaves']}")
     return params, report
+
+
+def import_torch_navigator(
+    state_dict: Dict[str, Any],
+    template_params: dict,
+    num_l_layers=9, num_x_layers=4, num_pano_layers=2, has_obj=False,
+    strict: bool = False,
+) -> Tuple[dict, Dict[str, List[str]]]:
+    """Map a reference GlocalTextPathNavCMT state_dict onto our param tree."""
+    sd = _strip_prefixes(state_dict)
+    rules = navigator_rules(num_l_layers, num_x_layers, num_pano_layers,
+                            has_obj)
+    return _apply_rules(sd, rules, template_params, strict)
+
+
+def waypoint_rules(num_layers: int = 2,
+                   use_rgb: bool = True) -> List[Tuple[str, str, str]]:
+    """Key map for the frozen waypoint-predictor checkpoints
+    (VLN_CE/waypoint_prediction/TRM_net.py BinaryDistPredictor_TRM /
+    DepthDistPredictor_TRM, loaded at base_il_trainer.py:96-117; state_dict
+    lives under ckpt['predictor']['state_dict'])."""
+    r: List[Tuple[str, str, str]] = [
+        # nn.Sequential(Flatten, Linear, ReLU) -> Linear at index 1
+        ("visual_fc_depth.1.weight", "visual_fc_depth/kernel", "T"),
+        ("visual_fc_depth.1.bias", "visual_fc_depth/bias", ""),
+    ]
+    if use_rgb:
+        r += [
+            ("visual_fc_rgb.1.weight", "visual_fc_rgb/kernel", "T"),
+            ("visual_fc_rgb.1.bias", "visual_fc_rgb/bias", ""),
+            ("visual_merge.0.weight", "visual_merge/kernel", "T"),
+            ("visual_merge.0.bias", "visual_merge/bias", ""),
+        ]
+    for i in range(num_layers):
+        r += _bert_layer_rules(f"waypoint_TRM.bert.encoder.layer.{i}",
+                               f"layer_{i}")
+    r += [
+        ("vis_classifier.0.weight", "cls_hidden/kernel", "T"),
+        ("vis_classifier.0.bias", "cls_hidden/bias", ""),
+        ("vis_classifier.2.weight", "cls_out/kernel", "T"),
+        ("vis_classifier.2.bias", "cls_out/bias", ""),
+    ]
+    return r
+
+
+def import_torch_waypoint(
+    state_dict: Dict[str, Any],
+    template_params: dict,
+    num_layers: int = 2,
+    use_rgb: bool = True,
+    strict: bool = False,
+) -> Tuple[dict, Dict[str, List[str]]]:
+    """Released waypoint ckpt (TRM_net key space) -> WaypointPredictor params.
+
+    Pass ckpt['predictor']['state_dict'] for the released files. The depth-only
+    (RxR) checkpoint also carries visual_merge/mergefeats_LayerNorm weights the
+    reference forward never applies — they are reported unused, not errors."""
+    sd = _strip_prefixes(state_dict)
+    rules = waypoint_rules(num_layers, use_rgb)
+    return _apply_rules(sd, rules, template_params, strict)
 
 
 def import_torch_clip_visual(state_dict: Dict[str, Any], template_params: dict,

@@ -6,6 +6,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -67,3 +68,139 @@ def test_nms_circular_suppression():
                                   sigma=(4.0, 4.0)))
     assert out[0, 0, 5] > 0
     assert out[0, 118, 5] == 0
+
+
+# ------------------------------------------------- released-ckpt import parity
+def _build_torch_trm(use_rgb, hidden=64, heads=4, inter=128, layers=2,
+                     rgb_dim=96, depth_dim=48, n_classes=12, num_angles=120,
+                     num_imgs=12):
+    """State-dict-compatible torch replica of TRM_net.py Binary/DepthDist
+    predictors (key space of the released waypoint checkpoints)."""
+    import math as _math
+
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+    tnn = torch.nn
+
+    class TSelf(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.query = tnn.Linear(hidden, hidden)
+            self.key = tnn.Linear(hidden, hidden)
+            self.value = tnn.Linear(hidden, hidden)
+
+        def forward(self, x, bias):
+            b, l, _ = x.shape
+            hd = hidden // heads
+
+            def split(t):
+                return t.view(b, l, heads, hd).permute(0, 2, 1, 3)
+
+            q, k, v = split(self.query(x)), split(self.key(x)), \
+                split(self.value(x))
+            s = q @ k.transpose(-1, -2) / _math.sqrt(hd) + bias
+            return (torch.softmax(s, -1) @ v).permute(0, 2, 1, 3).reshape(
+                b, l, hidden)
+
+    class TLayer(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.attention = tnn.Module()
+            self.attention.self = TSelf()
+            self.attention.output = tnn.Module()
+            self.attention.output.dense = tnn.Linear(hidden, hidden)
+            self.attention.output.LayerNorm = tnn.LayerNorm(hidden, eps=1e-12)
+            self.intermediate = tnn.Module()
+            self.intermediate.dense = tnn.Linear(hidden, inter)
+            self.output = tnn.Module()
+            self.output.dense = tnn.Linear(inter, hidden)
+            self.output.LayerNorm = tnn.LayerNorm(hidden, eps=1e-12)
+
+        def forward(self, x, bias):
+            a = self.attention.output.LayerNorm(
+                self.attention.output.dense(self.attention.self(x, bias)) + x)
+            h = torch.nn.functional.gelu(self.intermediate.dense(a))
+            return self.output.LayerNorm(self.output.dense(h) + a)
+
+    class TTRM(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            per_img = num_angles // num_imgs
+            if use_rgb:
+                self.visual_fc_rgb = tnn.Sequential(
+                    tnn.Flatten(), tnn.Linear(rgb_dim, hidden),
+                    tnn.ReLU(True))
+                self.visual_merge = tnn.Sequential(
+                    tnn.Linear(hidden * 2, hidden), tnn.ReLU(True))
+            self.visual_fc_depth = tnn.Sequential(
+                tnn.Flatten(), tnn.Linear(depth_dim, hidden), tnn.ReLU(True))
+            self.waypoint_TRM = tnn.Module()
+            self.waypoint_TRM.bert = tnn.Module()
+            self.waypoint_TRM.bert.encoder = tnn.Module()
+            self.waypoint_TRM.bert.encoder.layer = tnn.ModuleList(
+                [TLayer() for _ in range(layers)])
+            self.vis_classifier = tnn.Sequential(
+                tnn.Linear(hidden, hidden), tnn.ReLU(),
+                tnn.Linear(hidden, n_classes * per_img))
+
+        def forward(self, rgb, depth):
+            bsi = depth.shape[0] // num_imgs
+            depth_x = self.visual_fc_depth(depth).reshape(bsi, num_imgs, -1)
+            if use_rgb:
+                rgb_x = self.visual_fc_rgb(rgb).reshape(bsi, num_imgs, -1)
+                vis = self.visual_merge(torch.cat((rgb_x, depth_x), -1))
+            else:
+                vis = depth_x  # TRM_net.py:146-156 — merge NOT applied
+            # circular neighbor mask, additive -10000 outside
+            idx = torch.arange(num_imgs)
+            diff = (idx[None] - idx[:, None]).abs()
+            diff = torch.minimum(diff, num_imgs - diff)
+            bias = (~(diff <= 1)).float() * -10000.0
+            bias = bias[None, None]
+            for lyr in self.waypoint_TRM.bert.encoder.layer:
+                vis = lyr(vis, bias)
+            logits = self.vis_classifier(vis).reshape(
+                bsi, num_angles, n_classes)
+            return torch.cat((logits[:, 5:], logits[:, :5]), 1)
+
+    return TTRM()
+
+
+@pytest.mark.parametrize("use_rgb", [True, False])
+def test_waypoint_import_matches_torch(use_rgb):
+    """import_torch_waypoint over a TRM_net-key-space state_dict reproduces
+    the torch heatmap to float tolerance (base_il_trainer.py:96-117 ckpts)."""
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+
+    from gridmm_tpu.utils.checkpoint import import_torch_waypoint
+
+    rgb_dim, depth_dim = 96, 48
+    tm = _build_torch_trm(use_rgb, rgb_dim=rgb_dim, depth_dim=depth_dim)
+    tm.eval()
+    cfg = WaypointConfig(hidden_dim=64, num_heads=4, num_layers=2,
+                         intermediate_size=128, rgb_feat_dim=rgb_dim,
+                         depth_feat_dim=depth_dim, use_rgb=use_rgb)
+    model = WaypointPredictor(cfg)
+    rng = np.random.default_rng(0)
+    rgb = rng.standard_normal((24, rgb_dim)).astype(np.float32)
+    depth = rng.standard_normal((24, depth_dim)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(rgb),
+                        jnp.asarray(depth))
+
+    sd = tm.state_dict()
+    params, report = import_torch_waypoint(sd, params, num_layers=2,
+                                           use_rgb=use_rgb)
+    assert not report["unfilled_flax_leaves"], report
+    if not use_rgb:
+        # depth-only ckpts carry merge weights the forward never applies
+        assert all(k.startswith(("visual_merge", "mergefeats"))
+                   for k in report["unused_torch_keys"])
+
+    ours = np.asarray(model.apply(params, jnp.asarray(rgb),
+                                  jnp.asarray(depth)))
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(rgb), torch.from_numpy(depth)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
