@@ -10,6 +10,7 @@ space (Policy:620-627)."""
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional
 
 import jax
@@ -160,3 +161,104 @@ class CETrainer:
                                         feedback="argmax")
         keys = all_m[0].keys()
         return {k: float(np.mean([m[k] for m in all_m])) for k in keys}
+
+    # ------------------------------------------------------------- inference
+    def inference(self, env: ContinuousEnv, predictions_file: str,
+                  fmt: str = "r2r", batches: int = 1,
+                  max_steps: int = 6) -> int:
+        """Greedy rollouts -> leaderboard predictions file
+        (base_il_trainer.inference, :915+/1336-1367).
+
+        fmt='r2r': JSON {episode_id: [{"position": [x, y], "stop": bool}]}
+        fmt='rxr': jsonlines of {"instruction_id", "path"} with consecutive
+        duplicate positions dropped, sorted by instruction_id."""
+        import json
+
+        episode_predictions: Dict[str, list] = {}
+        instruction_ids: Dict[str, int] = {}
+        for _ in range(batches):
+            self.agent.rollout(env, max_steps=max_steps, feedback="argmax")
+            obs = env.observations()
+            for i, ob in enumerate(obs):
+                if ob.episode_id in episode_predictions:
+                    continue
+                path = [[float(c) for c in p] for p in env.paths[i]]
+                episode_predictions[ob.episode_id] = [
+                    {"position": p, "stop": j == len(path) - 1}
+                    for j, p in enumerate(path)]
+                try:
+                    instruction_ids[ob.episode_id] = int(ob.episode_id)
+                except ValueError:
+                    instruction_ids[ob.episode_id] = len(instruction_ids)
+
+        if fmt == "r2r":
+            with open(predictions_file, "w") as f:
+                json.dump(episode_predictions, f, indent=2)
+        else:  # rxr-habitat leaderboard format
+            out = []
+            for eid, infos in episode_predictions.items():
+                path = [infos[0]["position"]]
+                for rec in infos[1:]:
+                    if path[-1] != rec["position"]:
+                        path.append(rec["position"])
+                out.append({"instruction_id": instruction_ids[eid],
+                            "path": path})
+            out.sort(key=lambda x: x["instruction_id"])
+            with open(predictions_file, "w") as f:
+                for rec in out:
+                    f.write(json.dumps(rec) + "\n")
+        return len(episode_predictions)
+
+
+def poll_checkpoint_dir(ckpt_dir: str, prev_index: int) -> Optional[str]:
+    """Next unevaluated checkpoint in a folder, ordered by the trailing
+    number in the entry name then mtime (habitat's poll_checkpoint_folder
+    behavior used at base_il_trainer.py:896-912). None if not yet written."""
+    import os
+    import re
+
+    if not os.path.isdir(ckpt_dir):
+        return None
+
+    def order(name):
+        m = re.search(r"(\d+)(?!.*\d)", name)
+        return (int(m.group(1)) if m else -1,
+                os.path.getmtime(os.path.join(ckpt_dir, name)))
+
+    entries = sorted(os.listdir(ckpt_dir), key=order)
+    if prev_index + 1 < len(entries):
+        return os.path.join(ckpt_dir, entries[prev_index + 1])
+    return None
+
+
+def evaluate_checkpoints_polling(trainer: CETrainer, env: ContinuousEnv,
+                                 ckpt_dir: str, batches: int = 1,
+                                 max_steps: int = 6,
+                                 poll_seconds: float = 2.0,
+                                 timeout_seconds: float = 0.0
+                                 ) -> List[Dict[str, float]]:
+    """Evaluate checkpoints as they appear in ckpt_dir
+    (base_il_trainer.eval(), :896-912: sleep-and-poll loop). Stops once no
+    new checkpoint shows up within timeout_seconds (0 = single sweep)."""
+    import time
+
+    from gridmm_tpu.utils.checkpoint import restore_checkpoint
+
+    results: List[Dict[str, float]] = []
+    prev = -1
+    deadline = time.monotonic() + timeout_seconds
+    while True:
+        ckpt = poll_checkpoint_dir(ckpt_dir, prev)
+        if ckpt is None:
+            if time.monotonic() >= deadline:
+                break
+            time.sleep(poll_seconds)
+            continue
+        prev += 1
+        trainer.agent.nav_params = restore_checkpoint(
+            os.path.abspath(ckpt), trainer.agent.nav_params)
+        metrics = trainer.evaluate(env, batches=batches, max_steps=max_steps)
+        metrics["checkpoint"] = ckpt
+        results.append(metrics)
+        deadline = time.monotonic() + timeout_seconds
+    return results

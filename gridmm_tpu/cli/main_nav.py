@@ -128,6 +128,13 @@ def build_real(args, cfg):
             print(f"warning: object features not found at {obj_ft}; "
                   "object grounding disabled")
         world = Hdf5World(*base_files, vp_info)
+    # SOON: derive object pseudo-labels from the GT bbox polygons
+    # (soon/env.py:331-424 scoring contract; og teacher needs gt_obj_id)
+    if args.world == "soon" and hasattr(world, "objects"):
+        from gridmm_tpu.data.datasets import soon_pseudo_obj_labels
+
+        soon_pseudo_obj_labels(train_data, world)
+        soon_pseudo_obj_labels(val_data, world)
     # EnvEdit aug bank on the TRAIN env only (main_nav.py:35-47)
     train_world = world
     if args.aug:

@@ -16,7 +16,8 @@ import json
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--run-type", choices=["train", "eval"], default="train")
+    p.add_argument("--run-type", choices=["train", "eval", "inference"],
+                   default="train")
     p.add_argument("--env", choices=["synthetic", "habitat"],
                    default="synthetic")
     p.add_argument("--epochs", type=int, default=1)
@@ -25,6 +26,15 @@ def parse_args(argv=None):
     p.add_argument("--max_steps", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output_dir", default="runs/ce")
+    p.add_argument("--predictions_file", default=None,
+                   help="inference output (INFERENCE.PREDICTIONS_FILE)")
+    p.add_argument("--predictions_format", choices=["r2r", "rxr"],
+                   default="r2r")
+    p.add_argument("--poll_ckpt_dir", default=None,
+                   help="eval mode: evaluate checkpoints appearing in this "
+                        "folder (base_il_trainer.py:896-912 polling loop)")
+    p.add_argument("--poll_timeout", type=float, default=0.0,
+                   help="stop after this many seconds without a new ckpt")
     return p.parse_args(argv)
 
 
@@ -45,6 +55,17 @@ def main(argv=None):
     trainer = CETrainer(cfg, agent)
     logger = MetricLogger(args.output_dir)
 
+    if args.run_type == "inference":
+        import os
+
+        path = args.predictions_file or os.path.join(
+            args.output_dir, f"predictions_{args.predictions_format}.json")
+        n = trainer.inference(env, path, fmt=args.predictions_format,
+                              batches=args.batches_per_epoch,
+                              max_steps=args.max_steps)
+        print(json.dumps({"predictions": n, "file": path}))
+        return {"predictions": n, "file": path}
+
     if args.run_type == "train":
         for ep in range(args.epochs):
             stats = trainer.train_epoch(env, ep,
@@ -52,6 +73,14 @@ def main(argv=None):
                                         max_steps=args.max_steps,
                                         logger=logger, seed=args.seed)
             print(json.dumps({"epoch": ep, **stats}))
+    if args.run_type == "eval" and args.poll_ckpt_dir:
+        from gridmm_tpu.ce.trainer import evaluate_checkpoints_polling
+
+        results = evaluate_checkpoints_polling(
+            trainer, env, args.poll_ckpt_dir, batches=1,
+            max_steps=args.max_steps, timeout_seconds=args.poll_timeout)
+        print(json.dumps({"polled": results}))
+        return results[-1] if results else {}
     metrics = trainer.evaluate(env, batches=1, max_steps=args.max_steps)
     print(json.dumps({"eval": metrics}))
     return metrics

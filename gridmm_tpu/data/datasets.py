@@ -67,3 +67,33 @@ def load_obj2vps(bbox_file: str) -> Dict[str, list]:
                 obj2vps.setdefault(f"{scan}_{objid}", [])
                 obj2vps[f"{scan}_{objid}"].extend(objinfo["visible_pos"])
     return obj2vps
+
+
+def soon_pseudo_obj_labels(data: List[dict], world) -> List[dict]:
+    """SOON object pseudo-labels from GT bbox polygons.
+
+    SOON annotations carry only bbox polygons at goal viewpoints, not object
+    ids; the reference derives object supervision by matching detector objects
+    to the bbox (soon/env.py:331-424 polygon scoring; SoonTextPathData obj
+    targets). Here: for each episode, the first object at the goal viewpoint
+    whose (heading, elevation) direction falls inside the GT polygon becomes
+    the pseudo GT object (sets `objId` for pretraining OG and `gt_obj_id` for
+    the fine-tune og teacher). Mutates and returns `data`.
+    """
+    from gridmm_tpu.env.metrics import point_in_polygon
+
+    for item in data:
+        goal = item["path"][-1]
+        bb = (item.get("bboxes") or {}).get(goal)
+        if not bb:
+            continue
+        corners = [(bb["target"][c]["heading"], bb["target"][c]["elevation"])
+                   for c in ("left_top", "right_top", "right_bottom",
+                             "left_bottom")]
+        for obj in world.objects(item["scan"], goal):
+            if point_in_polygon(obj.get("heading", 0.0),
+                                obj.get("elevation", 0.0), corners):
+                item["objId"] = obj["obj_id"]
+                item["gt_obj_id"] = obj["obj_id"]
+                break
+    return data

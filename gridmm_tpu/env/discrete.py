@@ -238,7 +238,8 @@ class DiscreteNavEnv:
 
     # ------------------------------------------------------------------ eval
     def eval_metrics(self, preds: List[dict]) -> Tuple[dict, dict]:
-        from gridmm_tpu.env.metrics import evaluate_reverie_trajectory
+        from gridmm_tpu.env.metrics import (evaluate_reverie_trajectory,
+                                            evaluate_soon_trajectory)
 
         per_traj = []
         instr_ids = []
@@ -246,7 +247,14 @@ class DiscreteNavEnv:
             instr_id = item["instr_id"]
             scan, gt = self.gt_trajs[instr_id]
             data_item = self._items_by_id.get(instr_id, {})
-            if data_item.get("gt_obj_id") is not None:
+            if data_item.get("bboxes"):
+                # SOON: bbox-polygon detection metrics (soon/env.py:331-424)
+                per_traj.append(evaluate_soon_trajectory(
+                    self.shortest_distances[scan], item["trajectory"], gt,
+                    data_item["bboxes"],
+                    float(item.get("pred_obj_heading") or 0.0),
+                    float(item.get("pred_obj_elevation") or 0.0)))
+            elif data_item.get("gt_obj_id") is not None:
                 per_traj.append(evaluate_reverie_trajectory(
                     self.shortest_distances[scan], item["trajectory"], gt,
                     data_item.get("gt_end_vps", [gt[-1]]),
@@ -262,12 +270,15 @@ class DiscreteNavEnv:
 
 def synthetic_episodes(world, num: int, seed: int = 0,
                        max_len: int = 6,
-                       with_objects: bool = False) -> List[dict]:
+                       with_objects: bool = False,
+                       soon_bboxes: bool = False) -> List[dict]:
     """Generate GT trajectories as graph shortest paths on a SyntheticWorld.
 
     with_objects=True labels each episode with a goal object visible at the
     trajectory end (REVERIE-style `objId`, reverie/data_utils.py episodes);
-    episodes whose goal node has no objects are resampled."""
+    episodes whose goal node has no objects are resampled.
+    soon_bboxes=True additionally attaches a SOON-style GT bbox polygon
+    around the goal object's direction (soon/env.py bboxes contract)."""
     rng = random.Random(seed)
     scans = world.scans()
     paths_cache = {s: world.graphs[s].all_pairs_paths() for s in scans}
@@ -296,6 +307,22 @@ def synthetic_episodes(world, num: int, seed: int = 0,
         if with_objects:
             objs = world.objects(scan, path[-1])
             if objs:
-                item["objId"] = rng.choice(objs)["obj_id"]
+                obj = rng.choice(objs)
+                item["objId"] = obj["obj_id"]
+                if soon_bboxes:
+                    h, e = obj.get("heading", 0.0), obj.get("elevation", 0.0)
+                    dh, de = 0.25, 0.18
+                    item["bboxes"] = {path[-1]: {
+                        "heading": h, "elevation": e,
+                        "target": {
+                            "left_top": {"heading": h - dh,
+                                         "elevation": e + de},
+                            "right_top": {"heading": h + dh,
+                                          "elevation": e + de},
+                            "right_bottom": {"heading": h + dh,
+                                             "elevation": e - de},
+                            "left_bottom": {"heading": h - dh,
+                                            "elevation": e - de},
+                        }}}
         out.append(item)
     return out

@@ -127,6 +127,64 @@ def evaluate_reverie_trajectory(
     return scores
 
 
+def evaluate_soon_trajectory(
+    shortest: Dict[str, Dict[str, float]],
+    pred_path, gt_path, gt_bboxes: Dict[str, dict],
+    obj_heading: float, obj_elevation: float,
+    error_margin: float = ERROR_MARGIN,
+) -> Dict[str, float]:
+    """SOON scores (map_nav_src/soon/env.py:331-424): navigation success is
+    measured against the GT goal — unless the agent stopped at ANY viewpoint
+    carrying a GT bbox, which then becomes the goal ("follow the original
+    evaluation", :345-349); detection success requires the predicted object
+    direction to fall inside that bbox polygon in (heading, elevation) space.
+
+    gt_bboxes: {vp: {heading, elevation, target: {left_top: {heading,
+    elevation}, right_top, right_bottom, left_bottom}}}."""
+    path: List[str] = [vp for seg in pred_path for vp in seg]
+    assert gt_path[0] == path[0], "trajectory must start at the GT start"
+    start_vp, goal_vp = gt_path[0], gt_path[-1]
+
+    # oracle uses the ORIGINAL goal (computed before the goal update)
+    nearest = min(path, key=lambda vp: shortest[vp][goal_vp])
+
+    scores: Dict[str, float] = {}
+    det = False
+    if path[-1] in gt_bboxes:
+        goal_vp = path[-1]
+        bb = gt_bboxes[path[-1]]
+        scores["heading_error"] = abs(bb["heading"] - obj_heading)
+        scores["elevation_error"] = abs(bb["elevation"] - obj_elevation)
+        scores["point_det_error"] = float(np.hypot(
+            bb["heading"] - obj_heading, bb["elevation"] - obj_elevation))
+        corners = [(bb["target"][c]["heading"], bb["target"][c]["elevation"])
+                   for c in ("left_top", "right_top", "right_bottom",
+                             "left_bottom")]
+        det = point_in_polygon(obj_heading, obj_elevation, corners)
+
+    scores["action_steps"] = len(pred_path) - 1
+    scores["trajectory_steps"] = len(path) - 1
+    scores["trajectory_lengths"] = float(np.sum(
+        [shortest[a][b] for a, b in zip(path[:-1], path[1:])]))
+    scores["nav_error"] = shortest[path[-1]][goal_vp]
+    scores["oracle_error"] = shortest[nearest][goal_vp]
+    scores["success"] = float(scores["nav_error"] < error_margin)
+    scores["oracle_success"] = float(scores["oracle_error"] < error_margin)
+    scores["goal_progress"] = (shortest[start_vp][goal_vp]
+                               - shortest[path[-1]][goal_vp])
+    # SOON uses the shortest-dist gt length, not the gt-path length (:389-390)
+    gt_lengths = shortest[gt_path[0]][goal_vp]
+    denom = max(scores["trajectory_lengths"], gt_lengths, 0.01)
+    scores["spl"] = scores["success"] * gt_lengths / denom
+    scores["det_success"] = float(det)
+    scores["det_spl"] = float(det) * gt_lengths / denom
+    # dtw/cls extras (our framework reports them uniformly across datasets)
+    scores.update(dtw_scores(shortest, path, gt_path, scores["success"],
+                             error_margin))
+    scores["CLS"] = cls_score(shortest, path, gt_path, error_margin)
+    return scores
+
+
 def aggregate_metrics(per_traj: List[Dict[str, float]]) -> Dict[str, float]:
     """Mean metrics as percentages (env.py:696-708)."""
     acc = defaultdict(list)
@@ -149,4 +207,6 @@ def aggregate_metrics(per_traj: List[Dict[str, float]]) -> Dict[str, float]:
     if "det_success" in acc:
         out["det_sr"] = float(np.mean(acc["det_success"])) * 100
         out["det_spl"] = float(np.mean(acc["det_spl"])) * 100
+    if "goal_progress" in acc:
+        out["goal_progress"] = float(np.mean(acc["goal_progress"]))
     return out

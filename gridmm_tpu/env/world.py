@@ -164,6 +164,9 @@ class Hdf5ObjectWorld(Hdf5World):
                             "obj_id": str(attrs["obj_ids"][k]),
                             "feature": fts[k],
                             "loc_fts": loc,
+                            # raw direction kept for SOON det scoring
+                            "heading": float(heading),
+                            "elevation": float(elevation),
                         })
                     cache[key] = out
         return cache[key]
@@ -322,9 +325,15 @@ class SyntheticWorld:
         out = []
         for j in range(h):
             obj_id = f"obj{self._stable_int(f'objid/{scan}/{vp}/{j}', 20):02d}"
+            heading = (self._stable_int(f"objh/{scan}/{vp}/{obj_id}", 360)
+                       - 180) * math.pi / 180.0
+            elevation = (self._stable_int(f"obje/{scan}/{vp}/{obj_id}", 90)
+                         - 45) * math.pi / 180.0
             out.append({
                 "obj_id": obj_id,
                 "feature": _seeded(f"obj/{scan}/{obj_id}", self.feat_dim) * 0.4,
                 "loc_fts": _seeded(f"objloc/{scan}/{vp}/{obj_id}", 7) * 0.2,
+                "heading": heading,
+                "elevation": elevation,
             })
         return out

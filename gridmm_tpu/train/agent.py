@@ -361,8 +361,15 @@ class NavAgent:
                         toks = self._last_obj_token_idx[i]
                         if k in toks:
                             j = toks.index(k)
-                            traj[i]["pred_obj_id"] = \
-                                obs[i]["objects"][j]["obj_id"]
+                            obj = obs[i]["objects"][j]
+                            traj[i]["pred_obj_id"] = obj["obj_id"]
+                            # SOON det metrics score the predicted object's
+                            # direction against the GT bbox polygon
+                            # (soon/env.py:331-369)
+                            traj[i]["pred_obj_heading"] = \
+                                float(obj.get("heading", 0.0))
+                            traj[i]["pred_obj_elevation"] = \
+                                float(obj.get("elevation", 0.0))
 
             # stop-score bookkeeping (agent.py:350-355)
             finite = np.isfinite(logits)
@@ -463,7 +470,9 @@ class NavAgent:
                 preds.setdefault(item["instr_id"], {
                     "instr_id": item["instr_id"],
                     "trajectory": item["trajectory"],
-                    "pred_obj_id": item.get("pred_obj_id")})
+                    "pred_obj_id": item.get("pred_obj_id"),
+                    "pred_obj_heading": item.get("pred_obj_heading"),
+                    "pred_obj_elevation": item.get("pred_obj_elevation")})
             if num_batches is None and len(preds) >= total:
                 break
         pred_list = list(preds.values())

@@ -44,3 +44,64 @@ def test_ce_metrics_shapes():
     gt = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
     m = ce_episode_metrics(path, gt)
     assert m["sr"] == 1.0 and m["spl"] > 0.99 and m["nDTW"] > 0.99
+
+
+def test_ce_inference_writer(tmp_path):
+    """Prediction files in both leaderboard formats
+    (base_il_trainer.inference, :1336-1367)."""
+    import json
+
+    from gridmm_tpu.ce.env import SyntheticContinuousEnv
+    from gridmm_tpu.ce.factory import build_ce_agent
+    from gridmm_tpu.ce.trainer import CETrainer
+
+    cfg, agent = build_ce_agent()
+    env = SyntheticContinuousEnv(num_envs=2, image_size=56, depth_size=256,
+                                 seed=0)
+    trainer = CETrainer(cfg, agent)
+
+    r2r = tmp_path / "preds_r2r.json"
+    n = trainer.inference(env, str(r2r), fmt="r2r", max_steps=3)
+    data = json.loads(r2r.read_text())
+    assert n == len(data) >= 2
+    for eid, infos in data.items():
+        assert infos[-1]["stop"] is True
+        assert all(len(rec["position"]) >= 2 for rec in infos)
+
+    rxr = tmp_path / "preds.jsonl"
+    trainer.inference(env, str(rxr), fmt="rxr", max_steps=3)
+    lines = [json.loads(ln) for ln in rxr.read_text().splitlines()]
+    assert lines and all({"instruction_id", "path"} <= set(l) for l in lines)
+    ids = [l["instruction_id"] for l in lines]
+    assert ids == sorted(ids)
+    for l in lines:  # consecutive duplicates dropped
+        assert all(a != b for a, b in zip(l["path"][:-1], l["path"][1:]))
+
+
+def test_ce_ckpt_polling(tmp_path):
+    """poll_checkpoint_dir ordering + evaluate_checkpoints_polling sweep
+    (base_il_trainer.py:896-912)."""
+    from gridmm_tpu.ce.env import SyntheticContinuousEnv
+    from gridmm_tpu.ce.factory import build_ce_agent
+    from gridmm_tpu.ce.trainer import (CETrainer, evaluate_checkpoints_polling,
+                                       poll_checkpoint_dir)
+    from gridmm_tpu.utils.checkpoint import save_checkpoint
+
+    cfg, agent = build_ce_agent()
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt_dir.mkdir()
+    assert poll_checkpoint_dir(str(ckpt_dir), -1) is None
+    for i in (0, 1):
+        save_checkpoint(str(ckpt_dir / f"ckpt.{i}"), agent.nav_params)
+    first = poll_checkpoint_dir(str(ckpt_dir), -1)
+    second = poll_checkpoint_dir(str(ckpt_dir), 0)
+    assert first.endswith("ckpt.0") and second.endswith("ckpt.1")
+    assert poll_checkpoint_dir(str(ckpt_dir), 1) is None
+
+    env = SyntheticContinuousEnv(num_envs=2, image_size=56, depth_size=256,
+                                 seed=1)
+    trainer = CETrainer(cfg, agent)
+    results = evaluate_checkpoints_polling(trainer, env, str(ckpt_dir),
+                                           batches=1, max_steps=2)
+    assert len(results) == 2
+    assert all("sr" in r and "checkpoint" in r for r in results)
