@@ -37,7 +37,9 @@ def main():
 
     cfg = r2r_config()
     gc = cfg.grid
-    ccfg = (dataclasses.replace(clip_b32(), int8_matmuls=True)
+    # serving precision: int8 projections/MLP + compute-dtype attention scores
+    ccfg = (dataclasses.replace(clip_b32(), int8_matmuls=True,
+                                attn_scores_f32=False)
             if on_tpu else clip_b32().__class__(
                 patch_size=32, layers=2, compute_dtype="float32"))
 
@@ -78,7 +80,11 @@ def main():
                                           grid_scatter_pool_pallas,
                                           instruction_relevance)
 
-    @jax.jit
+    import functools
+
+    # donate the point buffer: the in-place dynamic_update_slice then runs
+    # without a full-buffer copy per step
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def pipeline(params, images, state, depth, pos, heading, txt):
         tokens = model.apply(params, normalize_images(images))  # (B*V, 50, 768)
         patch = tokens[:, 1:, :].reshape(B, V * gc.patches_per_view, D)
@@ -107,10 +113,14 @@ def main():
     jax.block_until_ready(pooled)
 
     iters = 20 if on_tpu else 3
-    # steady state: re-run the final-step workload against the FILLED buffer
+    # steady state: keep appending against the FILLED buffer (the write
+    # offset clamps at capacity, so every iteration still pays the full
+    # assignment + pool); carrying the donated state chains the iterations,
+    # which also makes the final block_until_ready a real sync through the
+    # tunnel (CLAUDE.md gotcha: unchained dispatches don't synchronize)
     start = time.perf_counter()
     for _ in range(iters):
-        _, pooled, mask = pipeline(params, images, state, depth, pos, heading, txt)
+        state, pooled, mask = pipeline(params, images, state, depth, pos, heading, txt)
     jax.block_until_ready(pooled)
     elapsed = time.perf_counter() - start
 

@@ -34,6 +34,11 @@ class ClipVisionConfig:
     compute_dtype: str = "bfloat16"
     use_pallas_attention: bool = False
     int8_matmuls: bool = False  # serving path: int8 MXU projections/MLP
+    # serving path: keep raw attention scores in compute_dtype instead of f32.
+    # Halves the (B, heads, T, T) HBM traffic (~12% end-to-end on the encode
+    # pipeline); softmax still normalizes in f32. Default f32 for fidelity —
+    # the torch reference's fp16 scores carry ~8x less rounding than bf16.
+    attn_scores_f32: bool = True
 
     @property
     def grid(self) -> int:
@@ -119,11 +124,20 @@ class ResidualAttentionBlock(nn.Module):
 
             ctx = fused_attention(fold(q), fold(k), fold(v))
             ctx = ctx.reshape(b, h, l, hd).transpose(0, 2, 1, 3)
-        else:
+        elif c.attn_scores_f32:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32) / jnp.sqrt(
                                     jnp.float32(hd))
             probs = jax.nn.softmax(scores, axis=-1).astype(dt)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32).astype(dt)
+        else:
+            # scores in compute dtype (MXU still accumulates f32 internally);
+            # softmax upcasts to f32 in-register
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.asarray(
+                hd ** 0.5, dt)
+            probs = jax.nn.softmax(scores.astype(jnp.float32),
+                                   axis=-1).astype(dt)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                              preferred_element_type=jnp.float32).astype(dt)
         ctx = ctx.reshape(b, l, c.width)

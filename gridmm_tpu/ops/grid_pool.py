@@ -102,8 +102,19 @@ def grid_scatter_pool_pallas(point_fts, cell_ids, weights):
     from gridmm_tpu.ops.pallas.grid_pool_kernel import pallas_grid_pool
 
     n = point_fts.shape[1]
-    chunk = max(c for c in (256, 384, 512) if n % c == 0) \
-        if any(n % c == 0 for c in (256, 384, 512)) else n
+    # pick the largest sublane-aligned chunk that divides N: one oversized
+    # block (chunk=N) forces the whole buffer + its one-hot into VMEM at once
+    divisors = [c for c in range(512, 15, -16) if n % c == 0]
+    if divisors:
+        chunk = divisors[0]
+    else:
+        # pad to the next multiple of 512 with invalid points (cell id -1
+        # never matches a one-hot row, so padding is exact)
+        pad = (-n) % 512
+        point_fts = jnp.pad(point_fts, ((0, 0), (0, pad), (0, 0)))
+        cell_ids = jnp.pad(cell_ids, ((0, 0), (0, pad)), constant_values=-1)
+        weights = jnp.pad(weights, ((0, 0), (0, pad)))
+        chunk = 512
     return pallas_grid_pool(point_fts, cell_ids, weights, chunk=chunk)
 
 

@@ -49,10 +49,16 @@ def _pool_kernel(cells_ref, w_ref, cmax_ref, g_ref, pooled_ref, denom_ref):
     e = jnp.exp(w - gm)                                             # (1, C)
     p = onehot * e                                                  # (CELL_PAD, C)
 
-    g = g_ref[:].astype(jnp.float32)  # buffer may be bf16 (HBM bandwidth)
+    g = g_ref[:]
+    if g.dtype == jnp.bfloat16:
+        # bf16 buffer -> bf16 MXU matmul (4x the f32 issue rate) with f32
+        # accumulation; precision follows what the buffer already stores
+        p = p.astype(jnp.bfloat16)
+    else:
+        g = g.astype(jnp.float32)
     pooled_ref[:] += jnp.dot(p, g, preferred_element_type=jnp.float32)
     denom_ref[:] += jnp.dot(
-        p, jnp.ones((c, DENOM_LANES), jnp.float32),
+        p, jnp.ones((c, DENOM_LANES), p.dtype),
         preferred_element_type=jnp.float32)
 
 

@@ -193,3 +193,29 @@ def test_int8_clip_accuracy():
     cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
                                * np.linalg.norm(b, axis=-1) + 1e-9)
     assert cos.min() > 0.98, cos.min()
+
+
+def test_bf16_attention_scores_accuracy():
+    """Serving path attn_scores_f32=False: features stay close to the f32
+    tower (scores round to compute dtype before a f32 softmax)."""
+    import dataclasses
+
+    from gridmm_tpu.models.clip_vit import (ClipVisionConfig,
+                                            ClipVisionTransformer)
+
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.standard_normal((4, 64, 64, 3)).astype(np.float32))
+    base = ClipVisionConfig(input_resolution=64, patch_size=32, width=64,
+                            layers=2, heads=4, compute_dtype="float32")
+    m_ref = ClipVisionTransformer(base)
+    params = m_ref.init(jax.random.PRNGKey(0), imgs)
+    ref = np.asarray(m_ref.apply(params, imgs))
+
+    m_srv = ClipVisionTransformer(dataclasses.replace(
+        base, compute_dtype="bfloat16", attn_scores_f32=False))
+    got = np.asarray(m_srv.apply(params, imgs), np.float32)
+    a = ref.reshape(-1, ref.shape[-1])
+    b = got.reshape(-1, got.shape[-1])
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
+                               * np.linalg.norm(b, axis=-1) + 1e-9)
+    assert cos.min() > 0.98, cos.min()
