@@ -44,8 +44,12 @@ def parse_args(argv=None):
                    help="gmmstore = mmap stores from cli/convert_store.py "
                         "(auto uses them when present next to the HDF5 files)")
     p.add_argument("--aug", default=None,
+                   help="augmented-instruction annotation split or file "
+                        "(e.g. prevalent); trains 1:1 interleaved with the "
+                        "GT env (main_nav.py:35-47,142-154)")
+    p.add_argument("--aug_views", default=None,
                    help="EnvEdit augmented-view HDF5; train views swapped "
-                        "p=0.5 (utils/data.py:22-39, main_nav.py:35-47)")
+                        "p=0.5 (utils/data.py:22-39)")
     p.add_argument("--dagger_sum", action="store_true",
                    help="sum teacher+sample losses per iteration "
                         "(reference DAgger gradient shape)")
@@ -135,20 +139,32 @@ def build_real(args, cfg):
 
         soon_pseudo_obj_labels(train_data, world)
         soon_pseudo_obj_labels(val_data, world)
-    # EnvEdit aug bank on the TRAIN env only (main_nav.py:35-47)
+    # EnvEdit aug bank on the TRAIN env only (utils/data.py:22-39)
     train_world = world
-    if args.aug:
+    if args.aug_views:
         train_world = AugmentedViewWorld(
-            world, _hdf5_view_bank(args.aug, cfg.model.image_feat_size),
+            world, _hdf5_view_bank(args.aug_views, cfg.model.image_feat_size),
             seed=args.seed)
+    # augmented-instruction env, interleaved with GT (main_nav.py:35-47)
+    aug_data = None
+    if args.aug:
+        aug_data = construct_instrs(anno, ds, [args.aug], tok,
+                                    cfg.shapes.max_txt_len)
     scans = {x["scan"] for x in train_data} | {x["scan"] for x in val_data}
+    if aug_data:
+        scans |= {x["scan"] for x in aug_data}
     graphs = load_nav_graphs(conn, scans)
     train_env = DiscreteNavEnv(train_world, graphs, train_data,
                                batch_size=args.batch_size, seed=args.seed)
     val_env = DiscreteNavEnv(world, graphs, val_data,
                              batch_size=args.batch_size, seed=args.seed,
                              name="val_unseen")
-    return train_env, val_env
+    aug_env = None
+    if aug_data:
+        aug_env = DiscreteNavEnv(train_world, graphs, aug_data,
+                                 batch_size=args.batch_size, seed=args.seed,
+                                 name="aug")
+    return train_env, val_env, aug_env
 
 
 def main(argv=None):
@@ -175,8 +191,9 @@ def main(argv=None):
 
     if args.world == "synthetic":
         train_env, val_env = build_synthetic(args, cfg)
+        aug_env = None
     else:
-        train_env, val_env = build_real(args, cfg)
+        train_env, val_env, aug_env = build_real(args, cfg)
 
     model = GridMMNavigator(cfg.model)
     params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(args.seed))
@@ -187,10 +204,11 @@ def main(argv=None):
 
     agent = NavAgent(model, cfg, train_env, params)
     val_agent = NavAgent(model, cfg, val_env, params) if args.eval else None
+    aug_agent = NavAgent(model, cfg, aug_env, params) if aug_env else None
 
     logger = MetricLogger(os.path.join(args.output_dir, "logs"))
     result = train_navigator(
-        cfg, model, agent, val_agent, iters=args.iters,
+        cfg, model, agent, val_agent, aug_agent=aug_agent, iters=args.iters,
         log_every=args.log_every,
         eval_batches=args.eval_batches or None,  # 0 -> full split
         ckpt_dir=os.path.join(args.output_dir, "ckpts"), logger=logger,

@@ -34,6 +34,7 @@ def train_navigator(
     model: GridMMNavigator,
     agent: NavAgent,
     val_agent: Optional[NavAgent] = None,
+    aug_agent: Optional[NavAgent] = None,
     iters: Optional[int] = None,
     log_every: Optional[int] = None,
     eval_batches: Optional[int] = 4,
@@ -50,6 +51,10 @@ def train_navigator(
     rollout cost per update, acknowledged schedule drift.
 
     eval_batches=None evaluates the full val split (reference test() loop).
+
+    aug_agent (an agent over the augmented-instruction env, main_nav.py
+    --aug split) alternates 1:1 with the GT-data agent per iteration
+    (main_nav.py:142-154 interleave).
     """
     iters = iters or cfg.train.iters
     log_every = log_every or cfg.train.log_every
@@ -69,27 +74,32 @@ def train_navigator(
     best_spl, best_iter = -1.0, -1
     final_metrics: Dict[str, float] = {}
 
-    def _rollout(feedback):
-        _, batch, _ = agent.rollout(feedback=feedback, record=True,
-                                    rng=np_rng)
+    def _rollout(cur_agent, feedback):
+        _, batch, _ = cur_agent.rollout(feedback=feedback, record=True,
+                                        rng=np_rng)
         # pad to a fixed step count: variable episode lengths would force
         # a recompile of the scanned fwd+bwd per distinct length
         return pad_to_steps(batch, cfg.train.max_action_len,
                             cfg.train.ignoreid)
 
     for it in range(1, iters + 1):
-        agent.params = state.params
+        # GT/aug interleave: odd iterations GT env, even iterations aug env
+        cur = agent if (aug_agent is None or it % 2 == 1) else aug_agent
+        cur.params = state.params
         if dagger_sum:
             with timer.section("rollout"):
-                teacher_batch = _rollout("teacher")
-                sample_batch = _rollout("sample")
+                teacher_batch = _rollout(cur, "teacher")
+                sample_batch = _rollout(cur, "sample")
             with timer.section("update"):
                 state, metrics = dagger_step(state, teacher_batch,
                                              sample_batch, rng)
         else:
-            feedback = "teacher" if it % 2 == 1 else "sample"
+            # alternate teacher/sample per ENV visit so the aug env sees both
+            # passes too (with aug: T(gt) T(aug) S(gt) S(aug) ...)
+            phase = ((it + 1) // 2) if aug_agent is not None else it
+            feedback = "teacher" if phase % 2 == 1 else "sample"
             with timer.section("rollout"):
-                batch = _rollout(feedback)
+                batch = _rollout(cur, feedback)
             with timer.section("update"):
                 state, metrics = train_step(state, batch, rng)
         logger.log(it, {k: float(v) for k, v in metrics.items()},

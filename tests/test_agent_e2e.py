@@ -110,3 +110,32 @@ def test_train_loop_dagger_sum():
     result = train_navigator(cfg, model, agent, val_agent=None, iters=2,
                              log_every=2, seed=0)
     assert result.best_iter == -1  # no val agent
+
+
+def test_train_loop_aug_interleave():
+    """With an aug agent, iterations alternate GT/aug envs 1:1
+    (main_nav.py:142-154) and both see teacher AND sample passes."""
+    from gridmm_tpu.train.loop import train_navigator
+
+    cfg, env, model, params, agent = build_all()
+    aug_eps = synthetic_episodes(env.world, num=6, seed=7, max_len=4)
+    aug_env = DiscreteNavEnv(env.world, env.world.graphs, aug_eps,
+                             batch_size=cfg.train.batch_size, seed=7,
+                             name="aug")
+    aug_agent = NavAgent(model, cfg, aug_env, params)
+
+    calls = []
+    orig_rollout = NavAgent.rollout
+
+    def spy(self, feedback="teacher", **kw):
+        calls.append((self.env.name, feedback))
+        return orig_rollout(self, feedback=feedback, **kw)
+
+    NavAgent.rollout = spy
+    try:
+        train_navigator(cfg, model, agent, val_agent=None,
+                        aug_agent=aug_agent, iters=4, log_every=4, seed=0)
+    finally:
+        NavAgent.rollout = orig_rollout
+    assert calls == [("train", "teacher"), ("aug", "teacher"),
+                     ("train", "sample"), ("aug", "sample")]

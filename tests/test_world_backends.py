@@ -180,7 +180,8 @@ def test_main_nav_auto_picks_gmmstore(tmp_path, monkeypatch):
         cfg, model=dataclasses.replace(cfg.model, image_feat_size=D))
     args = parse_args(["--world", "r2r", "--root_dir", str(tmp_path),
                        "--batch_size", "2", "--tiny"])
-    train_env, val_env = build_real(args, cfg)
+    train_env, val_env, aug_env = build_real(args, cfg)
+    assert aug_env is None
     assert type(train_env.world).__name__ == "GmmStoreWorld"
     obs = train_env.reset()
     assert len(obs) == 2 and obs[0]["feature"].shape[1] >= D
