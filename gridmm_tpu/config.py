@@ -172,6 +172,7 @@ class TrainConfig:
     grad_norm_clip: float = 40.0   # agent_base.py:205
     ml_weight: float = 0.2
     feedback: str = "sample"
+    expl_max_ratio: float = 0.6  # expl_sample: explore when rand > ratio
     expert_policy: str = "spl"  # 'spl' shortest-dist oracle | 'ndtw' follow GT path
     max_action_len: int = 15
     ignoreid: int = -100

@@ -346,6 +346,15 @@ class NavAgent:
                 probs = np.where(np.isfinite(logits), probs, 0.0)
                 probs /= probs.sum(-1, keepdims=True)
                 a_t = np.array([rng.choice(len(p), p=p) for p in probs])
+            elif feedback == "expl_sample":
+                # argmax with epsilon-uniform exploration over valid actions
+                # (agent.py:386-398; rand > expl_max_ratio explores)
+                a_t = logits.argmax(-1)
+                explores = rng.random(b) > self.cfg.train.expl_max_ratio
+                for i in np.flatnonzero(explores):
+                    valid = np.flatnonzero(np.isfinite(logits[i]))
+                    if valid.size:
+                        a_t[i] = rng.choice(valid)
             else:
                 raise ValueError(feedback)
 

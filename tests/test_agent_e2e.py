@@ -139,3 +139,15 @@ def test_train_loop_aug_interleave():
         NavAgent.rollout = orig_rollout
     assert calls == [("train", "teacher"), ("aug", "teacher"),
                      ("train", "sample"), ("aug", "sample")]
+
+
+def test_expl_sample_feedback():
+    """expl_sample = argmax with epsilon-uniform exploration over valid
+    actions (reference agent.py:386-398; dagger --expl_sample mode)."""
+    cfg, env, model, params, agent = build_all()
+    rng = np.random.default_rng(0)
+    traj, _, stats = agent.rollout(feedback="expl_sample", rng=rng)
+    assert len(traj) == cfg.train.batch_size
+    for item in traj:
+        flat = [vp for seg in item["trajectory"] for vp in seg]
+        assert len(flat) >= 1
