@@ -57,3 +57,20 @@ def test_soon_preset():
     cfg = soon_config()
     assert cfg.model.obj_feat_size > 0
     assert cfg.shapes.max_txt_len == 256
+
+
+def test_top_down_trajectory_image(tmp_path):
+    from gridmm_tpu.utils.visualize import (save_png,
+                                            top_down_trajectory_image)
+
+    gt = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0)]
+    pred = [(0.0, 0.0), (1.5, 0.5), (2.5, 1.5)]
+    img = top_down_trajectory_image(gt, pred, size=128)
+    assert img.shape == (128, 128, 3) and img.dtype == np.uint8
+    flat = img.reshape(-1, 3)
+    # both path colors present, start marker present
+    assert (flat == (60, 200, 60)).all(-1).any()
+    assert (flat == (220, 60, 60)).all(-1).any()
+    assert (flat == (40, 90, 220)).all(-1).any()
+    save_png(str(tmp_path / "map.png"), img)
+    assert (tmp_path / "map.png").read_bytes()[:4] == b"\x89PNG"
