@@ -17,11 +17,13 @@ from gridmm_tpu.models.waypoint import WaypointConfig, WaypointPredictor
 
 
 def build_ce_agent(img: int = 56, depth_sz: int = 256, tiny: bool = True,
-                   seed: int = 0):
+                   seed: int = 0, waypoint_rgb: bool = True):
     """Assemble a CEAgent with fresh parameters.
 
     tiny=True uses smoke-scale dims (tests/synthetic arena); tiny=False uses
-    the full r2r_ce preset with ViT-B/32 grid features."""
+    the full r2r_ce preset with ViT-B/32 grid features. waypoint_rgb=False
+    builds the depth-only waypoint predictor (RxR-CE,
+    DepthDistPredictor_TRM)."""
     base = r2r_ce_config()
     if tiny:
         cfg = dataclasses.replace(
@@ -38,14 +40,15 @@ def build_ce_agent(img: int = 56, depth_sz: int = 256, tiny: bool = True,
         )
         wp_cfg = WaypointConfig(hidden_dim=64, num_heads=4, num_layers=1,
                                 rgb_feat_dim=2048 * 7 * 7 // 49,
-                                depth_feat_dim=128 * 16)
+                                depth_feat_dim=128 * 16,
+                                use_rgb=waypoint_rgb)
         # 7x7 patches + cls = 50 tokens feed the 49-points/view contract
         clip_cfg = ClipVisionConfig(input_resolution=56, patch_size=8,
                                     width=64, layers=1, heads=4,
                                     compute_dtype="float32")
     else:
         cfg = base
-        wp_cfg = WaypointConfig()
+        wp_cfg = WaypointConfig(use_rgb=waypoint_rgb)
         clip_cfg = ClipVisionConfig(patch_size=32)
         img = 224
 
@@ -88,7 +91,7 @@ def build_ce_agent(img: int = 56, depth_sz: int = 256, tiny: bool = True,
 
 def load_ce_released_weights(agent, waypoint_ckpt=None, navigator_ckpt=None,
                              clip_ckpt=None, rgb_resnet_sd=None,
-                             ddppo_sd=None, use_rgb_waypoint: bool = True):
+                             ddppo_sd=None):
     """Import the released-artifact set the reference trainer assembles
     (base_il_trainer.py:80-117 + gridmap/vlnbert_init.py:11-65):
 
@@ -117,9 +120,12 @@ def load_ce_released_weights(agent, waypoint_ckpt=None, navigator_ckpt=None,
         ckpt = _load(waypoint_ckpt)
         sd = ckpt.get("predictor", {}).get("state_dict", ckpt) \
             if isinstance(ckpt, dict) else ckpt
+        # the rgb/depth-only flavor follows the MODEL the agent was built
+        # with (build_ce_agent waypoint_rgb); a depth-only model has no rgb
+        # leaves, so the rgb-ckpt rules are simply absent
         agent.wp_params, report = CK.import_torch_waypoint(
             sd, agent.wp_params, num_layers=agent.waypoint.cfg.num_layers,
-            use_rgb=use_rgb_waypoint)
+            use_rgb=agent.waypoint.cfg.use_rgb)
         if report["unfilled_flax_leaves"]:
             raise ValueError(
                 f"waypoint import left leaves unfilled: "

@@ -35,33 +35,39 @@ def center_crop(img: np.ndarray, size: SizeLike) -> np.ndarray:
     return img[..., top: top + h, left: left + w, :]
 
 
-def _area_weights(out_size: int, in_size: int) -> np.ndarray:
-    """(out, in) averaging matrix of adaptive_avg_pool1d: output bin i means
-    input [floor(i*in/out), ceil((i+1)*in/out)) uniformly."""
+def _area_bins(out_size: int, in_size: int):
+    """(out, in) binary box-membership matrix + per-bin counts of
+    adaptive_avg_pool1d: output bin i covers input
+    [floor(i*in/out), ceil((i+1)*in/out))."""
     wm = np.zeros((out_size, in_size), np.float64)
+    counts = np.zeros((out_size,), np.float64)
     for i in range(out_size):
         start = math.floor(i * in_size / out_size)
         end = math.ceil((i + 1) * in_size / out_size)
-        wm[i, start:end] = 1.0 / (end - start)
-    return wm
+        wm[i, start:end] = 1.0
+        counts[i] = end - start
+    return wm, counts
 
 
 def resize_area(img: np.ndarray, size: SizeLike) -> np.ndarray:
     """torch F.interpolate(mode='area') equivalent over (..., H, W, C).
 
-    Output dtype matches input (float math, then cast — the reference
-    converts to float and casts back, obs_transformers.py:155-160)."""
+    Box sums are exact (binary membership matmul) with a single division, so
+    integer inputs whose box mean is exactly integral stay integral; integer
+    dtypes then truncate toward zero like the reference's float->uint8
+    .to(dtype) cast (obs_transformers.py:155-160), NOT round."""
     h, w = _pair(size)
     in_h, in_w = img.shape[-3], img.shape[-2]
     if (in_h, in_w) == (h, w):
         return img
-    wh = _area_weights(h, in_h)
-    ww = _area_weights(w, in_w)
+    wh, ch = _area_bins(h, in_h)
+    ww, cw = _area_bins(w, in_w)
     x = img.astype(np.float64)
     x = np.einsum("oi,...iwc->...owc", wh, x)
     x = np.einsum("oj,...hjc->...hoc", ww, x)
+    x = x / (ch[:, None] * cw[None, :])[..., None]
     if np.issubdtype(img.dtype, np.integer):
-        x = np.rint(x)
+        x = np.trunc(x)
     return x.astype(img.dtype)
 
 

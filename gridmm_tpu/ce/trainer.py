@@ -175,7 +175,6 @@ class CETrainer:
         import json
 
         episode_predictions: Dict[str, list] = {}
-        instruction_ids: Dict[str, int] = {}
         for _ in range(batches):
             self.agent.rollout(env, max_steps=max_steps, feedback="argmax")
             obs = env.observations()
@@ -186,10 +185,13 @@ class CETrainer:
                 episode_predictions[ob.episode_id] = [
                     {"position": p, "stop": j == len(path) - 1}
                     for j, p in enumerate(path)]
-                try:
-                    instruction_ids[ob.episode_id] = int(ob.episode_id)
-                except ValueError:
-                    instruction_ids[ob.episode_id] = len(instruction_ids)
+        # rxr instruction ids: real numeric episode ids when ALL are numeric
+        # (the released data's case); otherwise a collision-free enumeration
+        if all(e.isdigit() for e in episode_predictions):
+            instruction_ids = {e: int(e) for e in episode_predictions}
+        else:
+            instruction_ids = {e: j for j, e in
+                               enumerate(sorted(episode_predictions))}
 
         if fmt == "r2r":
             with open(predictions_file, "w") as f:
@@ -212,22 +214,27 @@ class CETrainer:
 
 def poll_checkpoint_dir(ckpt_dir: str, prev_index: int) -> Optional[str]:
     """Next unevaluated checkpoint in a folder, ordered by the trailing
-    number in the entry name then mtime (habitat's poll_checkpoint_folder
-    behavior used at base_il_trainer.py:896-912). None if not yet written."""
-    import os
+    number in the entry name (habitat's poll_checkpoint_folder behavior used
+    at base_il_trainer.py:896-912). None if not yet written.
+
+    Only numbered entries count as checkpoints — rolling 'latest' links,
+    logs, and in-progress tmp dirs are ignored rather than restored."""
     import re
 
     if not os.path.isdir(ckpt_dir):
         return None
 
-    def order(name):
+    entries = []
+    for name in os.listdir(ckpt_dir):
+        if name.endswith((".tmp", ".log")) or name.startswith((".", "tmp")):
+            continue
         m = re.search(r"(\d+)(?!.*\d)", name)
-        return (int(m.group(1)) if m else -1,
-                os.path.getmtime(os.path.join(ckpt_dir, name)))
-
-    entries = sorted(os.listdir(ckpt_dir), key=order)
+        if m is None:
+            continue  # e.g. a 'latest' rolling checkpoint
+        entries.append((int(m.group(1)), name))
+    entries.sort()
     if prev_index + 1 < len(entries):
-        return os.path.join(ckpt_dir, entries[prev_index + 1])
+        return os.path.join(ckpt_dir, entries[prev_index + 1][1])
     return None
 
 

@@ -75,18 +75,24 @@ def build_synthetic(args, cfg):
 
 
 def _hdf5_view_bank(path: str, image_feat_size: int):
-    """Aug-view lookup over aug_views.hdf5 (utils/data.py:36 contract)."""
+    """Aug-view lookup over aug_views.hdf5 (utils/data.py:36 contract).
+
+    One persistent read handle (not a per-key open/close cycle) and an f16
+    cache — the same footprint the reference's in-RAM aug store keeps
+    (utils/data.py:34-38)."""
     import h5py
 
     cache = {}
+    handle = []
 
     def lookup(scan, vp):
         key = f"{scan}_{vp}"
         if key not in cache:
-            with h5py.File(path, "r") as f:
-                cache[key] = f[key][...][:, :image_feat_size].astype(
-                    "float32")
-        return cache[key]
+            if not handle:
+                handle.append(h5py.File(path, "r"))
+            cache[key] = handle[0][key][...][:, :image_feat_size].astype(
+                "float16")
+        return cache[key].astype("float32")
 
     return lookup
 
@@ -123,8 +129,16 @@ def build_real(args, cfg):
         # mmap + native prefetch; convert via cli/convert_store.py
         world = GmmStoreWorld(*gmm_files, vp_info)
         if args.world in ("reverie", "soon"):
-            print("warning: gmmstore backend has no object store; "
-                  "object grounding disabled")
+            if os.path.exists(obj_ft):
+                # objects keep coming from the reference HDF5 — the gmm
+                # backend only replaces the dense view/depth/grid stores
+                from gridmm_tpu.env.world import (Hdf5ObjectReader,
+                                                  ObjectWorld)
+
+                world = ObjectWorld(world, Hdf5ObjectReader(obj_ft))
+            else:
+                print(f"warning: object features not found at {obj_ft}; "
+                      "object grounding disabled")
     elif args.world in ("reverie", "soon") and os.path.exists(obj_ft):
         world = Hdf5ObjectWorld(*base_files, vp_info, obj_ft_file=obj_ft)
     else:
@@ -203,12 +217,15 @@ def main(argv=None):
         params = restore_checkpoint(os.path.abspath(args.resume), params)
 
     agent = NavAgent(model, cfg, train_env, params)
-    val_agent = NavAgent(model, cfg, val_env, params) if args.eval else None
+    # --submit needs a val agent even without periodic --eval
+    val_agent = NavAgent(model, cfg, val_env, params) \
+        if (args.eval or args.submit) else None
     aug_agent = NavAgent(model, cfg, aug_env, params) if aug_env else None
 
     logger = MetricLogger(os.path.join(args.output_dir, "logs"))
     result = train_navigator(
-        cfg, model, agent, val_agent, aug_agent=aug_agent, iters=args.iters,
+        cfg, model, agent, val_agent if args.eval else None,
+        aug_agent=aug_agent, iters=args.iters,
         log_every=args.log_every,
         eval_batches=args.eval_batches or None,  # 0 -> full split
         ckpt_dir=os.path.join(args.output_dir, "ckpts"), logger=logger,

@@ -294,6 +294,11 @@ def synthetic_episodes(world, num: int, seed: int = 0,
             if with_objects and not world.objects(scan, path[-1]):
                 continue
             break
+        else:
+            raise ValueError(
+                f"could not sample a valid episode for scan {scan} in 200 "
+                f"attempts (max_len={max_len}, with_objects={with_objects}) "
+                "— the synthetic world is too constrained")
         item = {
             "instr_id": f"syn_{k}",
             "path_id": f"syn_{k}",

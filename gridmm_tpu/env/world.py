@@ -121,31 +121,32 @@ class Hdf5World:
         return (info["x"], info["y"], info["z"])
 
 
-class Hdf5ObjectWorld(Hdf5World):
-    """Hdf5World + REVERIE/SOON object features.
+class Hdf5ObjectReader:
+    """REVERIE/SOON object features from the reference's object HDF5.
 
-    Object store contract (reverie/data_utils.py:9-53): HDF5 keyed
-    "{scan}_{vp}" with per-object feature rows and attrs
-    `directions` (heading, elevation), `sizes` (w, h), `obj_ids`. Objects are
-    exposed as {obj_id, feature, loc_fts=[angle4 | h/480, w/640, area]}."""
+    Store contract (reverie/data_utils.py:9-53): keyed "{scan}_{vp}" with
+    per-object feature rows and attrs `directions` (heading, elevation),
+    `sizes` (w, h), `obj_ids`. Objects are exposed as {obj_id, feature,
+    loc_fts=[angle4 | h/480, w/640, area], heading, elevation}."""
 
-    def __init__(self, *args, obj_ft_file: str, max_objects: int = 20,
-                 angle_feat_size: int = 4, **kwargs):
-        super().__init__(*args, **kwargs)
+    def __init__(self, obj_ft_file: str, max_objects: int = 20,
+                 angle_feat_size: int = 4):
+        import h5py
+
+        self._h5py = h5py
         self.obj_ft_file = obj_ft_file
         self.max_objects = max_objects
         self.angle_feat_size = angle_feat_size
-        self._cache["obj"] = {}
+        self._cache: Dict[str, list] = {}
 
     def objects(self, scan, vp):
         from gridmm_tpu.env.graph import angle_features
 
         key = f"{scan}_{vp}"
-        cache = self._cache["obj"]
-        if key not in cache:
+        if key not in self._cache:
             with self._h5py.File(self.obj_ft_file, "r") as f:
                 if key not in f:
-                    cache[key] = []
+                    self._cache[key] = []
                 else:
                     fts = f[key][...].astype(np.float32)[: self.max_objects]
                     attrs = {k: np.asarray(v)[: self.max_objects]
@@ -160,16 +161,46 @@ class Hdf5ObjectWorld(Hdf5World):
                             np.asarray([h / 480.0, w / 640.0,
                                         (h / 480.0) * (w / 640.0)],
                                        np.float32)])
+                        oid = attrs["obj_ids"][k]
                         out.append({
-                            "obj_id": str(attrs["obj_ids"][k]),
+                            "obj_id": (oid.decode() if isinstance(oid, bytes)
+                                       else str(oid)),
                             "feature": fts[k],
                             "loc_fts": loc,
                             # raw direction kept for SOON det scoring
                             "heading": float(heading),
                             "elevation": float(elevation),
                         })
-                    cache[key] = out
-        return cache[key]
+                    self._cache[key] = out
+        return self._cache[key]
+
+
+class Hdf5ObjectWorld(Hdf5World):
+    """Hdf5World + REVERIE/SOON object features (Hdf5ObjectReader)."""
+
+    def __init__(self, *args, obj_ft_file: str, max_objects: int = 20,
+                 angle_feat_size: int = 4, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._obj_reader = Hdf5ObjectReader(obj_ft_file, max_objects,
+                                            angle_feat_size)
+
+    def objects(self, scan, vp):
+        return self._obj_reader.objects(scan, vp)
+
+
+class ObjectWorld:
+    """Attach an object reader to ANY WorldProvider (e.g. GmmStoreWorld) —
+    base features from one backend, objects from the reference HDF5."""
+
+    def __init__(self, base: WorldProvider, obj_reader: Hdf5ObjectReader):
+        self._base = base
+        self._obj_reader = obj_reader
+
+    def __getattr__(self, name):
+        return getattr(self._base, name)
+
+    def objects(self, scan, vp):
+        return self._obj_reader.objects(scan, vp)
 
 
 class GmmStoreWorld:

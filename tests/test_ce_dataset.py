@@ -126,6 +126,13 @@ def test_resize_area_matches_torch():
             mode="area").permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(ours, t, atol=1e-5,
                                    err_msg=f"{in_hw}->{out_hw}")
+    # uint8: the reference float->uint8 cast TRUNCATES; match bit-exactly
+    img_u8 = rng.integers(0, 255, (1, 8, 8, 3)).astype(np.uint8)
+    ours = resize_area(img_u8, (4, 4))
+    t = torch.nn.functional.interpolate(
+        torch.from_numpy(img_u8).permute(0, 3, 1, 2).float(), size=(4, 4),
+        mode="area").to(torch.uint8).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_array_equal(ours, t)
 
 
 def test_per_sensor_transforms():

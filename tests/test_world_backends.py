@@ -185,3 +185,37 @@ def test_main_nav_auto_picks_gmmstore(tmp_path, monkeypatch):
     assert type(train_env.world).__name__ == "GmmStoreWorld"
     obs = train_env.reset()
     assert len(obs) == 2 and obs[0]["feature"].shape[1] >= D
+
+
+def test_object_world_composition(tmp_path):
+    """GmmStoreWorld + reference object HDF5 via ObjectWorld: base features
+    from the mmap backend, objects from the HDF5 reader."""
+    from gridmm_tpu.cli.convert_store import main as convert
+    from gridmm_tpu.env.world import Hdf5ObjectReader, ObjectWorld
+
+    rng = np.random.default_rng(9)
+    _, _, _, vp_info = _write_fixture_stores(tmp_path, rng)
+    with h5py.File(tmp_path / "objects.hdf5", "w") as f:
+        dset = f.create_dataset(
+            KEY, data=rng.standard_normal((2, D)).astype(np.float32))
+        dset.attrs["directions"] = rng.uniform(-1, 1, (2, 2)).astype(
+            np.float32)
+        dset.attrs["sizes"] = rng.uniform(20, 200, (2, 2)).astype(np.float32)
+        dset.attrs["obj_ids"] = np.asarray(["o1", "o2"], dtype="S8")
+    for name in ("views", "depth", "grid"):
+        cargs = ["--input", str(tmp_path / f"{name}.hdf5"),
+                 "--output", str(tmp_path / f"{name}.gmm")]
+        if name == "depth":
+            cargs.append("--slice-depth-patches")
+        convert(cargs)
+    gw = GmmStoreWorld(str(tmp_path / "views.gmm"),
+                       str(tmp_path / "depth.gmm"),
+                       str(tmp_path / "grid.gmm"), vp_info,
+                       image_feat_size=D)
+    world = ObjectWorld(gw, Hdf5ObjectReader(str(tmp_path / "objects.hdf5")))
+    objs = world.objects(SCAN, VP)
+    assert [o["obj_id"] for o in objs] == ["o1", "o2"]
+    assert all("heading" in o and o["loc_fts"].shape == (7,) for o in objs)
+    # base provider methods delegate through
+    assert world.view_features(SCAN, VP).shape == (36, D)
+    assert world.position(SCAN, VP) == gw.position(SCAN, VP)
