@@ -29,7 +29,8 @@ from gridmm_tpu.ce.env import CEStepObs, ContinuousEnv, ce_episode_metrics
 from gridmm_tpu.config import GridMMConfig
 from gridmm_tpu.env.graph import angle_features
 from gridmm_tpu.models.clip_vit import (ClipVisionTransformer, clip_b32,
-                                        normalize_images)
+                                        normalize_images,
+                                        normalize_images_timm)
 from gridmm_tpu.models.navigator import GridMMNavigator
 from gridmm_tpu.models.waypoint import (WaypointConfig, WaypointPredictor,
                                         waypoint_nms)
@@ -47,6 +48,8 @@ class CEAgent:
                  clip_model: Optional[ClipVisionTransformer] = None,
                  clip_params=None, rgb_tower=None, rgb_params=None,
                  depth_tower=None, depth_params=None,
+                 view_encoder: Optional[ClipVisionTransformer] = None,
+                 view_params=None,
                  max_candidates: int = 5):
         self.cfg = cfg
         self.navigator = navigator
@@ -55,6 +58,10 @@ class CEAgent:
 
         self.clip = clip_model
         self.clip_params = clip_params
+        # per-view features: timm ViT-B/16 cls when a view tower is given
+        # (Policy:338 forward_features[:,0,:]); CLIP cls fallback otherwise
+        self.view_encoder = view_encoder
+        self.view_params = view_params
         self.rgb_tower = rgb_tower
         self.rgb_params = rgb_params
         self.depth_tower = depth_tower
@@ -70,6 +77,8 @@ class CEAgent:
                 navigator, cfg, p, txt, mask, carry, x))
         self._jit_waypoint = jax.jit(self._waypoint_impl)
         self._jit_grid_fts = jax.jit(self._grid_fts_impl)
+        self._jit_view_fts = (jax.jit(self._view_fts_impl)
+                              if view_encoder is not None else None)
 
     # ------------------------------------------------------------- device fns
     def _waypoint_impl(self, wp_params, rgb_params, depth_params, rgb, depth):
@@ -91,6 +100,14 @@ class CEAgent:
         flat = rgb.reshape((-1,) + rgb.shape[2:])
         toks = self.clip.apply(clip_params, normalize_images(flat))
         return toks.reshape(rgb.shape[0], rgb.shape[1], *toks.shape[1:])
+
+    def _view_fts_impl(self, view_params, rgb):
+        """(B,12,H,W,3) u8 -> (B, 12, width) timm-ViT cls features
+        (Policy:335-343: visual_encoder.forward_features[:, 0, :])."""
+        flat = rgb.reshape((-1,) + rgb.shape[2:])
+        toks = self.view_encoder.apply(view_params,
+                                       normalize_images_timm(flat))
+        return toks[:, 0, :].reshape(rgb.shape[0], rgb.shape[1], -1)
 
     # ------------------------------------------------------------ host logic
     @staticmethod
@@ -167,6 +184,9 @@ class CEAgent:
             nms_maps = np.asarray(nms_maps)
             clip_toks = np.asarray(
                 self._jit_grid_fts(self.clip_params, rgb))  # (B,12,T,W)
+            view_feats = (np.asarray(
+                self._jit_view_fts(self.view_params, rgb))
+                if self._jit_view_fts is not None else None)
 
             cand_lists = [
                 self.candidates_from_nms(nms_maps[i], obs[i].heading,
@@ -175,7 +195,8 @@ class CEAgent:
             ]
 
             x, cur_slots = self._build_step(
-                obs, cand_lists, clip_toks, centers, next_slot, t)
+                obs, cand_lists, clip_toks, centers, next_slot, t,
+                view_feats=view_feats)
             targets = self._teacher(env, obs, cand_lists, ended)
             x = x._replace(target=targets.astype(np.int32))
 
@@ -209,7 +230,8 @@ class CEAgent:
         return metrics
 
     def _build_step(self, obs: List[CEStepObs], cand_lists, clip_toks,
-                    centers, next_slot, t) -> Tuple[StepInputs, np.ndarray]:
+                    centers, next_slot, t,
+                    view_feats=None) -> Tuple[StepInputs, np.ndarray]:
         cfg = self.cfg
         sh, gc = cfg.shapes, cfg.grid
         b = len(obs)
@@ -238,8 +260,10 @@ class CEAgent:
 
         for i, ob in enumerate(obs):
             cands = cand_lists[i]
-            # panorama tokens: cls token per view; candidates first
-            view_cls = clip_toks[i, :, 0, :d]  # (12, d)
+            # panorama tokens: one feature per view, candidates first — timm
+            # ViT cls when a view tower is configured, CLIP cls otherwise
+            view_cls = (view_feats[i][:, :d] if view_feats is not None
+                        else clip_toks[i, :, 0, :d])  # (12, d)
             k = 0
             for heading_c, dist_c, _score in cands:
                 rel = heading_c - ob.heading

@@ -17,13 +17,16 @@ from gridmm_tpu.models.waypoint import WaypointConfig, WaypointPredictor
 
 
 def build_ce_agent(img: int = 56, depth_sz: int = 256, tiny: bool = True,
-                   seed: int = 0, waypoint_rgb: bool = True):
+                   seed: int = 0, waypoint_rgb: bool = True,
+                   view_tower: bool = False):
     """Assemble a CEAgent with fresh parameters.
 
     tiny=True uses smoke-scale dims (tests/synthetic arena); tiny=False uses
     the full r2r_ce preset with ViT-B/32 grid features. waypoint_rgb=False
     builds the depth-only waypoint predictor (RxR-CE,
-    DepthDistPredictor_TRM)."""
+    DepthDistPredictor_TRM). view_tower=True adds the timm ViT-B/16 view
+    encoder (gridmap/vilmodel.py:631; cls token per view) — without it view
+    tokens fall back to CLIP cls features."""
     base = r2r_ce_config()
     if tiny:
         cfg = dataclasses.replace(
@@ -82,16 +85,32 @@ def build_ce_agent(img: int = 56, depth_sz: int = 256, tiny: bool = True,
         jnp.zeros((1, clip_cfg.input_resolution, clip_cfg.input_resolution,
                    3)))
 
+    view_encoder = view_params = None
+    if view_tower:
+        from gridmm_tpu.models.clip_vit import vit_b16_timm
+
+        if tiny:
+            view_cfg = dataclasses.replace(
+                clip_cfg, gelu="erf", ln_pre=False, conv_bias=True)
+        else:
+            view_cfg = vit_b16_timm()
+        view_encoder = ClipVisionTransformer(view_cfg)
+        view_params = view_encoder.init(
+            jax.random.fold_in(key, 5),
+            jnp.zeros((1, view_cfg.input_resolution,
+                       view_cfg.input_resolution, 3)))
+
     agent = CEAgent(cfg, navigator, nav_params, wp, wp_params,
                     clip_model=clip, clip_params=clip_params,
                     rgb_tower=rgb_tower, rgb_params=rgb_params,
-                    depth_tower=depth_tower, depth_params=depth_params)
+                    depth_tower=depth_tower, depth_params=depth_params,
+                    view_encoder=view_encoder, view_params=view_params)
     return cfg, agent
 
 
 def load_ce_released_weights(agent, waypoint_ckpt=None, navigator_ckpt=None,
                              clip_ckpt=None, rgb_resnet_sd=None,
-                             ddppo_sd=None):
+                             ddppo_sd=None, vit_ckpt=None):
     """Import the released-artifact set the reference trainer assembles
     (base_il_trainer.py:80-117 + gridmap/vlnbert_init.py:11-65):
 
@@ -104,6 +123,8 @@ def load_ce_released_weights(agent, waypoint_ckpt=None, navigator_ckpt=None,
       rgb_resnet_sd   torchvision resnet50 state_dict
       ddppo_sd        gibson ddppo visual_encoder state_dict (already stripped
                       to the visual_encoder scope like resnet_encoders.py:38-48)
+      vit_ckpt        vit_base_p16_224.pth timm state_dict (the live view
+                      encoder; requires build_ce_agent(view_tower=True))
 
     Any argument left None keeps that component's current params. Mutates and
     returns the agent."""
@@ -152,4 +173,10 @@ def load_ce_released_weights(agent, waypoint_ckpt=None, navigator_ckpt=None,
 
         agent.depth_params = import_ddppo_depth_encoder(
             _load(ddppo_sd), agent.depth_params)
+    if vit_ckpt is not None:
+        if agent.view_encoder is None:
+            raise ValueError("vit_ckpt given but the agent was built without "
+                             "view_tower=True")
+        agent.view_params = CK.import_timm_vit(_load(vit_ckpt),
+                                               agent.view_params)
     return agent

@@ -125,6 +125,9 @@ def build_real(args, cfg):
         args.feature_backend == "auto"
         and all(os.path.exists(f) for f in gmm_files))
     obj_ft = os.path.join(feat, "obj.avg.top3.min80_vit_base_patch16_224.hdf5")
+    # SOON bboxes are annotated on 600x600 renders; REVERIE on 480x640
+    # (SoonTextPathData dataset.py:849-850)
+    obj_hw = (600.0, 600.0) if args.world == "soon" else (480.0, 640.0)
     if use_gmm:
         # mmap + native prefetch; convert via cli/convert_store.py
         world = GmmStoreWorld(*gmm_files, vp_info)
@@ -135,12 +138,14 @@ def build_real(args, cfg):
                 from gridmm_tpu.env.world import (Hdf5ObjectReader,
                                                   ObjectWorld)
 
-                world = ObjectWorld(world, Hdf5ObjectReader(obj_ft))
+                world = ObjectWorld(world, Hdf5ObjectReader(
+                    obj_ft, image_hw=obj_hw))
             else:
                 print(f"warning: object features not found at {obj_ft}; "
                       "object grounding disabled")
     elif args.world in ("reverie", "soon") and os.path.exists(obj_ft):
-        world = Hdf5ObjectWorld(*base_files, vp_info, obj_ft_file=obj_ft)
+        world = Hdf5ObjectWorld(*base_files, vp_info, obj_ft_file=obj_ft,
+                                image_hw=obj_hw)
     else:
         if args.world in ("reverie", "soon"):
             print(f"warning: object features not found at {obj_ft}; "

@@ -56,6 +56,10 @@ def parse_args(argv=None):
     p.add_argument("--viewpoint_info", default=None)
     p.add_argument("--obj_ft_file", default=None,
                    help="REVERIE/SOON object feature HDF5 (enables og)")
+    p.add_argument("--aug_view_ft_file", default=None,
+                   help="EnvEdit aug_views.hdf5; train views swapped with "
+                        "p=0.5 (SoonTextPathData.get_scanvp_feature "
+                        "is_train branch, dataset.py:856-864)")
     return p.parse_args(argv)
 
 
@@ -97,10 +101,12 @@ def build_dataset(args, cfg):
                   grid_ft_file=args.grid_ft_file, viewpoint_info=vp_info,
                   image_feat_size=cfg.model.image_feat_size)
     if args.obj_ft_file:
+        obj_hw = ((600.0, 600.0) if args.preset == "soon"
+                  else (480.0, 640.0))  # SOON bboxes live on 600x600 renders
         world = Hdf5ObjectWorld(obj_ft_file=args.obj_ft_file,
                                 max_objects=cfg.shapes.max_obj_len or 20,
                                 angle_feat_size=cfg.model.angle_feat_size,
-                                **kwargs)
+                                image_hw=obj_hw, **kwargs)
     else:
         world = Hdf5World(**kwargs)
 
@@ -112,7 +118,29 @@ def build_dataset(args, cfg):
     else:
         n_val = max(int(len(data) * args.val_fraction), 1)
         train_data, val_data = data[:-n_val] or data, data[-n_val:]
-    train_ds = TextPathDataset(train_data, world, graphs, cfg, seed=args.seed)
+    # SOON annotations carry only bbox polygons; derive object pseudo-labels
+    # once so the og task has supervision (soon/env.py:331-424 matching;
+    # items that already carry obj_pseudo_label.idx are consumed directly)
+    if args.obj_ft_file and any("bboxes" in d and "objId" not in d
+                                and "obj_pseudo_label" not in d
+                                for d in train_data):
+        from gridmm_tpu.data.datasets import soon_pseudo_obj_labels
+
+        soon_pseudo_obj_labels(train_data, world)
+        soon_pseudo_obj_labels(val_data, world)
+    train_world = world
+    if args.aug_view_ft_file:
+        # EnvEdit aug bank, train split only (the reference gates the swap on
+        # is_train, pretrain_src/data/dataset.py:856-864)
+        from gridmm_tpu.cli.main_nav import _hdf5_view_bank
+        from gridmm_tpu.env.world import AugmentedViewWorld
+
+        train_world = AugmentedViewWorld(
+            world, _hdf5_view_bank(args.aug_view_ft_file,
+                                   cfg.model.image_feat_size),
+            seed=args.seed)
+    train_ds = TextPathDataset(train_data, train_world, graphs, cfg,
+                               seed=args.seed)
     val_ds = TextPathDataset(val_data, world, graphs, cfg,
                              seed=args.seed + 1,
                              shortest_paths=train_ds.shortest_paths)

@@ -312,11 +312,22 @@ class TextPathDataset:
                 vp_obj_mask[tok] = True
         gt_obj = item.get("objId") or item.get("obj_id")
         obj_label = np.int32(-100)
-        if gt_obj is not None and cur_vp == goal:
-            for oid, tok in zip(last_obj_ids, last_obj_tokens):
-                if oid == str(gt_obj) and tok < v:
-                    obj_label = np.int32(tok)
-                    break
+        if cur_vp == goal:
+            pseudo = item.get("obj_pseudo_label")
+            if pseudo is not None:
+                # SOON contract: annotations carry a precomputed index into
+                # the end-viewpoint object list rather than an object id
+                # (SoonTextPathData.get_obj_label, dataset.py:888-892;
+                # -100 when the index falls past the object capacity)
+                oidx = int(pseudo["idx"])
+                if 0 <= oidx < len(last_obj_tokens) \
+                        and last_obj_tokens[oidx] < v:
+                    obj_label = np.int32(last_obj_tokens[oidx])
+            elif gt_obj is not None:
+                for oid, tok in zip(last_obj_ids, last_obj_tokens):
+                    if oid == str(gt_obj) and tok < v:
+                        obj_label = np.int32(tok)
+                        break
 
         fused_add_idx = np.full((gmax,), -2, np.int32)
         cand_backtrack = np.zeros((v,), bool)

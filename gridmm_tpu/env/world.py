@@ -127,16 +127,23 @@ class Hdf5ObjectReader:
     Store contract (reverie/data_utils.py:9-53): keyed "{scan}_{vp}" with
     per-object feature rows and attrs `directions` (heading, elevation),
     `sizes` (w, h), `obj_ids`. Objects are exposed as {obj_id, feature,
-    loc_fts=[angle4 | h/480, w/640, area], heading, elevation}."""
+    loc_fts=[angle4 | h/H, w/W, area], heading, elevation}.
+
+    SOON stores carry `bboxes` (x0,y0,x1,y1) instead of `sizes` — sizes are
+    derived and normalized by the 600x600 SOON image
+    (SoonTextPathData.get_scanvp_feature, pretrain_src/data/dataset.py:868-884;
+    image_hw defaults to REVERIE's 480x640)."""
 
     def __init__(self, obj_ft_file: str, max_objects: int = 20,
-                 angle_feat_size: int = 4):
+                 angle_feat_size: int = 4,
+                 image_hw: Tuple[float, float] = (480.0, 640.0)):
         import h5py
 
         self._h5py = h5py
         self.obj_ft_file = obj_ft_file
         self.max_objects = max_objects
         self.angle_feat_size = angle_feat_size
+        self.image_hw = image_hw
         self._cache: Dict[str, list] = {}
 
     def objects(self, scan, vp):
@@ -151,6 +158,11 @@ class Hdf5ObjectReader:
                     fts = f[key][...].astype(np.float32)[: self.max_objects]
                     attrs = {k: np.asarray(v)[: self.max_objects]
                              for k, v in f[key].attrs.items()}
+                    if "sizes" not in attrs and "bboxes" in attrs:
+                        bb = attrs["bboxes"].astype(np.float32)
+                        attrs["sizes"] = np.stack(
+                            [bb[:, 2] - bb[:, 0], bb[:, 3] - bb[:, 1]], -1)
+                    img_h, img_w = self.image_hw
                     out = []
                     for k in range(len(fts)):
                         heading, elevation = attrs["directions"][k][:2]
@@ -158,8 +170,8 @@ class Hdf5ObjectReader:
                         loc = np.concatenate([
                             angle_features(float(heading), float(elevation),
                                            self.angle_feat_size),
-                            np.asarray([h / 480.0, w / 640.0,
-                                        (h / 480.0) * (w / 640.0)],
+                            np.asarray([h / img_h, w / img_w,
+                                        (h / img_h) * (w / img_w)],
                                        np.float32)])
                         oid = attrs["obj_ids"][k]
                         out.append({
@@ -179,10 +191,12 @@ class Hdf5ObjectWorld(Hdf5World):
     """Hdf5World + REVERIE/SOON object features (Hdf5ObjectReader)."""
 
     def __init__(self, *args, obj_ft_file: str, max_objects: int = 20,
-                 angle_feat_size: int = 4, **kwargs):
+                 angle_feat_size: int = 4,
+                 image_hw: Tuple[float, float] = (480.0, 640.0), **kwargs):
         super().__init__(*args, **kwargs)
         self._obj_reader = Hdf5ObjectReader(obj_ft_file, max_objects,
-                                            angle_feat_size)
+                                            angle_feat_size,
+                                            image_hw=image_hw)
 
     def objects(self, scan, vp):
         return self._obj_reader.objects(scan, vp)

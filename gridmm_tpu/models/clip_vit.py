@@ -39,6 +39,12 @@ class ClipVisionConfig:
     # pipeline); softmax still normalizes in f32. Default f32 for fidelity —
     # the torch reference's fp16 scores carry ~8x less rounding than bf16.
     attn_scores_f32: bool = True
+    # timm-ViT variant knobs (vit_base_patch16_224 used as the CE view
+    # encoder, VLN_CE gridmap/vilmodel.py:631): biased conv patchify, no
+    # ln_pre, erf GELU. CLIP keeps the defaults.
+    gelu: str = "quick"  # "quick" (CLIP) | "erf" (timm)
+    ln_pre: bool = True
+    conv_bias: bool = False
 
     @property
     def grid(self) -> int:
@@ -62,6 +68,14 @@ def clip_b32() -> ClipVisionConfig:
 def clip_b16() -> ClipVisionConfig:
     """ViT-B/16 — 196+1 tokens (preprocess/get_map_feature.py:41-50 config)."""
     return ClipVisionConfig(patch_size=16)
+
+
+def vit_b16_timm() -> ClipVisionConfig:
+    """timm vit_base_patch16_224 — the CE live view encoder whose cls token
+    is the per-view feature (Policy_ViewSelection_GridMap.py:338
+    forward_features[:, 0, :]; weights from vit_base_p16_224.pth)."""
+    return ClipVisionConfig(patch_size=16, gelu="erf", ln_pre=False,
+                            conv_bias=True)
 
 
 class ClipLayerNorm(nn.Module):
@@ -145,7 +159,11 @@ class ResidualAttentionBlock(nn.Module):
 
         y = ClipLayerNorm(name="ln_2")(x)
         y = dense(4 * c.width, "mlp_c_fc")(y)
-        y = y * jax.nn.sigmoid(1.702 * y)  # QuickGELU (model_clip.py:24-26)
+        if c.gelu == "quick":
+            y = y * jax.nn.sigmoid(1.702 * y)  # QuickGELU (model_clip.py:24-26)
+        else:
+            y = jax.nn.gelu(y.astype(jnp.float32),
+                            approximate=False).astype(dt)  # timm nn.GELU
         x = x + dense(c.width, "mlp_c_proj")(y)
         return x
 
@@ -166,7 +184,7 @@ class ClipVisionTransformer(nn.Module):
         # patchify: (B, g, p, g, p, 3) -> (B, g*g, p*p*3) @ (p*p*3, width)
         x = images.astype(dt).reshape(b, g, p, g, p, 3)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, p * p * 3)
-        x = nn.Dense(c.width, use_bias=False, dtype=dt, name="conv1")(x)
+        x = nn.Dense(c.width, use_bias=c.conv_bias, dtype=dt, name="conv1")(x)
 
         cls = self.param("class_embedding",
                          nn.initializers.normal(c.width ** -0.5), (c.width,))
@@ -176,7 +194,8 @@ class ClipVisionTransformer(nn.Module):
                          nn.initializers.normal(c.width ** -0.5),
                          (c.num_tokens, c.width))
         x = x + pos.astype(dt)
-        x = ClipLayerNorm(name="ln_pre")(x)
+        if c.ln_pre:
+            x = ClipLayerNorm(name="ln_pre")(x)
         for i in range(c.layers):
             x = ResidualAttentionBlock(c, name=f"resblock_{i}")(x)
         return ClipLayerNorm(name="ln_post")(x)
@@ -194,3 +213,16 @@ def normalize_images(images_uint8: jnp.ndarray) -> jnp.ndarray:
     mean = jnp.asarray(CLIP_MEAN, jnp.float32)
     std = jnp.asarray(CLIP_STD, jnp.float32)
     return (x - mean) / std
+
+
+# timm vit_base_patch16_224 preprocessing (resolve_data_config defaults used
+# by the reference CE policy, gridmap/vilmodel.py:632-633: mean=std=0.5).
+TIMM_MEAN = (0.5, 0.5, 0.5)
+TIMM_STD = (0.5, 0.5, 0.5)
+
+
+def normalize_images_timm(images_uint8: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 -> timm-ViT-normalized float32."""
+    x = images_uint8.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(TIMM_MEAN, jnp.float32)) / jnp.asarray(
+        TIMM_STD, jnp.float32)

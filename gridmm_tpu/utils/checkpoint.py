@@ -453,3 +453,56 @@ def import_torch_clip_visual(state_dict: Dict[str, Any], template_params: dict,
             set_in_tree(inner, f"{d}/{ln}/ln/bias",
                         jnp.asarray(_t(sd[f"{s}.{ln}.bias"])))
     return params
+
+
+def import_timm_vit(state_dict: Dict[str, Any], template_params: dict,
+                    layers: int = 12) -> dict:
+    """timm vit_base_patch16_224 state_dict -> ClipVisionTransformer params
+    (the vit_b16_timm() variant).
+
+    The CE policy loads this tower as its live view encoder from
+    vit_base_p16_224.pth (VLN_CE gridmap/vilmodel.py:631,
+    gridmap/vlnbert_init.py vit ckpt load); forward_features[:, 0, :] is the
+    per-view feature. patch_embed.proj (width,3,p,p) maps onto the
+    unfold-matmul kernel exactly like CLIP's conv1."""
+    sd = _strip_prefixes(state_dict)
+    # some timm checkpoints nest under 'model'
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items()
+              if k.startswith("model.")}
+    params = jax.tree_util.tree_map(np.asarray, template_params)
+    inner = params["params"] if "params" in params else params
+
+    conv = _t(sd["patch_embed.proj.weight"])  # (width, 3, p, p)
+    width = conv.shape[0]
+    kernel = conv.transpose(2, 3, 1, 0).reshape(-1, width)
+    set_in_tree(inner, "conv1/kernel", jnp.asarray(kernel))
+    set_in_tree(inner, "conv1/bias",
+                jnp.asarray(_t(sd["patch_embed.proj.bias"])))
+    set_in_tree(inner, "class_embedding",
+                jnp.asarray(_t(sd["cls_token"]).reshape(width)))
+    set_in_tree(inner, "positional_embedding",
+                jnp.asarray(_t(sd["pos_embed"]).reshape(-1, width)))
+    set_in_tree(inner, "ln_post/ln/scale", jnp.asarray(_t(sd["norm.weight"])))
+    set_in_tree(inner, "ln_post/ln/bias", jnp.asarray(_t(sd["norm.bias"])))
+    for i in range(layers):
+        s = f"blocks.{i}"
+        d = f"resblock_{i}"
+        pairs = [
+            (f"{s}.attn.qkv.weight", f"{d}/attn_in_proj/kernel", True),
+            (f"{s}.attn.qkv.bias", f"{d}/attn_in_proj/bias", False),
+            (f"{s}.attn.proj.weight", f"{d}/attn_out_proj/kernel", True),
+            (f"{s}.attn.proj.bias", f"{d}/attn_out_proj/bias", False),
+            (f"{s}.mlp.fc1.weight", f"{d}/mlp_c_fc/kernel", True),
+            (f"{s}.mlp.fc1.bias", f"{d}/mlp_c_fc/bias", False),
+            (f"{s}.mlp.fc2.weight", f"{d}/mlp_c_proj/kernel", True),
+            (f"{s}.mlp.fc2.bias", f"{d}/mlp_c_proj/bias", False),
+            (f"{s}.norm1.weight", f"{d}/ln_1/ln/scale", False),
+            (f"{s}.norm1.bias", f"{d}/ln_1/ln/bias", False),
+            (f"{s}.norm2.weight", f"{d}/ln_2/ln/scale", False),
+            (f"{s}.norm2.bias", f"{d}/ln_2/ln/bias", False),
+        ]
+        for src, dst, transpose in pairs:
+            v = _t(sd[src])
+            set_in_tree(inner, dst, jnp.asarray(v.T if transpose else v))
+    return params

@@ -105,3 +105,16 @@ def test_ce_ckpt_polling(tmp_path):
                                            batches=1, max_steps=2)
     assert len(results) == 2
     assert all("sr" in r and "checkpoint" in r for r in results)
+
+
+def test_ce_rollout_with_view_tower():
+    """view_tower=True routes panorama tokens through the timm-ViT cls path
+    (Policy:335-343) instead of CLIP cls."""
+    from gridmm_tpu.ce.factory import build_ce_agent as _build
+
+    cfg, agent = _build(img=56, depth_sz=256, tiny=True, view_tower=True)
+    assert agent.view_encoder is not None
+    env = SyntheticContinuousEnv(num_envs=2, image_size=56, depth_size=256,
+                                 seed=3)
+    metrics = agent.rollout(env, max_steps=3, feedback="argmax")
+    assert len(metrics) == 2 and all(np.isfinite(m["ne"]) for m in metrics)

@@ -213,3 +213,98 @@ def test_clip_visual_parity():
     loaded = CK.import_torch_clip_visual(sd, params, layers=layers)
     got = fm.apply(loaded, imgs_nhwc)
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
+
+
+def torch_timm_vit(res, patch, width, layers, heads):
+    """timm vit_base_patch16_224-shaped tower (state-dict key layout matches
+    timm: patch_embed.proj / cls_token / pos_embed / blocks.N.{norm1,attn.qkv,
+    attn.proj,norm2,mlp.fc1,mlp.fc2} / norm)."""
+
+    class Attention(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.qkv = torch.nn.Linear(width, 3 * width)
+            self.proj = torch.nn.Linear(width, width)
+
+        def forward(self, x):
+            b, l, _ = x.shape
+            hd = width // heads
+            qkv = self.qkv(x).reshape(b, l, 3, heads, hd).permute(
+                2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            scores = q @ k.transpose(-1, -2) * hd ** -0.5
+            ctx = (torch.softmax(scores, -1) @ v).transpose(1, 2).reshape(
+                b, l, width)
+            return self.proj(ctx)
+
+    class Mlp(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = torch.nn.Linear(width, 4 * width)
+            self.fc2 = torch.nn.Linear(4 * width, width)
+
+        def forward(self, x):
+            return self.fc2(torch.nn.functional.gelu(self.fc1(x)))
+
+    class Block(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = torch.nn.LayerNorm(width)
+            self.attn = Attention()
+            self.norm2 = torch.nn.LayerNorm(width)
+            self.mlp = Mlp()
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.mlp(self.norm2(x))
+
+    class PatchEmbed(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = torch.nn.Conv2d(3, width, patch, patch)
+
+        def forward(self, x):
+            return self.proj(x).flatten(2).transpose(1, 2)
+
+    class ViT(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch_embed = PatchEmbed()
+            n = (res // patch) ** 2 + 1
+            self.cls_token = torch.nn.Parameter(torch.randn(1, 1, width) * .02)
+            self.pos_embed = torch.nn.Parameter(torch.randn(1, n, width) * .02)
+            self.blocks = torch.nn.Sequential(
+                *[Block() for _ in range(layers)])
+            self.norm = torch.nn.LayerNorm(width)
+
+        def forward_features(self, x):
+            x = self.patch_embed(x)
+            cls = self.cls_token.expand(x.shape[0], -1, -1)
+            x = torch.cat([cls, x], dim=1) + self.pos_embed
+            return self.norm(self.blocks(x))
+
+    return ViT()
+
+
+def test_timm_vit_parity():
+    """The CE live view encoder: timm ViT forward_features matches ours after
+    import_timm_vit (VLN_CE gridmap/vilmodel.py:631, Policy:338)."""
+    torch.manual_seed(5)
+    res, patch, width, layers, heads = 64, 16, 48, 2, 4
+    tm = torch_timm_vit(res, patch, width, layers, heads).eval()
+    imgs = torch.randn(3, 3, res, res)
+    with torch.no_grad():
+        want = tm.forward_features(imgs).numpy()
+
+    ccfg = ClipVisionConfig(input_resolution=res, patch_size=patch,
+                            width=width, layers=layers, heads=heads,
+                            compute_dtype="float32", gelu="erf",
+                            ln_pre=False, conv_bias=True)
+    fm = ClipVisionTransformer(ccfg)
+    imgs_nhwc = jnp.asarray(imgs.permute(0, 2, 3, 1).numpy())
+    params = fm.init(jax.random.PRNGKey(0), imgs_nhwc)
+    loaded = CK.import_timm_vit(tm.state_dict(), params, layers=layers)
+    got = fm.apply(loaded, imgs_nhwc)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
+    # the view feature is the cls token (Policy:338)
+    assert np.asarray(got)[:, 0, :].shape == (3, width)

@@ -177,3 +177,94 @@ def test_mlm_improves_on_real_data(tmp_path):
     assert losses[-1] < losses[0], losses
     acc = validate(model, state.params, {"mlm": [batch0]})
     assert 0.0 <= acc["mlm_acc"] <= 1.0
+
+
+def _soonify_fixture(root: Path, pseudo_idx: bool):
+    """Rewrite the object store to the SOON attr contract (bboxes, no sizes;
+    dataset.py:868-884) and the trajectories to SOON annotations: GT bbox
+    polygons per goal viewpoint, or a precomputed obj_pseudo_label.idx."""
+    rng = np.random.default_rng(11)
+    with h5py.File(root / "objects.hdf5", "a") as f:
+        for key in list(f.keys()):
+            d = f[key]
+            del d.attrs["sizes"]
+            d.attrs["bboxes"] = rng.uniform(
+                0, 600, (2, 4)).astype(np.float32)
+
+    items = [json.loads(ln)
+             for ln in (root / "train.jsonl").read_text().splitlines()]
+    for it in items:
+        del it["objId"]
+        goal = it["path"][-1]
+        if pseudo_idx:
+            it["obj_pseudo_label"] = {"idx": 0}
+        else:
+            # polygon covering the full direction space -> first object at
+            # the goal always matches (soon_pseudo_obj_labels contract)
+            corners = {"left_top": {"heading": -7, "elevation": 7},
+                       "right_top": {"heading": 7, "elevation": 7},
+                       "right_bottom": {"heading": 7, "elevation": -7},
+                       "left_bottom": {"heading": -7, "elevation": -7}}
+            it["bboxes"] = {goal: {"target": corners}}
+    (root / "train.jsonl").write_text(
+        "\n".join(json.dumps(it) for it in items))
+
+
+@pytest.mark.parametrize("pseudo_idx", [False, True])
+def test_pretrain_cli_soon_og(tmp_path, capsys, pseudo_idx):
+    """SOON pretraining: og supervision from bbox pseudo-labels (derived via
+    polygon matching, soon/env.py:331-424) or a precomputed
+    obj_pseudo_label.idx (SoonTextPathData.get_obj_label, dataset.py:888-892).
+    The object store carries SOON-style `bboxes` attrs (sizes derived)."""
+    from gridmm_tpu.cli.pretrain import main
+
+    traj = build_fixture(tmp_path, with_objects=True)
+    _soonify_fixture(tmp_path, pseudo_idx)
+    main(_base_args(tmp_path, traj) + [
+        "--obj_ft_file", str(tmp_path / "objects.hdf5"),
+        "--tasks", "og", "--mix_ratio", "1",
+        "--steps", "2", "--valid_every", "2"])
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert lines and "og_acc" in lines[-1]
+
+
+def test_pretrain_dataset_soon_labels(tmp_path):
+    """The og labels produced from SOON annotations are non-degenerate: a
+    'pos' trajectory ending at the goal must label a real object token."""
+    from gridmm_tpu.cli.pretrain import (build_dataset, parse_args,
+                                         _resolve_config)
+
+    traj = build_fixture(tmp_path, with_objects=True)
+    _soonify_fixture(tmp_path, pseudo_idx=False)
+    args = parse_args(_base_args(tmp_path, traj) + [
+        "--obj_ft_file", str(tmp_path / "objects.hdf5")])
+    cfg = _resolve_config(args)
+    train_ds, _ = build_dataset(args, cfg)
+    labeled = 0
+    for i in range(len(train_ds)):
+        it = train_ds.get_input(i, "pos")
+        if int(it["obj_label"]) >= 0:
+            labeled += 1
+            assert bool(it["vp_obj_mask"][int(it["obj_label"])])
+    assert labeled > 0
+
+
+def test_pretrain_cli_aug_views(tmp_path, capsys):
+    """--aug_view_ft_file swaps train views with the EnvEdit bank p=0.5
+    (SoonTextPathData.get_scanvp_feature is_train branch)."""
+    from gridmm_tpu.cli.pretrain import main
+
+    traj = build_fixture(tmp_path)
+    rng = np.random.default_rng(3)
+    with h5py.File(tmp_path / "aug_views.hdf5", "w") as f:
+        for i in range(NODES):
+            f[f"{SCAN}_vpF{i:02d}"] = rng.standard_normal(
+                (36, D)).astype(np.float32) * 0.4
+    main(_base_args(tmp_path, traj) + [
+        "--aug_view_ft_file", str(tmp_path / "aug_views.hdf5"),
+        "--tasks", "mlm", "--mix_ratio", "1",
+        "--steps", "2", "--valid_every", "2"])
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert lines and "mlm_acc" in lines[-1]
