@@ -45,6 +45,14 @@ class ClipVisionConfig:
     gelu: str = "quick"  # "quick" (CLIP) | "erf" (timm)
     ln_pre: bool = True
     conv_bias: bool = False
+    # serving path: fused Pallas LayerNorm — one bf16 HBM read+write with
+    # in-register f32 stats instead of XLA's materialized f32 upcast
+    use_pallas_ln: bool = False
+    # serving path: layout-native fused attention consuming the packed qkv
+    # projection directly (head pairs = 128-lane tiles; block-diagonal
+    # two-heads-per-matmul) — removes XLA's (B,L,H,64) relayout copies.
+    # Requires head_dim 64.
+    use_qkv_attention: bool = False
 
     @property
     def grid(self) -> int:
@@ -78,12 +86,33 @@ def vit_b16_timm() -> ClipVisionConfig:
                             conv_bias=True)
 
 
+class _LnParams(nn.Module):
+    """scale/bias with the exact nn.LayerNorm param tree (ln/scale, ln/bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
 class ClipLayerNorm(nn.Module):
-    """f32 LayerNorm (model_clip.py:15-21), eps matches torch default 1e-5."""
+    """f32 LayerNorm (model_clip.py:15-21), eps matches torch default 1e-5.
+
+    use_pallas routes through ops/pallas/layernorm.fused_layernorm — same
+    math and the same param tree, one HBM pass each way."""
+
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         dt = x.dtype
+        if self.use_pallas:
+            from gridmm_tpu.ops.pallas.layernorm import fused_layernorm
+
+            scale, bias = _LnParams(x.shape[-1], name="ln")()
+            return fused_layernorm(x, scale, bias, eps=1e-5)
         return nn.LayerNorm(epsilon=1e-5, name="ln")(
             x.astype(jnp.float32)).astype(dt)
 
@@ -123,41 +152,47 @@ class ResidualAttentionBlock(nn.Module):
         def dense(features, name):
             return MaybeInt8Dense(features, c.int8_matmuls, dt, name=name)
 
-        y = ClipLayerNorm(name="ln_1")(x)
+        y = ClipLayerNorm(c.use_pallas_ln, name="ln_1")(x)
         qkv = dense(3 * c.width, "attn_in_proj")(y)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        b, l, _ = q.shape
-        q = q.reshape(b, l, h, hd)
-        k = k.reshape(b, l, h, hd)
-        v = v.reshape(b, l, h, hd)
-        if c.use_pallas_attention:
-            from gridmm_tpu.ops.pallas.attention import fused_attention
+        if c.use_qkv_attention:
+            from gridmm_tpu.ops.pallas.attention_qkv import fused_attention_qkv
 
-            def fold(t):
-                return t.transpose(0, 2, 1, 3).reshape(b * h, l, hd)
-
-            ctx = fused_attention(fold(q), fold(k), fold(v))
-            ctx = ctx.reshape(b, h, l, hd).transpose(0, 2, 1, 3)
-        elif c.attn_scores_f32:
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                                preferred_element_type=jnp.float32) / jnp.sqrt(
-                                    jnp.float32(hd))
-            probs = jax.nn.softmax(scores, axis=-1).astype(dt)
-            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                             preferred_element_type=jnp.float32).astype(dt)
+            ctx = fused_attention_qkv(qkv, heads=h)
         else:
-            # scores in compute dtype (MXU still accumulates f32 internally);
-            # softmax upcasts to f32 in-register
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.asarray(
-                hd ** 0.5, dt)
-            probs = jax.nn.softmax(scores.astype(jnp.float32),
-                                   axis=-1).astype(dt)
-            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                             preferred_element_type=jnp.float32).astype(dt)
-        ctx = ctx.reshape(b, l, c.width)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            b, l, _ = q.shape
+            q = q.reshape(b, l, h, hd)
+            k = k.reshape(b, l, h, hd)
+            v = v.reshape(b, l, h, hd)
+            if c.use_pallas_attention:
+                from gridmm_tpu.ops.pallas.attention import fused_attention
+
+                def fold(t):
+                    return t.transpose(0, 2, 1, 3).reshape(b * h, l, hd)
+
+                ctx = fused_attention(fold(q), fold(k), fold(v))
+                ctx = ctx.reshape(b, h, l, hd).transpose(0, 2, 1, 3)
+            elif c.attn_scores_f32:
+                scores = jnp.einsum(
+                    "bqhd,bkhd->bhqk", q, k,
+                    preferred_element_type=jnp.float32) / jnp.sqrt(
+                        jnp.float32(hd))
+                probs = jax.nn.softmax(scores, axis=-1).astype(dt)
+                ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                                 preferred_element_type=jnp.float32).astype(dt)
+            else:
+                # scores in compute dtype (MXU still accumulates f32
+                # internally); softmax upcasts to f32 in-register
+                scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.asarray(
+                    hd ** 0.5, dt)
+                probs = jax.nn.softmax(scores.astype(jnp.float32),
+                                       axis=-1).astype(dt)
+                ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                                 preferred_element_type=jnp.float32).astype(dt)
+            ctx = ctx.reshape(b, l, c.width)
         x = x + dense(c.width, "attn_out_proj")(ctx)
 
-        y = ClipLayerNorm(name="ln_2")(x)
+        y = ClipLayerNorm(c.use_pallas_ln, name="ln_2")(x)
         y = dense(4 * c.width, "mlp_c_fc")(y)
         if c.gelu == "quick":
             y = y * jax.nn.sigmoid(1.702 * y)  # QuickGELU (model_clip.py:24-26)
@@ -195,10 +230,10 @@ class ClipVisionTransformer(nn.Module):
                          (c.num_tokens, c.width))
         x = x + pos.astype(dt)
         if c.ln_pre:
-            x = ClipLayerNorm(name="ln_pre")(x)
+            x = ClipLayerNorm(c.use_pallas_ln, name="ln_pre")(x)
         for i in range(c.layers):
             x = ResidualAttentionBlock(c, name=f"resblock_{i}")(x)
-        return ClipLayerNorm(name="ln_post")(x)
+        return ClipLayerNorm(c.use_pallas_ln, name="ln_post")(x)
 
 
 # CLIP preprocessing constants (OpenAI CLIP normalization used by
