@@ -53,6 +53,11 @@ def parse_args(argv=None):
     p.add_argument("--dagger_sum", action="store_true",
                    help="sum teacher+sample losses per iteration "
                         "(reference DAgger gradient shape)")
+    p.add_argument("--scan_buckets", default=None,
+                   help="comma-separated episode-length buckets (e.g. "
+                        "'6,10,15'); short episodes pad to the smallest "
+                        "covering bucket instead of max_action_len — one "
+                        "compiled graph per bucket")
     p.add_argument("--submit", default=None,
                    help="write leaderboard-format predictions JSON here "
                         "after the final eval (main_nav.py:246-260)")
@@ -203,10 +208,13 @@ def main(argv=None):
     if args.lr:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, lr=args.lr))
+    buckets = (tuple(int(x) for x in args.scan_buckets.split(","))
+               if args.scan_buckets else None)
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(
             cfg.train, batch_size=args.batch_size, iters=args.iters,
-            log_every=args.log_every, dagger_sum=args.dagger_sum))
+            log_every=args.log_every, dagger_sum=args.dagger_sum,
+            scan_buckets=buckets))
 
     if args.world == "synthetic":
         train_env, val_env = build_synthetic(args, cfg)

@@ -175,6 +175,11 @@ class TrainConfig:
     expl_max_ratio: float = 0.6  # expl_sample: explore when rand > ratio
     expert_policy: str = "spl"  # 'spl' shortest-dist oracle | 'ndtw' follow GT path
     max_action_len: int = 15
+    # scan-length buckets: episodes pad to the smallest bucket >= their real
+    # length instead of always max_action_len, reclaiming compute on short
+    # episodes at the cost of one compiled fwd+bwd graph per bucket
+    # (None = single max_action_len graph)
+    scan_buckets: Optional[Tuple[int, ...]] = None
     ignoreid: int = -100
     iters: int = 100000
     log_every: int = 1000

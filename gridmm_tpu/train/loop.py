@@ -74,13 +74,27 @@ def train_navigator(
     best_spl, best_iter = -1.0, -1
     final_metrics: Dict[str, float] = {}
 
+    def _bucket(s: int) -> int:
+        """Smallest configured bucket covering s (else max_action_len).
+        Each bucket costs one compiled fwd+bwd graph (jit caches by shape);
+        short episodes then skip the padded scan tail."""
+        buckets = cfg.train.scan_buckets
+        if not buckets:
+            return cfg.train.max_action_len
+        fits = [b for b in buckets if b >= s]
+        return min(fits) if fits else cfg.train.max_action_len
+
     def _rollout(cur_agent, feedback):
         _, batch, _ = cur_agent.rollout(feedback=feedback, record=True,
                                         rng=np_rng)
+        return batch
+
+    def _pad(batch, num_steps=None):
         # pad to a fixed step count: variable episode lengths would force
         # a recompile of the scanned fwd+bwd per distinct length
-        return pad_to_steps(batch, cfg.train.max_action_len,
-                            cfg.train.ignoreid)
+        return pad_to_steps(
+            batch, num_steps or _bucket(batch.steps.target.shape[0]),
+            cfg.train.ignoreid)
 
     for it in range(1, iters + 1):
         # GT/aug interleave: odd iterations GT env, even iterations aug env
@@ -88,18 +102,22 @@ def train_navigator(
         cur.params = state.params
         if dagger_sum:
             with timer.section("rollout"):
-                teacher_batch = _rollout(cur, "teacher")
-                sample_batch = _rollout(cur, "sample")
+                tb = _rollout(cur, "teacher")
+                sb = _rollout(cur, "sample")
+            # one common bucket: the paired step compiles per bucket, not per
+            # (teacher, sample) length combination
+            nb = _bucket(max(tb.steps.target.shape[0],
+                             sb.steps.target.shape[0]))
             with timer.section("update"):
-                state, metrics = dagger_step(state, teacher_batch,
-                                             sample_batch, rng)
+                state, metrics = dagger_step(state, _pad(tb, nb),
+                                             _pad(sb, nb), rng)
         else:
             # alternate teacher/sample per ENV visit so the aug env sees both
             # passes too (with aug: T(gt) T(aug) S(gt) S(aug) ...)
             phase = ((it + 1) // 2) if aug_agent is not None else it
             feedback = "teacher" if phase % 2 == 1 else "sample"
             with timer.section("rollout"):
-                batch = _rollout(cur, feedback)
+                batch = _pad(_rollout(cur, feedback))
             with timer.section("update"):
                 state, metrics = train_step(state, batch, rng)
         logger.log(it, {k: float(v) for k, v in metrics.items()},

@@ -151,3 +151,36 @@ def test_expl_sample_feedback():
     for item in traj:
         flat = [vp for seg in item["trajectory"] for vp in seg]
         assert len(flat) >= 1
+
+
+def test_train_loop_scan_buckets():
+    """scan_buckets pads episodes to the smallest covering bucket instead of
+    max_action_len (one compiled graph per bucket); training runs across
+    bucket switches and both dagger modes."""
+    from gridmm_tpu.train.loop import train_navigator
+    from gridmm_tpu.train.recollection import pad_to_steps
+
+    cfg, env, model, params, agent = build_all()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, scan_buckets=(2, 3, 4)))
+    agent.cfg = cfg
+    result = train_navigator(cfg, model, agent, val_agent=None, iters=3,
+                             log_every=3, seed=0)
+    assert result.best_iter == -1
+
+    # bucket choice itself: a 2-step batch pads to 2, a 3-step to 3
+    _, batch, _ = agent.rollout(feedback="teacher", record=True,
+                                rng=np.random.default_rng(0))
+    s = batch.steps.target.shape[0]
+    fits = [b for b in (2, 3, 4) if b >= s]
+    want = min(fits) if fits else cfg.train.max_action_len
+    padded = pad_to_steps(batch, want, cfg.train.ignoreid)
+    assert padded.steps.target.shape[0] == want
+
+    # dagger_sum shares one bucket across the teacher/sample pair
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, scan_buckets=(2, 4),
+                                       dagger_sum=True))
+    agent.cfg = cfg2
+    train_navigator(cfg2, model, agent, val_agent=None, iters=2,
+                    log_every=2, seed=1)
