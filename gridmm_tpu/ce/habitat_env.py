@@ -32,7 +32,12 @@ class HabitatContinuousEnv:
     """ContinuousEnv over a habitat-sim instance (one env per slot)."""
 
     def __init__(self, config_path: str, num_envs: int = 1,
-                 step_size: float = 0.25):
+                 step_size: float = 0.25, eval_mode: bool = False):
+        """eval_mode records every 0.25 m sub-step position + collision flag
+        (MoveHighToLowEval/Infer semantics, habitat_extensions/nav.py:27-172)
+        so path_length/nDTW and the inference writer see the true walked
+        path; train mode records one point per macro step like
+        MoveHighToLow."""
         if not HABITAT_AVAILABLE:
             raise ImportError(
                 "habitat-sim is not installed; use SyntheticContinuousEnv or "
@@ -41,9 +46,11 @@ class HabitatContinuousEnv:
 
         self.num_envs = num_envs
         self.step_size = step_size
+        self.eval_mode = eval_mode
         cfg = habitat.get_config(config_path)
         self._envs = [habitat.Env(cfg) for _ in range(num_envs)]
         self.paths: List[List[np.ndarray]] = [[] for _ in range(num_envs)]
+        self.collisions: List[List[bool]] = [[] for _ in range(num_envs)]
         self._obs = [None] * num_envs
 
     # -- protocol ------------------------------------------------------------
@@ -52,6 +59,7 @@ class HabitatContinuousEnv:
         for i, env in enumerate(self._envs):
             raw = env.reset()
             self.paths[i] = [self._pos(env)]
+            self.collisions[i] = []
             self._obs[i] = raw
             out.append(self._to_obs(i, raw))
         return out
@@ -72,8 +80,17 @@ class HabitatContinuousEnv:
         steps = max(int(round(distance / self.step_size)), 1)
         for k in range(steps - 1):
             sim.step_without_obs(1)  # MOVE_FORWARD, no rendering (nav.py:96)
+            if self.eval_mode:
+                # per-sub-step position + collision flag
+                # (MoveHighToLowEval, nav.py:112-140)
+                self.paths[i].append(self._pos(env))
+                self.collisions[i].append(
+                    bool(getattr(sim, "previous_step_collided", False)))
         self._obs[i] = env.step(1)
         self.paths[i].append(self._pos(env))
+        if self.eval_mode:
+            self.collisions[i].append(
+                bool(getattr(env.sim, "previous_step_collided", False)))
 
     def cand_dist_to_goal(self, i: int, heading: float,
                           distance: float) -> float:

@@ -53,6 +53,13 @@ def parse_args(argv=None):
     p.add_argument("--dagger_sum", action="store_true",
                    help="sum teacher+sample losses per iteration "
                         "(reference DAgger gradient shape)")
+    p.add_argument("--mesh", choices=["off", "auto"], default="off",
+                   help="auto = shard the replay update over all visible "
+                        "devices (data-parallel, + tensor-parallel when "
+                        "--mp_size > 1); the TPU equivalent of the "
+                        "reference's torch.distributed.launch DDP")
+    p.add_argument("--mp_size", type=int, default=1,
+                   help="model-parallel axis size within --mesh auto")
     p.add_argument("--scan_buckets", default=None,
                    help="comma-separated episode-length buckets (e.g. "
                         "'6,10,15'); short episodes pad to the smallest "
@@ -235,6 +242,22 @@ def main(argv=None):
         if (args.eval or args.submit) else None
     aug_agent = NavAgent(model, cfg, aug_env, params) if aug_env else None
 
+    mesh = None
+    if args.mesh == "auto":
+        from gridmm_tpu.config import MeshConfig
+        from gridmm_tpu.parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        if len(devices) % args.mp_size:
+            raise ValueError(f"{len(devices)} devices not divisible by "
+                             f"--mp_size {args.mp_size}")
+        mesh = make_mesh(MeshConfig(mp_size=args.mp_size), devices)
+        dp = len(devices) // args.mp_size
+        if cfg.train.batch_size % dp:
+            raise ValueError(f"--batch_size {cfg.train.batch_size} not "
+                             f"divisible by data-parallel size {dp}")
+        print(f"mesh: data={dp} model={args.mp_size}")
+
     logger = MetricLogger(os.path.join(args.output_dir, "logs"))
     result = train_navigator(
         cfg, model, agent, val_agent if args.eval else None,
@@ -242,7 +265,7 @@ def main(argv=None):
         log_every=args.log_every,
         eval_batches=args.eval_batches or None,  # 0 -> full split
         ckpt_dir=os.path.join(args.output_dir, "ckpts"), logger=logger,
-        seed=args.seed)
+        seed=args.seed, mesh=mesh)
     if args.submit and val_agent is not None:
         # final full-split predictions in leaderboard format
         # (main_nav.py:246-260 valid() submit JSON)

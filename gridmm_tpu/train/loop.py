@@ -41,6 +41,7 @@ def train_navigator(
     ckpt_dir: Optional[str] = None,
     logger: Optional[MetricLogger] = None,
     seed: int = 0,
+    mesh=None,
 ) -> TrainerResult:
     """DAgger-style training, replayed through the scanned trajectory loss.
 
@@ -55,6 +56,12 @@ def train_navigator(
     aug_agent (an agent over the augmented-instruction env, main_nav.py
     --aug split) alternates 1:1 with the GT-data agent per iteration
     (main_nav.py:142-154 interleave).
+
+    mesh (a jax.sharding.Mesh from parallel.mesh.make_mesh) distributes the
+    replay update: params sharded by the Megatron/TP rules over `model` and
+    batches split over `data`; XLA inserts the gradient all-reduce — the
+    TPU equivalent of the reference's DDP wrap (agent_base.py:115-117).
+    cfg.train.batch_size must be divisible by the data-axis size.
     """
     iters = iters or cfg.train.iters
     log_every = log_every or cfg.train.log_every
@@ -65,6 +72,11 @@ def train_navigator(
     from gridmm_tpu.train.recollection import pad_to_steps
     from gridmm_tpu.train.step import make_dagger_step
 
+    if mesh is not None:
+        from gridmm_tpu.parallel.mesh import param_shardings
+
+        agent.params = jax.device_put(agent.params,
+                                      param_shardings(agent.params, mesh))
     state = create_train_state(cfg, agent.params)
     train_step = jax.jit(make_train_step(model, cfg))
     dagger_step = jax.jit(make_dagger_step(model, cfg)) if dagger_sum else None
@@ -92,9 +104,15 @@ def train_navigator(
     def _pad(batch, num_steps=None):
         # pad to a fixed step count: variable episode lengths would force
         # a recompile of the scanned fwd+bwd per distinct length
-        return pad_to_steps(
+        batch = pad_to_steps(
             batch, num_steps or _bucket(batch.steps.target.shape[0]),
             cfg.train.ignoreid)
+        if mesh is not None:
+            from gridmm_tpu.parallel.mesh import trajectory_batch_shardings
+
+            batch = jax.device_put(
+                batch, trajectory_batch_shardings(batch, mesh))
+        return batch
 
     for it in range(1, iters + 1):
         # GT/aug interleave: odd iterations GT env, even iterations aug env

@@ -36,3 +36,37 @@ def test_fsdp_train_step():
     state, m = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
     assert np.isfinite(float(m["grad_norm"]))
+
+
+def test_train_navigator_with_mesh():
+    """The CLI-facing mesh path: train_navigator(mesh=...) shards params +
+    batches over the 8-device mesh and the loop trains (the DDP-equivalent
+    of agent_base.py:115-117 reachable from cli/main_nav --mesh auto)."""
+    import dataclasses
+
+    import numpy as np
+
+    from gridmm_tpu.config import MeshConfig, tiny_config
+    from gridmm_tpu.env.discrete import DiscreteNavEnv, synthetic_episodes
+    from gridmm_tpu.env.world import SyntheticWorld
+    from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
+    from gridmm_tpu.parallel.mesh import make_mesh
+    from gridmm_tpu.train.agent import NavAgent
+    from gridmm_tpu.train.loop import train_navigator
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=8))
+    world = SyntheticWorld(num_scans=1, nodes_per_scan=8, feat_dim=768, seed=3)
+    eps = synthetic_episodes(world, num=8, seed=3, max_len=3)
+    env = DiscreteNavEnv(world, world.graphs, eps, batch_size=8, seed=3)
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(3))
+    agent = NavAgent(model, cfg, env, params)
+    mesh = make_mesh(MeshConfig(mp_size=2), jax.devices()[:8])
+    result = train_navigator(cfg, model, agent, val_agent=None, iters=2,
+                             log_every=2, seed=3, mesh=mesh)
+    assert result.best_iter == -1
+    # params ended up sharded over the mesh
+    leaf = jax.tree_util.tree_leaves(agent.params)[0]
+    assert leaf.sharding.mesh.shape["data"] == 4

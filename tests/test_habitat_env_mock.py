@@ -138,7 +138,7 @@ def _restore_module():
     importlib.reload(he)
 
 
-def _build_env(monkeypatch, num_envs=1):
+def _build_env(monkeypatch, num_envs=1, eval_mode=False):
     q = _fake_quaternion_module()
     habitat = types.ModuleType("habitat")
     habitat.get_config = lambda path: {"path": path}
@@ -149,7 +149,8 @@ def _build_env(monkeypatch, num_envs=1):
 
     importlib.reload(he)
     assert he.HABITAT_AVAILABLE
-    env = he.HabitatContinuousEnv("dummy.yaml", num_envs=num_envs)
+    env = he.HabitatContinuousEnv("dummy.yaml", num_envs=num_envs,
+                                   eval_mode=eval_mode)
     return he, env
 
 
@@ -191,3 +192,26 @@ def test_oracle_helpers(monkeypatch):
     # candidate 1m along heading 0 (-z): position (0,0,-1) -> dist 3-4 plane
     d = env.cand_dist_to_goal(0, heading=0.0, distance=1.0)
     assert abs(d - math.hypot(3.0, 3.0)) < 1e-6
+
+
+def test_eval_mode_records_substeps(monkeypatch):
+    """eval_mode records every 0.25 m sub-step position + collision flag
+    (MoveHighToLowEval/Infer, habitat_extensions/nav.py:112-172); train mode
+    keeps one point per macro step (MoveHighToLow)."""
+    he, env = _build_env(monkeypatch, eval_mode=True)
+    env.reset()
+    sim = env._envs[0].sim
+    sim.previous_step_collided = False
+    env.step_to(0, heading=math.pi / 2, distance=1.0)
+    # start + 3 sub-steps + final = 5 recorded positions
+    assert len(env.paths[0]) == 5
+    xs = [p[0] for p in env.paths[0]]
+    np.testing.assert_allclose(xs, [0.0, 0.25, 0.5, 0.75, 1.0], atol=1e-6)
+    assert env.collisions[0] == [False, False, False, False]
+    # collision flag propagates
+    sim.previous_step_collided = True
+    env.step_to(0, heading=math.pi / 2, distance=0.5)
+    assert env.collisions[0][-1] is True
+    # reset clears the recordings
+    env.reset()
+    assert len(env.paths[0]) == 1 and env.collisions[0] == []

@@ -45,3 +45,46 @@ def test_viewpoint_info():
     assert len(info) == 4
     for v in info.values():
         assert set(v) == {"x", "y", "z"}
+
+
+def test_preprocess_cli_end_to_end(tmp_path):
+    """cli/preprocess writes the reference artifact set from connectivity
+    alone (synthetic renderer), and the artifacts round-trip through
+    Hdf5World."""
+    import json
+
+    import numpy as np
+
+    from gridmm_tpu.cli.preprocess import main
+    from gridmm_tpu.env.world import Hdf5World
+
+    conn = tmp_path / "connectivity"
+    conn.mkdir()
+    vps = [f"vpP{i}" for i in range(3)]
+    items = []
+    for i, vp in enumerate(vps):
+        pose = [0.0] * 16
+        pose[3], pose[7], pose[11] = float(i), 0.5 * i, 1.5
+        unob = [j != i for j in range(3)]
+        items.append({"image_id": vp, "included": True, "unobstructed": unob,
+                      "pose": pose, "height": 1.5})
+    (conn / "scanP_connectivity.json").write_text(json.dumps(items))
+    (conn / "scans.txt").write_text("scanP\n")
+
+    out = tmp_path / "feats"
+    n = main(["--connectivity_dir", str(conn), "--output_dir", str(out),
+              "--renderer", "synthetic", "--tiny", "--resolution", "56",
+              "--batch_panos", "2"])
+    assert n == 3
+    with open(out / "viewpoint_info.json") as f:
+        info = json.load(f)
+    assert info["scanP_vpP2"]["x"] == 2.0
+
+    world = Hdf5World(view_ft_file=str(out / "clip_p32.hdf5"),
+                      depth_file=str(out / "depth.hdf5"),
+                      grid_ft_file=str(out / "clip_p32.hdf5"),
+                      viewpoint_info=info, image_feat_size=64)
+    g = world.grid_features("scanP", "vpP0")
+    assert g.shape == (12 * 49, 64)
+    d = world.depth_patches("scanP", "vpP1")
+    assert d.shape == (12, 49) and np.isfinite(d).all()
