@@ -176,6 +176,16 @@ def build_real(args, cfg):
         train_world = AugmentedViewWorld(
             world, _hdf5_view_bank(args.aug_views, cfg.model.image_feat_size),
             seed=args.seed)
+    # multi-host: contiguous val shard per process (reference
+    # sel_data_idxs=(rank, world_size), main_nav.py:79 / r2r/env.py:427-435)
+    # and scene-balanced train allocation; single-process runs are unchanged
+    from gridmm_tpu.parallel.multihost import (allocate_episodes_by_scene,
+                                               process_count, process_index)
+
+    if process_count() > 1:
+        rank, world = process_index(), process_count()
+        val_data = val_data[rank::world]
+        train_data = allocate_episodes_by_scene(train_data, world)[rank]
     # augmented-instruction env, interleaved with GT (main_nav.py:35-47)
     aug_data = None
     if args.aug:
@@ -268,11 +278,17 @@ def main(argv=None):
         seed=args.seed, mesh=mesh)
     if args.submit and val_agent is not None:
         # final full-split predictions in leaderboard format
-        # (main_nav.py:246-260 valid() submit JSON)
+        # (main_nav.py:246-260 valid() submit JSON); per-host shards merged
+        # like the reference's all_gather + merge_dist_results
+        from gridmm_tpu.parallel.multihost import (merge_prediction_lists,
+                                                   process_index)
+
         val_agent.params = agent.params
         _, preds = val_agent.evaluate(None)
-        val_agent.write_submission(preds, args.submit)
-        print(f"wrote {len(preds)} predictions -> {args.submit}")
+        preds = merge_prediction_lists(preds)
+        if process_index() == 0:
+            val_agent.write_submission(preds, args.submit)
+            print(f"wrote {len(preds)} predictions -> {args.submit}")
     print(json.dumps({
         "best_spl": result.best_spl, "best_iter": result.best_iter,
         **{f"final_{k}": v for k, v in result.final_metrics.items()}}))

@@ -23,6 +23,10 @@ def process_count() -> int:
     return jax.process_count()
 
 
+def process_index() -> int:
+    return jax.process_index()
+
+
 def merge_prediction_lists(local_preds: List[dict]) -> List[dict]:
     """Gather per-host prediction lists to every host, deduped by instr_id
     (the reference's all_gather + merge_dist_results)."""
