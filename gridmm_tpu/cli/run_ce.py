@@ -35,6 +35,29 @@ def parse_args(argv=None):
                         "folder (base_il_trainer.py:896-912 polling loop)")
     p.add_argument("--poll_timeout", type=float, default=0.0,
                    help="stop after this many seconds without a new ckpt")
+    p.add_argument("--habitat_config", default=None,
+                   help="habitat task yaml for --env habitat")
+    p.add_argument("--full", action="store_true",
+                   help="full-scale agent (r2r_ce preset, ResNet50/ddppo "
+                        "towers, ViT-B/32 grid CLIP) instead of the tiny "
+                        "smoke agent")
+    p.add_argument("--view_tower", action="store_true",
+                   help="add the timm ViT-B/16 live view encoder "
+                        "(gridmap/vilmodel.py:631)")
+    p.add_argument("--depth_only_waypoint", action="store_true",
+                   help="RxR-CE depth-only waypoint predictor "
+                        "(DepthDistPredictor_TRM)")
+    # released-weights set (base_il_trainer.py:80-117 + vlnbert_init.py:11-65)
+    p.add_argument("--waypoint_ckpt", default=None)
+    p.add_argument("--navigator_ckpt", default=None,
+                   help="grid_map.pt")
+    p.add_argument("--clip_ckpt", default=None, help="ViT-B-32.pt")
+    p.add_argument("--vit_ckpt", default=None,
+                   help="vit_base_p16_224.pth (needs --view_tower)")
+    p.add_argument("--rgb_resnet_ckpt", default=None,
+                   help="torchvision resnet50 state_dict")
+    p.add_argument("--ddppo_ckpt", default=None,
+                   help="gibson ddppo visual_encoder state_dict")
     return p.parse_args(argv)
 
 
@@ -45,13 +68,30 @@ def main(argv=None):
     from gridmm_tpu.ce.trainer import CETrainer
     from gridmm_tpu.utils.logging import MetricLogger
 
-    cfg, agent = build_ce_agent()
+    cfg, agent = build_ce_agent(
+        tiny=not args.full, view_tower=args.view_tower,
+        waypoint_rgb=not args.depth_only_waypoint,
+        img=224 if args.full else 56, seed=args.seed)
+    ckpts = dict(waypoint_ckpt=args.waypoint_ckpt,
+                 navigator_ckpt=args.navigator_ckpt,
+                 clip_ckpt=args.clip_ckpt, vit_ckpt=args.vit_ckpt,
+                 rgb_resnet_sd=args.rgb_resnet_ckpt,
+                 ddppo_sd=args.ddppo_ckpt)
+    if any(v is not None for v in ckpts.values()):
+        from gridmm_tpu.ce.factory import load_ce_released_weights
+
+        load_ce_released_weights(agent, **ckpts)
     if args.env == "habitat":
-        raise SystemExit(
-            "habitat-sim is not installed in this image; implement a "
-            "ContinuousEnv adapter over habitat VectorEnv to use real scenes")
-    env = SyntheticContinuousEnv(num_envs=args.num_envs, image_size=56,
-                                 depth_size=256, seed=args.seed)
+        from gridmm_tpu.ce.habitat_env import HabitatContinuousEnv
+
+        if not args.habitat_config:
+            raise SystemExit("--env habitat needs --habitat_config")
+        env = HabitatContinuousEnv(
+            args.habitat_config, num_envs=args.num_envs,
+            eval_mode=args.run_type in ("eval", "inference"))
+    else:
+        env = SyntheticContinuousEnv(num_envs=args.num_envs, image_size=56,
+                                     depth_size=256, seed=args.seed)
     trainer = CETrainer(cfg, agent)
     logger = MetricLogger(args.output_dir)
 

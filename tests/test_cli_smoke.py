@@ -52,3 +52,34 @@ def test_convert_store_cli(tmp_path):
     rec = r.get("s_v")
     assert rec.shape == (12, 49) and (rec == 7).all()
     r.close()
+
+
+def test_run_ce_cli_waypoint_ckpt(tmp_path):
+    """--waypoint_ckpt loads a TRM_net-layout checkpoint through the CLI
+    (base_il_trainer.py:96-117 frozen waypoint load)."""
+    torch = pytest.importorskip("torch")
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent))
+    from test_waypoint import _build_torch_trm
+
+    from gridmm_tpu.cli.run_ce import main
+
+    tm = _build_torch_trm(True, hidden=64, heads=4, inter=3072, layers=1,
+                          rgb_dim=(2048 * 7 * 7 // 49 // 49) * 49,  # tiny tower: 41*49
+                          depth_dim=128 * 16)
+    ckpt = {"predictor": {"state_dict": tm.state_dict()}}
+    path = tmp_path / "waypoint.pth"
+    torch.save(ckpt, path)
+    metrics = main(["--run-type", "eval", "--batches_per_epoch", "1",
+                    "--max_steps", "2", "--output_dir", str(tmp_path),
+                    "--waypoint_ckpt", str(path)])
+    assert 0.0 <= metrics["sr"] <= 1.0
+
+
+def test_run_ce_cli_habitat_requires_config(tmp_path):
+    from gridmm_tpu.cli.run_ce import main
+
+    with pytest.raises(SystemExit):
+        main(["--env", "habitat", "--output_dir", str(tmp_path)])
