@@ -176,35 +176,40 @@ def build_real(args, cfg):
         train_world = AugmentedViewWorld(
             world, _hdf5_view_bank(args.aug_views, cfg.model.image_feat_size),
             seed=args.seed)
-    # multi-host: contiguous val shard per process (reference
-    # sel_data_idxs=(rank, world_size), main_nav.py:79 / r2r/env.py:427-435)
-    # and scene-balanced train allocation; single-process runs are unchanged
+    # multi-host: scene-balanced train allocation per process; the val env
+    # takes the reference's contiguous shard via sel_data_idxs
+    # (main_nav.py:79 / r2r/env.py:427-435). Single-process runs unchanged.
     from gridmm_tpu.parallel.multihost import (allocate_episodes_by_scene,
                                                process_count, process_index)
 
-    if process_count() > 1:
-        rank, world = process_index(), process_count()
-        val_data = val_data[rank::world]
-        train_data = allocate_episodes_by_scene(train_data, world)[rank]
+    rank, n_procs = process_index(), process_count()
+    val_shard = (rank, n_procs) if n_procs > 1 else None
+    if n_procs > 1:
+        train_data = allocate_episodes_by_scene(train_data, n_procs)[rank]
     # augmented-instruction env, interleaved with GT (main_nav.py:35-47)
     aug_data = None
     if args.aug:
         aug_data = construct_instrs(anno, ds, [args.aug], tok,
                                     cfg.shapes.max_txt_len)
+        if n_procs > 1:
+            aug_data = allocate_episodes_by_scene(aug_data, n_procs)[rank]
     scans = {x["scan"] for x in train_data} | {x["scan"] for x in val_data}
     if aug_data:
         scans |= {x["scan"] for x in aug_data}
     graphs = load_nav_graphs(conn, scans)
+    # per-process seed decorrelation (reference seed=args.seed+rank,
+    # main_nav.py:44,57)
     train_env = DiscreteNavEnv(train_world, graphs, train_data,
-                               batch_size=args.batch_size, seed=args.seed)
+                               batch_size=args.batch_size,
+                               seed=args.seed + rank)
     val_env = DiscreteNavEnv(world, graphs, val_data,
                              batch_size=args.batch_size, seed=args.seed,
-                             name="val_unseen")
+                             name="val_unseen", sel_data_idxs=val_shard)
     aug_env = None
     if aug_data:
         aug_env = DiscreteNavEnv(train_world, graphs, aug_data,
-                                 batch_size=args.batch_size, seed=args.seed,
-                                 name="aug")
+                                 batch_size=args.batch_size,
+                                 seed=args.seed + rank, name="aug")
     return train_env, val_env, aug_env
 
 

@@ -121,9 +121,12 @@ def build_dataset(args, cfg):
     # SOON annotations carry only bbox polygons; derive object pseudo-labels
     # once so the og task has supervision (soon/env.py:331-424 matching;
     # items that already carry obj_pseudo_label.idx are consumed directly)
-    if args.obj_ft_file and any("bboxes" in d and "objId" not in d
-                                and "obj_pseudo_label" not in d
-                                for d in train_data):
+    def _needs_labels(items):
+        return any("bboxes" in d and "objId" not in d
+                   and "obj_pseudo_label" not in d for d in items)
+
+    if args.obj_ft_file and (_needs_labels(train_data)
+                             or _needs_labels(val_data)):
         from gridmm_tpu.data.datasets import soon_pseudo_obj_labels
 
         soon_pseudo_obj_labels(train_data, world)

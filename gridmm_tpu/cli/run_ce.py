@@ -90,7 +90,10 @@ def main(argv=None):
             args.habitat_config, num_envs=args.num_envs,
             eval_mode=args.run_type in ("eval", "inference"))
     else:
-        env = SyntheticContinuousEnv(num_envs=args.num_envs, image_size=56,
+        # observation size must match the agent's towers (224 for the
+        # full-scale ResNet50/ViT agent, 56 for the tiny smoke agent)
+        env = SyntheticContinuousEnv(num_envs=args.num_envs,
+                                     image_size=224 if args.full else 56,
                                      depth_size=256, seed=args.seed)
     trainer = CETrainer(cfg, agent)
     logger = MetricLogger(args.output_dir)

@@ -106,6 +106,9 @@ def fused_attention_qkv(qkv: jnp.ndarray, heads: int,
                          f"width={width} heads={heads}")
     scale = 1.0 / (hd ** 0.5)
     lp = -(-l // 64) * 64  # one (lp, 2lp) f32 score tile per pair
+    # keep the qkv block + output + per-pair f32 intermediates within the
+    # ~16 MB VMEM budget: 8 images at lp=64 (CLIP p32), 2 at lp=256 (p16)
+    imgs_per_block = max(1, min(imgs_per_block, (8 * 64) // lp))
     bp = -(-b // imgs_per_block) * imgs_per_block
     qkvp = qkv
     if lp != l or bp != b:

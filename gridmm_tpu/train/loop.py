@@ -110,8 +110,18 @@ def train_navigator(
         if mesh is not None:
             from gridmm_tpu.parallel.mesh import trajectory_batch_shardings
 
-            batch = jax.device_put(
-                batch, trajectory_batch_shardings(batch, mesh))
+            sh = trajectory_batch_shardings(batch, mesh)
+            if jax.process_count() > 1:
+                # each host rolled out ITS batch shard; assemble the global
+                # array rather than device_put-ing local data at global
+                # offsets
+                from jax.experimental import multihost_utils
+
+                specs = jax.tree_util.tree_map(lambda s: s.spec, sh)
+                batch = multihost_utils.host_local_array_to_global_array(
+                    batch, mesh, specs)
+            else:
+                batch = jax.device_put(batch, sh)
         return batch
 
     for it in range(1, iters + 1):

@@ -56,6 +56,7 @@ def capture(trace_dir: str, iters: int = 10) -> None:
         for _ in range(iters):
             s = f(params, images, s)
         float(s)
+    Path(trace_dir, "capture_iters.txt").write_text(str(iters))
 
 
 def summarize(trace_dir: str, iters: int = 10, top: int = 15) -> None:
@@ -119,6 +120,12 @@ if __name__ == "__main__":
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args()
     have = glob.glob(f"{args.trace}/**/*.xplane.pb", recursive=True)
+    iters = args.iters
     if args.capture or not have:
-        capture(args.trace, args.iters)
-    summarize(args.trace, args.iters)
+        capture(args.trace, iters)
+    else:
+        # reused trace: divide by the iter count it was captured with
+        meta = Path(args.trace, "capture_iters.txt")
+        if meta.exists():
+            iters = int(meta.read_text())
+    summarize(args.trace, iters)
