@@ -53,6 +53,11 @@ def parse_args(argv=None):
     p.add_argument("--dagger_sum", action="store_true",
                    help="sum teacher+sample losses per iteration "
                         "(reference DAgger gradient shape)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() first (TPU pod "
+                        "slices / multi-process runs; coordinator discovered "
+                        "from the TPU environment) — replaces the "
+                        "reference's torch.distributed env:// rendezvous")
     p.add_argument("--mesh", choices=["off", "auto"], default="off",
                    help="auto = shard the replay update over all visible "
                         "devices (data-parallel, + tensor-parallel when "
@@ -215,6 +220,8 @@ def build_real(args, cfg):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.multihost:
+        jax.distributed.initialize()
     from gridmm_tpu.config import (r2r_config, reverie_config, rxr_config)
     from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
     from gridmm_tpu.train.agent import NavAgent
