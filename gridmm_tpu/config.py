@@ -187,6 +187,10 @@ class TrainConfig:
     seed: int = 0
     feat_dropout: float = 0.4      # models/model.py:18
     remat_steps: bool = True       # jax.checkpoint per scan step (memory/flops)
+    # replay loss formulation: True = stacked (point buffer precomputed once,
+    # out of the scan carry — saves the per-step whole-buffer residuals);
+    # False = incremental (the same per-step graph the rollout uses)
+    stacked_replay: bool = True
     loss_head: str = "fused"       # CE trains on 'local' ([stop]+candidates)
     dagger_sum: bool = False       # True = sum teacher+sample losses per iter
                                    # (reference agent_base.py:164-196 shape)

@@ -318,6 +318,9 @@ def egocentric_grid_assignment(
     pos_xy: jnp.ndarray,   # (B, 2) current agent position
     heading: jnp.ndarray,  # (B,) current agent heading
     cfg: GridConfig,
+    num_active: jnp.ndarray | None = None,  # (B,) or scalar: only the first
+                                            # num_active slots participate
+                                            # (stacked-replay step masking)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Recompute every point's egocentric cell id for the current pose.
 
@@ -327,10 +330,21 @@ def egocentric_grid_assignment(
     Matches env.py:322-374: the window extent is taken over ALL inserted points
     (zero-depth points back-project onto the agent position and legitimately
     participate in the min/max), while only nonzero-depth points receive a cell.
+
+    `num_active` restricts both the window extents and the cell assignment to
+    a prefix of the buffer — used by the stacked replay formulation, where one
+    shared full-trajectory buffer stands in for every step's incremental
+    buffer (train/step.py).
     """
     px, py = state.xy[..., 0], state.xy[..., 1]
     big = jnp.float32(1e4)  # reference initializes extents to +/-10000 (env.py:146-149)
     ins = state.inserted
+    valid = state.valid
+    if num_active is not None:
+        lim = jnp.arange(px.shape[1])[None, :] < jnp.asarray(
+            num_active).reshape(-1, 1)
+        ins = ins & lim
+        valid = valid & lim
     min_x = jnp.min(jnp.where(ins, px, big), axis=1)
     max_x = jnp.max(jnp.where(ins, px, -big), axis=1)
     min_y = jnp.min(jnp.where(ins, py, big), axis=1)
@@ -348,8 +362,43 @@ def egocentric_grid_assignment(
         cfg.map_x_sign * map_x, map_y, half_len[:, None],
         cfg.grid_width, cfg.grid_height
     )
-    cells = jnp.where(state.valid, cells, -1)
+    cells = jnp.where(valid, cells, -1)
     pos_fts = gridmap_pos_fts(
         half_len, cfg.grid_width, cfg.grid_height, cfg.max_dist
     )
     return cells, half_len, pos_fts
+
+
+def stacked_point_state(
+    depth_raw: jnp.ndarray,       # (S, B, V, P) per-step raw depth patches
+    features: jnp.ndarray,        # (B, S*V*P, D) step-major point features
+    weights: jnp.ndarray,         # (B, S*V*P) relevance logits
+    pos_xy: jnp.ndarray,          # (S, B, 2) agent position per step
+    headings: jnp.ndarray,        # (S, B)
+    cfg: GridConfig,
+) -> PointCloudState:
+    """Build the FULL-trajectory point buffer in one shot (stacked replay).
+
+    Step s's points occupy rows [s*V*P, (s+1)*V*P) — exactly the layout the
+    incremental `append_panorama` chain produces from a fresh buffer, so a
+    prefix of this buffer (egocentric_grid_assignment num_active) is
+    bit-identical to the step-s incremental state. Training replay uses this
+    to keep the point buffer OUT of the scan carry: the reverse pass then
+    saves one buffer instead of one per step (train/step.py).
+    """
+    s, b = depth_raw.shape[:2]
+
+    def one(depth_sb, pos_sb, heading_sb):
+        rel_x, rel_y, dvalid = backproject_panorama(depth_sb, cfg, heading_sb)
+        return rel_x + pos_sb[0], rel_y + pos_sb[1], dvalid
+
+    fx, fy, valid = jax.vmap(jax.vmap(one))(depth_raw, pos_xy, headings)
+    xy = jnp.stack([fx, fy], axis=-1)          # (S, B, VP, 2)
+    n = s * xy.shape[2]
+    xy = xy.transpose(1, 0, 2, 3).reshape(b, n, 2)
+    valid = valid.transpose(1, 0, 2).reshape(b, n)
+    return PointCloudState(
+        xy=xy, features=features, weights=weights, valid=valid,
+        inserted=jnp.ones((b, n), bool),
+        count=jnp.full((b,), n, jnp.int32),
+    )

@@ -206,6 +206,140 @@ def nav_device_step(
     return NavCarry(point_state, gmap_sum, gmap_cnt), out
 
 
+def _trajectory_loss_stacked(
+    model: GridMMNavigator,
+    cfg: GridMMConfig,
+    params,
+    batch: TrajectoryBatch,
+    rng: Optional[jax.Array] = None,
+    ml_weight: Optional[float] = None,
+):
+    """Teacher-forced loss with the point buffer OUT of the scan carry.
+
+    The incremental formulation (below) carries the (B, N, D) point buffer
+    through lax.scan; scan's reverse pass then saves the 200+ MB buffer once
+    PER STEP (an (S, B, N, D) residual — 3.2 GB at the r2r config) plus
+    several whole-buffer layout copies per step, which a device profile
+    showed dominating the update (~100-150 ms of 416 ms; PARITY.md).
+
+    Replay knows the whole trajectory up front, so instead:
+      * project/score ALL steps' patches in ONE call (bigger matmuls),
+      * encode ALL panoramas in ONE batched call,
+      * run the (cheap, (B,G,D)-sized) gmap accumulation as its own scan,
+      * build ONE shared full-trajectory point buffer
+        (geometry.stacked_point_state) — a prefix of which is bit-identical
+        to every step's incremental buffer — and step-mask it inside the
+        loss scan via egocentric_grid_assignment(num_active=...).
+    The big buffer is then a scan CONSTANT: saved once, no per-step copies.
+    Teacher-forced semantics are identical (test_train_step equivalence).
+    """
+    deterministic = rng is None
+    rngs = None if deterministic else {"dropout": rng}
+
+    def apply(mode, b, step_rngs=None):
+        return model.apply(params, mode, b, deterministic,
+                           rngs=step_rngs if step_rngs is not None else rngs)
+
+    x = batch.steps
+    s, b = x.target.shape
+    d = cfg.model.hidden_size
+    ppstep = cfg.grid.points_per_step
+    assert s * ppstep <= cfg.shapes.max_points, (
+        f"point buffer overflow: {s} steps x {ppstep} points/step exceeds "
+        f"max_points={cfg.shapes.max_points}")
+
+    txt_embeds = apply("language",
+                       {"txt_ids": batch.txt_ids, "txt_mask": batch.txt_mask})
+
+    # all panoramas in one batched call (S folded into batch)
+    def fold(a):
+        return a.reshape((s * b,) + a.shape[2:])
+
+    pano_embeds, pano_mask = apply("panorama", {
+        "view_img_fts": fold(x.view_img_fts), "loc_fts": fold(x.loc_fts),
+        "nav_types": fold(x.nav_types), "view_mask": fold(x.view_mask)},
+        step_rngs=rngs)
+    pano_embeds = pano_embeds.reshape((s, b) + pano_embeds.shape[1:])
+    pano_mask = pano_mask.reshape((s, b) + pano_mask.shape[1:])
+
+    # all projections/relevance in one call; step-major point layout
+    patch_all = x.patch_fts.transpose(1, 0, 2, 3).reshape(
+        b, s * ppstep, x.patch_fts.shape[-1])
+    proj_all, w_all = apply("project_grid", {
+        "txt_embeds": txt_embeds, "patch_fts": patch_all,
+        "txt_relevance_mask": batch.txt_mask})
+    stacked = G.stacked_point_state(x.depth, proj_all, w_all, x.pos_xy,
+                                    x.heading, cfg.grid)
+
+    # gmap node-embedding accumulation: tiny (B, G, D) scan
+    def gmap_step(carry, xs):
+        gsum, gcnt = carry
+        pano_t, mask_t, cur_t, cand_t, vis_t = xs
+        gsum, gcnt = _update_node_embeds(gsum, gcnt,
+                                         pano_t.astype(jnp.float32), mask_t,
+                                         cur_t, cand_t, vis_t)
+        emb = gsum / jnp.maximum(gcnt, 1.0)[..., None]
+        emb = emb.at[:, 0].set(0.0)  # slot 0 = [stop] (agent.py:127-129)
+        return (gsum, gcnt), emb
+
+    g = x.gmap_mask.shape[-1]
+    _, gmap_embeds_all = jax.lax.scan(
+        gmap_step,
+        (jnp.zeros((b, g, d), jnp.float32), jnp.zeros((b, g), jnp.float32)),
+        (pano_embeds, pano_mask, x.cur_node_idx, x.cand_gmap_idx,
+         x.gmap_visited_mask))
+
+    def nav_step(x_t, gmap_emb_t, pano_t, pano_mask_t, step_idx):
+        step_rngs = None if deterministic else {
+            "dropout": jax.random.fold_in(rng, step_idx)}
+        cells, _, grid_pos_fts = G.egocentric_grid_assignment(
+            stacked, x_t.pos_xy, x_t.heading, cfg.grid,
+            num_active=jnp.full((b,), (step_idx + 1) * ppstep))
+        vp_img_embeds = jnp.concatenate(
+            [jnp.zeros((b, 1, d), pano_t.dtype), pano_t], axis=1)
+        vp_mask = jnp.concatenate(
+            [jnp.ones((b, 1), bool), x_t.view_mask], axis=1)
+        out = apply("navigation", {
+            "txt_embeds": txt_embeds, "txt_mask": batch.txt_mask,
+            "gmap_img_embeds": gmap_emb_t.astype(cfg.model.dtype),
+            "gmap_step_ids": x_t.gmap_step_ids,
+            "gmap_pos_fts": x_t.gmap_pos_fts,
+            "gmap_mask": x_t.gmap_mask,
+            "gmap_visited_mask": x_t.gmap_visited_mask,
+            "vp_img_embeds": vp_img_embeds, "vp_pos_fts": x_t.vp_pos_fts,
+            "vp_mask": vp_mask, "vp_nav_mask": x_t.vp_nav_mask,
+            "grid_fts": stacked.features, "grid_cells": cells,
+            "grid_weights": stacked.weights,
+            "gridmap_pos_fts": grid_pos_fts,
+            "fused_add_idx": x_t.fused_add_idx,
+            "cand_backtrack_mask": x_t.cand_backtrack_mask,
+            "vp_obj_mask": (x_t.vp_obj_mask
+                            if cfg.model.obj_feat_size > 0 else None),
+            "txt_relevance_mask": batch.txt_mask}, step_rngs=step_rngs)
+        step_loss = cross_entropy_ignore(
+            getattr(out, f"{cfg.train.loss_head}_logits"), x_t.target,
+            cfg.train.ignoreid, "sum")
+        if out.obj_logits is not None:
+            step_loss = step_loss + cross_entropy_ignore(
+                out.obj_logits, x_t.obj_target, cfg.train.ignoreid, "sum")
+        return step_loss
+
+    if getattr(cfg.train, "remat_steps", True):
+        nav_step = jax.checkpoint(
+            nav_step, policy=jax.checkpoint_policies.nothing_saveable)
+
+    def step_fn(loss, xs):
+        x_t, gmap_emb_t, pano_t, pano_mask_t, step_idx = xs
+        return loss + nav_step(x_t, gmap_emb_t, pano_t, pano_mask_t,
+                               step_idx), None
+
+    total, _ = jax.lax.scan(
+        step_fn, jnp.float32(0.0),
+        (x, gmap_embeds_all, pano_embeds, pano_mask, jnp.arange(s)))
+    w = cfg.train.ml_weight if ml_weight is None else ml_weight
+    return total * w / b
+
+
 def trajectory_loss(
     model: GridMMNavigator,
     cfg: GridMMConfig,
@@ -214,7 +348,14 @@ def trajectory_loss(
     rng: Optional[jax.Array] = None,
     ml_weight: Optional[float] = None,
 ):
-    """Teacher-forced loss over a full episode, all on device."""
+    """Teacher-forced loss over a full episode, all on device.
+
+    cfg.train.stacked_replay=True (default) uses the carry-free stacked
+    formulation (_trajectory_loss_stacked); False keeps the incremental
+    point-buffer scan (the same graph the interactive rollout uses)."""
+    if getattr(cfg.train, "stacked_replay", True):
+        return _trajectory_loss_stacked(model, cfg, params, batch, rng,
+                                        ml_weight)
     deterministic = rng is None
     rngs = None if deterministic else {"dropout": rng}
 

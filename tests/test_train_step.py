@@ -100,3 +100,69 @@ def test_decay_mask_excludes_bias_and_layernorm():
             assert decays, p
             n_decay += 1
     assert n_decay > 10 and n_skip > 10
+
+
+def test_stacked_replay_matches_incremental():
+    """The carry-free stacked replay loss is numerically equivalent to the
+    incremental point-buffer scan (deterministic; gradients too)."""
+    import dataclasses
+
+    cfg = _tiny_config()
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    batch = synthetic_trajectory_batch(cfg, batch=2, num_steps=2)
+
+    cfg_inc = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, stacked_replay=False))
+    cfg_stk = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, stacked_replay=True))
+
+    l_inc, g_inc = jax.value_and_grad(
+        lambda p: trajectory_loss(model, cfg_inc, p, batch))(params)
+    l_stk, g_stk = jax.value_and_grad(
+        lambda p: trajectory_loss(model, cfg_stk, p, batch))(params)
+    np.testing.assert_allclose(float(l_stk), float(l_inc), rtol=1e-5)
+    flat_i = jax.tree_util.tree_leaves(g_inc)
+    flat_s = jax.tree_util.tree_leaves(g_stk)
+    for a, b in zip(flat_i, flat_s):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_stacked_state_prefix_matches_incremental_buffer():
+    """A num_active prefix of stacked_point_state reproduces the incremental
+    append chain's assignment bit-for-bit at every step."""
+    from gridmm_tpu.ops import geometry as G
+
+    cfg = _tiny_config()
+    gc = cfg.grid
+    rng = np.random.default_rng(0)
+    S, B = 3, 2
+    ppstep = gc.points_per_step
+    depth = jnp.asarray(rng.integers(
+        0, 12000, (S, B, gc.num_views, gc.patches_per_view)).astype(
+            np.float32))
+    feats = jnp.asarray(rng.standard_normal(
+        (S, B, ppstep, gc.feature_dim)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((S, B, ppstep)).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(-3, 3, (S, B, 2)).astype(np.float32))
+    heading = jnp.asarray(rng.uniform(-3, 3, (S, B)).astype(np.float32))
+
+    feats_sm = feats.transpose(1, 0, 2, 3).reshape(B, S * ppstep, -1)
+    w_sm = w.transpose(1, 0, 2).reshape(B, S * ppstep)
+    stacked = G.stacked_point_state(depth, feats_sm, w_sm, pos, heading, gc)
+
+    state = G.PointCloudState.create(B, gc, S * ppstep)
+    for t in range(S):
+        state = G.append_panorama(state, depth[t], feats[t], pos[t], gc,
+                                  w[t], headings=heading[t])
+        c_inc, hl_inc, pf_inc = G.egocentric_grid_assignment(
+            state, pos[t], heading[t], gc)
+        c_stk, hl_stk, pf_stk = G.egocentric_grid_assignment(
+            stacked, pos[t], heading[t], gc,
+            num_active=jnp.full((B,), (t + 1) * ppstep))
+        np.testing.assert_array_equal(np.asarray(c_stk), np.asarray(c_inc))
+        np.testing.assert_allclose(np.asarray(hl_stk), np.asarray(hl_inc),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(pf_stk), np.asarray(pf_inc),
+                                   rtol=1e-6)
