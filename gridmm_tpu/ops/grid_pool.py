@@ -68,13 +68,18 @@ def grid_scatter_pool(
     # Route invalids to trash segment `num_cells`.
     seg = jnp.where(valid, cell_ids, num_cells).astype(jnp.int32)
 
-    # Per-cell max for a numerically stable softmax (scatter-max over <=197 rows).
+    # Per-cell max for a numerically stable softmax. NOT a scatter: XLA
+    # lowers .at[].max / fancy gathers to serialized scatter/gather ops that
+    # measured ~18 ms each on a (8, 8820) buffer. A (B, C+1, N) masked
+    # reduce fuses into two passes over the compare mask instead.
     neg = jnp.float32(-1e30)
     w = jnp.where(valid, weights.astype(jnp.float32), neg)
-    cell_max = jnp.full((b, num_cells + 1), neg, jnp.float32)
-    cell_max = cell_max.at[jnp.arange(b)[:, None], seg].max(w)
+    match = seg[:, None, :] == jnp.arange(num_cells + 1)[None, :, None]
+    cell_max = jnp.max(jnp.where(match, w[:, None, :], neg), axis=-1)
+    # exactly one row of `match` is True per point -> the sum IS the gather
+    point_max = jnp.sum(jnp.where(match, cell_max[:, :, None], 0.0), axis=1)
 
-    exp_w = jnp.where(valid, jnp.exp(w - cell_max[jnp.arange(b)[:, None], seg]), 0.0)
+    exp_w = jnp.where(valid, jnp.exp(w - point_max), 0.0)
 
     # One-hot probability matrix -> MXU matmuls for both denominator and pooling.
     onehot = (seg[:, :, None] == jnp.arange(num_cells)[None, None, :]).astype(jnp.float32)

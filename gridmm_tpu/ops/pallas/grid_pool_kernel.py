@@ -79,8 +79,10 @@ def pallas_grid_pool(
     valid = cell_ids >= 0
     w = jnp.where(valid, weights.astype(jnp.float32), -1e30)
     seg = jnp.where(valid, cell_ids, num_cells).astype(jnp.int32)
-    cmax = jnp.full((b, CELL_PAD), -1e30, jnp.float32)
-    cmax = cmax.at[jnp.arange(b)[:, None], seg].max(w)
+    # per-cell max as a fused masked reduce — XLA's scatter-max lowering
+    # serializes and costs ~18 ms on a (8, 8820) buffer (see grid_pool.py)
+    match = seg[:, None, :] == jnp.arange(CELL_PAD)[None, :, None]
+    cmax = jnp.max(jnp.where(match, w[:, None, :], -1e30), axis=-1)
     # guard: empty cells keep -1e30; exp(w - gm) for their (nonexistent)
     # points never evaluates. Replace -1e30 with 0 to keep the matvec sane.
     cmax = jnp.where(cmax <= -1e29, 0.0, cmax)
