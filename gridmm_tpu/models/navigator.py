@@ -293,13 +293,18 @@ class GridMMNavigator(nn.Module):
         txt_relevance_mask=None,  # None reproduces the reference's unmasked max
         grid_weights=None,        # set when grid_fts are pre-projected
         deterministic=True,
+        grid_embeds=None,         # pre-pooled (B, C, D) cell embeddings —
+        cell_mask=None,           # skips the pool (stacked batched replay)
     ) -> NavOutputs:
         c = self.cfg
-        num_cells = gridmap_pos_fts.shape[1]
+        num_cells = (grid_embeds if grid_embeds is not None
+                     else gridmap_pos_fts).shape[1]
         f32 = jnp.float32
 
         # --- grid memory pooling (vilmodel.py:788-824, fused) ---
-        if grid_weights is not None:
+        if grid_embeds is not None:
+            pass  # caller pooled already (mode "grid_pool")
+        elif grid_weights is not None:
             grid_embeds, cell_mask = self.encode_grid_prepooled(
                 grid_fts, grid_weights, grid_cells, gridmap_pos_fts)
         else:
@@ -399,17 +404,26 @@ class GridMMNavigator(nn.Module):
                 batch["gmap_visited_mask"],
                 batch["vp_img_embeds"], batch["vp_pos_fts"], batch["vp_mask"],
                 batch["vp_nav_mask"],
-                batch["grid_fts"], batch["grid_cells"], batch["gridmap_pos_fts"],
+                batch.get("grid_fts"), batch.get("grid_cells"),
+                batch.get("gridmap_pos_fts"),
                 batch["fused_add_idx"], batch["cand_backtrack_mask"],
                 batch.get("vp_obj_mask"),
                 batch.get("txt_relevance_mask"),
                 batch.get("grid_weights"),
                 deterministic,
+                grid_embeds=batch.get("grid_embeds"),
+                cell_mask=batch.get("cell_mask"),
             )
         if mode == "project_grid":
             return self.project_grid_points(
                 batch["txt_embeds"], batch["patch_fts"],
                 batch.get("txt_relevance_mask"))
+        if mode == "grid_pool":
+            # pool pre-projected points into cell embeddings (the stacked
+            # replay computes this per step, then batches the rest over S*B)
+            return self.encode_grid_prepooled(
+                batch["proj_fts"], batch["weights"], batch["grid_cells"],
+                batch["gridmap_pos_fts"])
         raise ValueError(f"unknown mode {mode!r}")
 
 

@@ -289,6 +289,13 @@ def _trajectory_loss_stacked(
         (pano_embeds, pano_mask, x.cur_node_idx, x.cand_gmap_idx,
          x.gmap_visited_mask))
 
+    # Per-step navigation scan. NOTE a fully-batched alternative was built
+    # and measured SLOWER (272 vs 242 ms/update): pool the grid per step
+    # into (S, B, C, D) then run ONE navigation forward over the folded
+    # (S*B) batch via the "grid_pool" mode + grid_embeds bypass. These ops
+    # are bandwidth-bound, not launch-bound — batching didn't reduce bytes
+    # and the folds/tiles added copies. The modes remain for callers that
+    # want pre-pooled navigation.
     def nav_step(x_t, gmap_emb_t, pano_t, pano_mask_t, step_idx):
         step_rngs = None if deterministic else {
             "dropout": jax.random.fold_in(rng, step_idx)}

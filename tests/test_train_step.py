@@ -166,3 +166,40 @@ def test_stacked_state_prefix_matches_incremental_buffer():
                                    rtol=1e-6)
         np.testing.assert_allclose(np.asarray(pf_stk), np.asarray(pf_inc),
                                    rtol=1e-6)
+
+
+def test_grid_pool_mode_and_prepooled_navigation():
+    """The 'grid_pool' mode + grid_embeds bypass reproduce the in-forward
+    pooling path exactly (kept for pre-pooled callers)."""
+    from gridmm_tpu.models.navigator import dummy_batches
+
+    cfg = _tiny_config()
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    txt_ids, txt_mask, pano_b, nav_b = dummy_batches(cfg.shapes, cfg.model,
+                                                     batch=2)
+    nav_b = dict(nav_b)
+    n = cfg.shapes.max_points
+    nav_b["grid_fts"] = jnp.asarray(
+        rng.standard_normal((2, n, cfg.model.hidden_size)).astype(np.float32))
+    nav_b["grid_cells"] = jnp.asarray(
+        rng.integers(-1, cfg.shapes.num_cells, (2, n)).astype(np.int32))
+    nav_b["grid_weights"] = jnp.asarray(
+        rng.standard_normal((2, n)).astype(np.float32))
+    txt = model.apply(params, "language",
+                      {"txt_ids": txt_ids, "txt_mask": txt_mask})
+    out0 = model.apply(params, "navigation",
+                       dict(nav_b, txt_embeds=txt, txt_mask=txt_mask))
+
+    ge, cm = model.apply(params, "grid_pool", {
+        "proj_fts": nav_b["grid_fts"], "weights": nav_b["grid_weights"],
+        "grid_cells": nav_b["grid_cells"],
+        "gridmap_pos_fts": nav_b["gridmap_pos_fts"]})
+    nav_b2 = {k: v for k, v in nav_b.items()
+              if k not in ("grid_fts", "grid_cells", "grid_weights")}
+    out1 = model.apply(params, "navigation",
+                       dict(nav_b2, txt_embeds=txt, txt_mask=txt_mask,
+                            grid_embeds=ge, cell_mask=cm))
+    np.testing.assert_allclose(np.asarray(out1.fused_logits),
+                               np.asarray(out0.fused_logits), atol=1e-5)
