@@ -398,7 +398,11 @@ def stacked_point_state(
     xy = xy.transpose(1, 0, 2, 3).reshape(b, n, 2)
     valid = valid.transpose(1, 0, 2).reshape(b, n)
     return PointCloudState(
-        xy=xy, features=features, weights=weights, valid=valid,
+        # same buffer dtype as PointCloudState.create/append_panorama —
+        # keeping f32 here when feature_dtype is bf16 would train on
+        # un-quantized features while serving pools quantized ones
+        xy=xy, features=features.astype(jnp.dtype(cfg.feature_dtype)),
+        weights=weights.astype(jnp.float32), valid=valid,
         inserted=jnp.ones((b, n), bool),
         count=jnp.full((b,), n, jnp.int32),
     )

@@ -116,6 +116,32 @@ def _update_node_embeds(gmap_sum, gmap_cnt, pano_embeds, pano_mask,
     return gmap_sum, gmap_cnt
 
 
+def _nav_inputs(cfg, txt_embeds, txt_mask, gmap_img_embeds, x, pano_embeds,
+                grid_fts, grid_cells, grid_weights, gridmap_pos_fts):
+    """Assemble the per-step "navigation" batch dict shared by the rollout
+    step (nav_device_step) and the stacked replay loss — one definition so
+    the trained graph and the served graph cannot silently diverge."""
+    b = txt_mask.shape[0]
+    d = cfg.model.hidden_size
+    vp_img_embeds = jnp.concatenate(
+        [jnp.zeros((b, 1, d), pano_embeds.dtype), pano_embeds], axis=1)
+    vp_mask = jnp.concatenate([jnp.ones((b, 1), bool), x.view_mask], axis=1)
+    return {
+        "txt_embeds": txt_embeds, "txt_mask": txt_mask,
+        "gmap_img_embeds": gmap_img_embeds.astype(cfg.model.dtype),
+        "gmap_step_ids": x.gmap_step_ids, "gmap_pos_fts": x.gmap_pos_fts,
+        "gmap_mask": x.gmap_mask, "gmap_visited_mask": x.gmap_visited_mask,
+        "vp_img_embeds": vp_img_embeds, "vp_pos_fts": x.vp_pos_fts,
+        "vp_mask": vp_mask, "vp_nav_mask": x.vp_nav_mask,
+        "grid_fts": grid_fts, "grid_cells": grid_cells,
+        "grid_weights": grid_weights, "gridmap_pos_fts": gridmap_pos_fts,
+        "fused_add_idx": x.fused_add_idx,
+        "cand_backtrack_mask": x.cand_backtrack_mask,
+        "vp_obj_mask": x.vp_obj_mask if cfg.model.obj_feat_size > 0 else None,
+        "txt_relevance_mask": txt_mask,
+    }
+
+
 class NavCarry(NamedTuple):
     """Cross-step device state of an episode batch."""
 
@@ -155,8 +181,6 @@ def nav_device_step(
     so a stable order is semantically identical and lets the interactive
     rollout and the scanned training loss share this one compiled graph.
     """
-    b = txt_mask.shape[0]
-    d = cfg.model.hidden_size
 
     def apply(mode, batch_dict):
         return model.apply(params, mode, batch_dict, deterministic, rngs=rngs)
@@ -184,24 +208,9 @@ def nav_device_step(
     # slot 0 is the [stop] token: zero embedding (agent.py:127-129)
     gmap_img_embeds = gmap_img_embeds.at[:, 0].set(0.0)
 
-    vp_img_embeds = jnp.concatenate(
-        [jnp.zeros((b, 1, d), pano_embeds.dtype), pano_embeds], axis=1)
-    vp_mask = jnp.concatenate([jnp.ones((b, 1), bool), x.view_mask], axis=1)
-
-    out = apply("navigation", {
-        "txt_embeds": txt_embeds, "txt_mask": txt_mask,
-        "gmap_img_embeds": gmap_img_embeds.astype(cfg.model.dtype),
-        "gmap_step_ids": x.gmap_step_ids, "gmap_pos_fts": x.gmap_pos_fts,
-        "gmap_mask": x.gmap_mask, "gmap_visited_mask": x.gmap_visited_mask,
-        "vp_img_embeds": vp_img_embeds, "vp_pos_fts": x.vp_pos_fts,
-        "vp_mask": vp_mask, "vp_nav_mask": x.vp_nav_mask,
-        "grid_fts": point_state.features, "grid_cells": cells,
-        "grid_weights": point_state.weights,
-        "gridmap_pos_fts": grid_pos_fts,
-        "fused_add_idx": x.fused_add_idx,
-        "cand_backtrack_mask": x.cand_backtrack_mask,
-        "vp_obj_mask": x.vp_obj_mask if cfg.model.obj_feat_size > 0 else None,
-        "txt_relevance_mask": txt_mask})
+    out = apply("navigation", _nav_inputs(
+        cfg, txt_embeds, txt_mask, gmap_img_embeds, x, pano_embeds,
+        point_state.features, cells, point_state.weights, grid_pos_fts))
 
     return NavCarry(point_state, gmap_sum, gmap_cnt), out
 
@@ -242,7 +251,6 @@ def _trajectory_loss_stacked(
 
     x = batch.steps
     s, b = x.target.shape
-    d = cfg.model.hidden_size
     ppstep = cfg.grid.points_per_step
     assert s * ppstep <= cfg.shapes.max_points, (
         f"point buffer overflow: {s} steps x {ppstep} points/step exceeds "
@@ -285,7 +293,8 @@ def _trajectory_loss_stacked(
     g = x.gmap_mask.shape[-1]
     _, gmap_embeds_all = jax.lax.scan(
         gmap_step,
-        (jnp.zeros((b, g, d), jnp.float32), jnp.zeros((b, g), jnp.float32)),
+        (jnp.zeros((b, g, cfg.model.hidden_size), jnp.float32),
+         jnp.zeros((b, g), jnp.float32)),
         (pano_embeds, pano_mask, x.cur_node_idx, x.cand_gmap_idx,
          x.gmap_visited_mask))
 
@@ -296,33 +305,16 @@ def _trajectory_loss_stacked(
     # are bandwidth-bound, not launch-bound — batching didn't reduce bytes
     # and the folds/tiles added copies. The modes remain for callers that
     # want pre-pooled navigation.
-    def nav_step(x_t, gmap_emb_t, pano_t, pano_mask_t, step_idx):
+    def nav_step(x_t, gmap_emb_t, pano_t, step_idx):
         step_rngs = None if deterministic else {
             "dropout": jax.random.fold_in(rng, step_idx)}
         cells, _, grid_pos_fts = G.egocentric_grid_assignment(
             stacked, x_t.pos_xy, x_t.heading, cfg.grid,
             num_active=jnp.full((b,), (step_idx + 1) * ppstep))
-        vp_img_embeds = jnp.concatenate(
-            [jnp.zeros((b, 1, d), pano_t.dtype), pano_t], axis=1)
-        vp_mask = jnp.concatenate(
-            [jnp.ones((b, 1), bool), x_t.view_mask], axis=1)
-        out = apply("navigation", {
-            "txt_embeds": txt_embeds, "txt_mask": batch.txt_mask,
-            "gmap_img_embeds": gmap_emb_t.astype(cfg.model.dtype),
-            "gmap_step_ids": x_t.gmap_step_ids,
-            "gmap_pos_fts": x_t.gmap_pos_fts,
-            "gmap_mask": x_t.gmap_mask,
-            "gmap_visited_mask": x_t.gmap_visited_mask,
-            "vp_img_embeds": vp_img_embeds, "vp_pos_fts": x_t.vp_pos_fts,
-            "vp_mask": vp_mask, "vp_nav_mask": x_t.vp_nav_mask,
-            "grid_fts": stacked.features, "grid_cells": cells,
-            "grid_weights": stacked.weights,
-            "gridmap_pos_fts": grid_pos_fts,
-            "fused_add_idx": x_t.fused_add_idx,
-            "cand_backtrack_mask": x_t.cand_backtrack_mask,
-            "vp_obj_mask": (x_t.vp_obj_mask
-                            if cfg.model.obj_feat_size > 0 else None),
-            "txt_relevance_mask": batch.txt_mask}, step_rngs=step_rngs)
+        out = apply("navigation", _nav_inputs(
+            cfg, txt_embeds, batch.txt_mask, gmap_emb_t, x_t, pano_t,
+            stacked.features, cells, stacked.weights, grid_pos_fts),
+            step_rngs=step_rngs)
         step_loss = cross_entropy_ignore(
             getattr(out, f"{cfg.train.loss_head}_logits"), x_t.target,
             cfg.train.ignoreid, "sum")
@@ -336,13 +328,12 @@ def _trajectory_loss_stacked(
             nav_step, policy=jax.checkpoint_policies.nothing_saveable)
 
     def step_fn(loss, xs):
-        x_t, gmap_emb_t, pano_t, pano_mask_t, step_idx = xs
-        return loss + nav_step(x_t, gmap_emb_t, pano_t, pano_mask_t,
-                               step_idx), None
+        x_t, gmap_emb_t, pano_t, step_idx = xs
+        return loss + nav_step(x_t, gmap_emb_t, pano_t, step_idx), None
 
     total, _ = jax.lax.scan(
         step_fn, jnp.float32(0.0),
-        (x, gmap_embeds_all, pano_embeds, pano_mask, jnp.arange(s)))
+        (x, gmap_embeds_all, pano_embeds, jnp.arange(s)))
     w = cfg.train.ml_weight if ml_weight is None else ml_weight
     return total * w / b
 
