@@ -86,6 +86,13 @@ def train_navigator(
     best_spl, best_iter = -1.0, -1
     final_metrics: Dict[str, float] = {}
 
+    def _save_latest():
+        if ckpt_dir:
+            from gridmm_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(os.path.join(os.path.abspath(ckpt_dir), "latest"),
+                            state.params)
+
     def _bucket(s: int) -> int:
         """Smallest configured bucket covering s (else max_action_len).
         Each bucket costs one compiled fwd+bwd graph (jit caches by shape);
@@ -124,55 +131,58 @@ def train_navigator(
                 batch = jax.device_put(batch, sh)
         return batch
 
-    for it in range(1, iters + 1):
-        # GT/aug interleave: odd iterations GT env, even iterations aug env
-        cur = agent if (aug_agent is None or it % 2 == 1) else aug_agent
-        cur.params = state.params
-        if dagger_sum:
-            with timer.section("rollout"):
-                tb = _rollout(cur, "teacher")
-                sb = _rollout(cur, "sample")
-            # one common bucket: the paired step compiles per bucket, not per
-            # (teacher, sample) length combination
-            nb = _bucket(max(tb.steps.target.shape[0],
-                             sb.steps.target.shape[0]))
-            with timer.section("update"):
-                state, metrics = dagger_step(state, _pad(tb, nb),
-                                             _pad(sb, nb), rng)
-        else:
-            # alternate teacher/sample per ENV visit so the aug env sees both
-            # passes too (with aug: T(gt) T(aug) S(gt) S(aug) ...)
-            phase = ((it + 1) // 2) if aug_agent is not None else it
-            feedback = "teacher" if phase % 2 == 1 else "sample"
-            with timer.section("rollout"):
-                batch = _pad(_rollout(cur, feedback))
-            with timer.section("update"):
-                state, metrics = train_step(state, batch, rng)
-        logger.log(it, {k: float(v) for k, v in metrics.items()},
-                   prefix="train/")
+    try:
+        for it in range(1, iters + 1):
+            # GT/aug interleave: odd iterations GT env, even iterations aug env
+            cur = agent if (aug_agent is None or it % 2 == 1) else aug_agent
+            cur.params = state.params
+            if dagger_sum:
+                with timer.section("rollout"):
+                    tb = _rollout(cur, "teacher")
+                    sb = _rollout(cur, "sample")
+                # one common bucket: the paired step compiles per bucket, not per
+                # (teacher, sample) length combination
+                nb = _bucket(max(tb.steps.target.shape[0],
+                                 sb.steps.target.shape[0]))
+                with timer.section("update"):
+                    state, metrics = dagger_step(state, _pad(tb, nb),
+                                                 _pad(sb, nb), rng)
+            else:
+                # alternate teacher/sample per ENV visit so the aug env sees both
+                # passes too (with aug: T(gt) T(aug) S(gt) S(aug) ...)
+                phase = ((it + 1) // 2) if aug_agent is not None else it
+                feedback = "teacher" if phase % 2 == 1 else "sample"
+                with timer.section("rollout"):
+                    batch = _pad(_rollout(cur, feedback))
+                with timer.section("update"):
+                    state, metrics = train_step(state, batch, rng)
+            logger.log(it, {k: float(v) for k, v in metrics.items()},
+                       prefix="train/")
 
-        if it % log_every == 0 and ckpt_dir:
-            # rolling latest checkpoint for crash recovery
-            # (agent_base.py latest_dict / IL.is_requeue semantics)
-            from gridmm_tpu.utils.checkpoint import save_checkpoint
+            if it % log_every == 0:
+                # rolling latest checkpoint for crash recovery
+                # (agent_base.py latest_dict / IL.is_requeue semantics)
+                _save_latest()
 
-            save_checkpoint(os.path.join(os.path.abspath(ckpt_dir), "latest"),
+            if it % log_every == 0 and val_agent is not None:
+                with timer.section("eval"):
+                    val_agent.params = state.params
+                    avg, _ = val_agent.evaluate(eval_batches)
+                logger.log(it, avg, prefix="val/")
+                final_metrics = avg
+                if avg["spl"] > best_spl:
+                    best_spl, best_iter = avg["spl"], it
+                    if ckpt_dir:
+                        from gridmm_tpu.utils.checkpoint import save_checkpoint
+
+                        save_checkpoint(
+                            os.path.join(os.path.abspath(ckpt_dir), "best_spl"),
                             state.params)
-
-        if it % log_every == 0 and val_agent is not None:
-            with timer.section("eval"):
-                val_agent.params = state.params
-                avg, _ = val_agent.evaluate(eval_batches)
-            logger.log(it, avg, prefix="val/")
-            final_metrics = avg
-            if avg["spl"] > best_spl:
-                best_spl, best_iter = avg["spl"], it
-                if ckpt_dir:
-                    from gridmm_tpu.utils.checkpoint import save_checkpoint
-
-                    save_checkpoint(
-                        os.path.join(os.path.abspath(ckpt_dir), "best_spl"),
-                        state.params)
+    except BaseException:
+        # interrupted (preemption / SIGINT): park a resumable checkpoint
+        # before propagating — --resume picks it up
+        _save_latest()
+        raise
     agent.params = state.params
     logger.log(iters, timer.summary(), prefix="time/")
     return TrainerResult(best_spl, best_iter, final_metrics)

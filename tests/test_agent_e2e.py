@@ -184,3 +184,30 @@ def test_train_loop_scan_buckets():
     agent.cfg = cfg2
     train_navigator(cfg2, model, agent, val_agent=None, iters=2,
                     log_every=2, seed=1)
+
+
+def test_interrupt_saves_latest_checkpoint(tmp_path):
+    """An exception mid-training parks a resumable 'latest' checkpoint
+    (preemption safety beyond the reference's log_every-cadence save)."""
+    from pathlib import Path
+
+    from gridmm_tpu.train.loop import train_navigator
+
+    cfg, env, model, params, agent = build_all()
+
+    calls = []
+    orig_rollout = agent.rollout
+
+    def exploding_rollout(*a, **k):
+        calls.append(1)
+        if len(calls) >= 2:
+            raise RuntimeError("boom")
+        return orig_rollout(*a, **k)
+
+    agent.rollout = exploding_rollout
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        train_navigator(cfg, model, agent, val_agent=None, iters=5,
+                        log_every=100, ckpt_dir=str(tmp_path), seed=0)
+    assert (Path(tmp_path) / "latest").exists()
