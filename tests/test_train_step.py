@@ -129,13 +129,30 @@ def test_stacked_replay_matches_incremental():
                                    rtol=2e-4, atol=2e-5)
 
 
-def test_stacked_state_prefix_matches_incremental_buffer():
+import pytest
+
+
+@pytest.mark.parametrize("flavor", ["discrete", "ce"])
+def test_stacked_state_prefix_matches_incremental_buffer(flavor):
     """A num_active prefix of stacked_point_state reproduces the incremental
-    append chain's assignment bit-for-bit at every step."""
+    append chain's assignment bit-for-bit at every step — under both the
+    discrete and the continuous grid conventions (heading-relative view
+    angles, y-flip, map_x negation)."""
+    import dataclasses
+
     from gridmm_tpu.ops import geometry as G
 
     cfg = _tiny_config()
     gc = cfg.grid
+    if flavor == "ce":
+        from gridmm_tpu.config import r2r_ce_config
+
+        ce = r2r_ce_config().grid
+        gc = dataclasses.replace(
+            gc, view_angles_relative=ce.view_angles_relative,
+            y_sign=ce.y_sign, map_x_sign=ce.map_x_sign,
+            heading_sign=ce.heading_sign, heading_offset=ce.heading_offset,
+            depth_scale=ce.depth_scale, tan_half_hfov=ce.tan_half_hfov)
     rng = np.random.default_rng(0)
     S, B = 3, 2
     ppstep = gc.points_per_step
