@@ -170,6 +170,45 @@ class DatasetBatcher:
         return self.ds.build_batch(self._next_indices(), task)
 
 
+def prefetched_task_batches(mux, batcher, steps: int, size: int = 2):
+    """Overlap host batch collation (TextPathDataset expansion is host
+    python) + device staging with device compute — the PrefetchLoader
+    equivalent (pretrain_src/data/loader.py:90-124) for the task-multiplexed
+    stream. Yields (task, device_batch) `steps` times."""
+    import queue
+    import threading
+
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = threading.Event()
+    err: list = []
+
+    def producer():
+        try:
+            for _ in range(steps):
+                if stop.is_set():
+                    return
+                task = next(mux)
+                q.put((task, jax.device_put(batcher.batch(task))))
+        except Exception as e:
+            err.append(e)
+        finally:
+            q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+
+
 class SyntheticBatcher:
     """Rotating synthetic batches (all task labels present in every batch)."""
 
@@ -293,9 +332,8 @@ def main(argv=None):
     logger = MetricLogger(args.output_dir)
     rng = jax.random.PRNGKey(args.seed + 1)
 
-    for it in range(1, args.steps + 1):
-        task = next(mux)
-        batch = batcher.batch(task)
+    stream = prefetched_task_batches(mux, batcher, args.steps)
+    for it, (task, batch) in enumerate(stream, start=1):
         state, metrics = steps[task](state, batch, rng)
         logger.log(it, {k: float(v) for k, v in metrics.items()},
                    prefix="pretrain/")
