@@ -152,14 +152,19 @@ def load_ce_released_weights(agent, waypoint_ckpt=None, navigator_ckpt=None,
                 f"waypoint import left leaves unfilled: "
                 f"{report['unfilled_flax_leaves']}")
     if navigator_ckpt is not None:
-        sd = _load(navigator_ckpt)
-        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
-        agent.nav_params, _ = CK.import_torch_navigator(
+        # released nesting: grid_map.pt = {'vln_bert': {'state_dict': ...}}
+        # with 'vln_bert.'/'module.' key prefixes; CE ckpt.{epoch}.pth =
+        # {'state_dict': ...} with 'net.module.vln_bert.' prefixes
+        # (gridmap/vlnbert_init.py:17-33)
+        sd = CK.remap_ce_released(_load(navigator_ckpt))
+        agent.nav_params, report = CK.import_torch_navigator(
             sd, agent.nav_params,
             num_l_layers=agent.cfg.model.num_l_layers,
             num_x_layers=agent.cfg.model.num_x_layers,
             num_pano_layers=agent.cfg.model.num_pano_layers,
             has_obj=agent.cfg.model.obj_feat_size > 0)
+        # a wrong key space matches zero rules and must raise, not no-op
+        CK.require_navigator_coverage(report, what="grid_map navigator")
     if clip_ckpt is not None:
         agent.clip_params = CK.import_torch_clip_visual(
             _load(clip_ckpt), agent.clip_params)

@@ -302,6 +302,59 @@ def remap_pretrain_to_navigator(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def remap_ce_released(ckpt) -> Dict[str, Any]:
+    """Normalize a released CE navigator checkpoint to bare trunk keys,
+    replicating VLN_CE/.../gridmap/vlnbert_init.py:17-33 exactly.
+
+    Two released nestings exist:
+      grid_map.pt       {'vln_bert': {'epoch', 'state_dict', 'optimizer'}, ...}
+                        (the discrete fine-tune save, agent_base.py:213-228);
+                        inner keys carry 'vln_bert.' (VLNBert wrapper attr)
+                        and possibly 'module.' (DDP) prefixes.
+      ckpt.{epoch}.pth  {'state_dict': policy.state_dict(), ...}
+                        (ss_trainer_GridMap.py:65-75); inner keys carry
+                        'net.' (ILPolicy attr) + 'module.' + 'vln_bert.'.
+    Pretrain-style 'bert.' trunk prefixes are stripped the same way."""
+    if isinstance(ckpt, dict) and isinstance(ckpt.get("vln_bert"), dict):
+        ckpt = ckpt["vln_bert"].get("state_dict", ckpt["vln_bert"])
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    out = {}
+    for k, v in ckpt.items():
+        if k.startswith("net."):
+            k = k[len("net."):]
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if k.startswith("bert."):
+            k = k[len("bert."):]
+        elif k.startswith("vln_bert."):
+            k = k[len("vln_bert."):]
+        out[k] = v
+    return out
+
+
+# leaves the released grid_map.pt genuinely lacks: the lang2visn branch of the
+# x-layers is pretrain-only (never trained or saved by the fine-tune stage)
+_PRETRAIN_ONLY_LEAF_MARKERS = ("lang_ffn", "lang_self_att")
+
+
+def require_navigator_coverage(report: Dict[str, List[str]],
+                               what: str = "navigator") -> None:
+    """Raise unless the import actually filled the navigator trunk.
+
+    A checkpoint in the wrong key space silently matches zero rules
+    (_apply_rules skips absent source keys); this turns that into a hard
+    error so a released-weights run can never proceed on random init."""
+    unfilled = [p for p in report["unfilled_flax_leaves"]
+                if not any(m in p for m in _PRETRAIN_ONLY_LEAF_MARKERS)]
+    if unfilled:
+        raise ValueError(
+            f"{what} import left {len(unfilled)} parameter leaves unfilled "
+            f"(checkpoint key space mismatch?). First few: {unfilled[:8]}. "
+            f"Unused torch keys (first few): "
+            f"{report['unused_torch_keys'][:8]}")
+
+
 def _leaf_paths(tree, prefix=""):
     out = []
     for k, v in tree.items():
