@@ -42,6 +42,74 @@ NUM_ANGLES, NUM_DISTS = 120, 12
 DIST_BIN = 0.25  # metres per distance bin
 
 
+def rel_pos_features(a, b, base_heading: float = 0.0,
+                     base_elevation: float = 0.0):
+    """(rel_heading, rel_elevation, dist) between two positions.
+
+    Transcribes calculate_vp_rel_pos_fts (VLN_CE models/utils.py:125-144):
+    positions are habitat (x, height, y) triples; heading measured from +y
+    toward +x (the simulator's transposed x-y convention), flipped past pi/2
+    when the target is behind (dy < 0)."""
+    dx = float(b[0] - a[0])
+    dz = float(b[1] - a[1])
+    dy = float(b[2] - a[2])
+    if dx == 0.0 and dz == 0.0 and dy == 0.0:
+        return 0.0, 0.0, 0.0
+    xy = max(math.sqrt(dx * dx + dy * dy), 1e-8)
+    xyz = max(math.sqrt(dx * dx + dy * dy + dz * dz), 1e-8)
+    heading = math.asin(max(-1.0, min(1.0, dx / xy)))
+    if dy < 0:
+        heading = math.pi - heading
+    heading -= base_heading
+    elevation = math.asin(max(-1.0, min(1.0, dz / xyz)))
+    elevation -= base_elevation
+    return heading, elevation, xyz
+
+
+def traj_pos_features(traj_positions, traj_step_dists, cur_heading: float,
+                      af: int, max_dist: float,
+                      max_step: float) -> np.ndarray:
+    """7-dim positional features for every visited trajectory node relative
+    to the CURRENT pose (Policy_ViewSelection_GridMap.py:549-560): angle fts
+    of (rel heading, rel elevation) w.r.t. current heading, then
+    [line dist/max_dist, along-path dist to current/max_dist,
+    steps-since-visit/max_step].
+
+    traj_positions: chronological (x, height, y) triples, last = current node.
+    traj_step_dists[j] = distance walked from node j-1 to node j (0 at j=0).
+    Returns (T, af+3) rows in chronological order."""
+    T = len(traj_positions)
+    cur = traj_positions[-1]
+    out = np.zeros((T, af + 3), np.float32)
+    path_dist = np.zeros((T,), np.float64)
+    for j in range(T - 2, -1, -1):
+        path_dist[j] = path_dist[j + 1] + traj_step_dists[j + 1]
+    for j in range(T):
+        h, e, d = rel_pos_features(cur, traj_positions[j], cur_heading)
+        out[j, :af] = angle_features(h, e, af)
+        out[j, af] = d / max_dist
+        out[j, af + 1] = path_dist[j] / max_dist
+        out[j, af + 2] = (T - 1 - j) / max_step
+    return out
+
+
+def start_pos_features(traj_positions, traj_step_dists, cur_heading: float,
+                       af: int, max_dist: float,
+                       max_step: float) -> np.ndarray:
+    """cur_start_pos_fts (Policy:590-601): rel pos of the START node from the
+    current pose + [line dist/max_dist, total path dist/max_dist,
+    action_step/max_step] where action_step == node count
+    (ss_trainer_GridMap.py:254 sets action_step = stepk + 1)."""
+    h, e, d = rel_pos_features(traj_positions[-1], traj_positions[0],
+                               cur_heading)
+    out = np.zeros((af + 3,), np.float32)
+    out[:af] = angle_features(h, e, af)
+    out[af] = d / max_dist
+    out[af + 1] = float(np.sum(traj_step_dists)) / max_dist
+    out[af + 2] = len(traj_positions) / max_step
+    return out
+
+
 class CEAgent:
     def __init__(self, cfg: GridMMConfig, navigator: GridMMNavigator,
                  nav_params, waypoint: WaypointPredictor, wp_params,
@@ -68,6 +136,9 @@ class CEAgent:
         self.depth_params = depth_params
         self.waypoint = waypoint
         self.wp_params = wp_params
+        # per-env trajectory history, reset at step 0 of each episode batch
+        self._traj_pos: List[List[np.ndarray]] = []
+        self._traj_dist: List[List[float]] = []
 
         self._jit_language = jax.jit(
             lambda p, ids, mask: navigator.apply(
@@ -258,6 +329,18 @@ class CEAgent:
         vp_nav_mask = np.zeros((b, v), bool)
         fused_add_idx = np.full((b, g), -2, np.int32)
 
+        # per-env trajectory history (reference traj_map, Policy:509-518):
+        # current position appended each step with the walked distance
+        if t == 0:
+            self._traj_pos = [[] for _ in range(b)]
+            self._traj_dist = [[] for _ in range(b)]
+        for i, ob in enumerate(obs):
+            p3 = np.asarray([ob.position[0], 0.0, ob.position[1]], np.float64)
+            step_d = (0.0 if not self._traj_pos[i] else
+                      float(np.linalg.norm(p3 - self._traj_pos[i][-1])))
+            self._traj_pos[i].append(p3)
+            self._traj_dist[i].append(step_d)
+
         for i, ob in enumerate(obs):
             cands = cand_lists[i]
             # panorama tokens: one feature per view, candidates first — timm
@@ -302,7 +385,21 @@ class CEAgent:
             gmap_visited[i, cur] = True
             gmap_step_ids[i, cur] = min(t + 1, cfg.model.max_action_steps - 1)
 
+            # visited-chain positional features: each past node's 7-dim rel
+            # pose w.r.t. the CURRENT pose, recomputed every step
+            # (Policy:549-560; slot s holds chronological node s-1, slot cur
+            # always the current node)
+            gmap_pos_fts[i, 0, :af] = angle_features(0.0, 0.0, af)  # [stop]
+            tf = traj_pos_features(self._traj_pos[i], self._traj_dist[i],
+                                   ob.heading, af, gc.max_dist,
+                                   gc.pos_step_norm)
+            for s in range(1, cur):
+                gmap_pos_fts[i, s] = tf[s - 1]
+            gmap_pos_fts[i, cur] = tf[-1]
+
             # waypoints as ephemeral frontier slots after the visited chain
+            # (Policy:537-547: [d/MAX_DIST, d/MAX_DIST, 1/MAX_STEP], step id
+            # = len(traj_map)+1)
             for j, (heading_c, dist_c, _s) in enumerate(cands):
                 s = cur + 1 + j
                 if s >= g:
@@ -312,10 +409,17 @@ class CEAgent:
                 gmap_pos_fts[i, s, :af] = angle_features(rel, 0.0, af)
                 gmap_pos_fts[i, s, af] = dist_c / gc.max_dist
                 gmap_pos_fts[i, s, af + 1] = dist_c / gc.max_dist
-                gmap_pos_fts[i, s, af + 2] = 1.0 / 10.0
+                gmap_pos_fts[i, s, af + 2] = 1.0 / gc.pos_step_norm
+                gmap_step_ids[i, s] = min(cur + 1,
+                                          cfg.model.max_action_steps - 1)
                 cand_gmap_idx[i, j] = s
                 fused_add_idx[i, s] = j + 1
 
+            # vp tokens: every row leads with the current-pose-to-start
+            # features (Policy:604-606 vp_pos_fts[:, :7] = cur_start_pos_fts)
+            vp_pos_fts[i, :, : af + 3] = start_pos_features(
+                self._traj_pos[i], self._traj_dist[i], ob.heading, af,
+                gc.max_dist, gc.pos_step_norm)
             vp_nav_mask[i, 0] = True
             vp_nav_mask[i, 1: 1 + len(cands)] = True
             for j, (heading_c, dist_c, _s) in enumerate(cands):

@@ -100,6 +100,10 @@ class GridConfig:
     window_scale: float = 2.0 / 3.0
     # cell-center distance normalizer for gridmap_pos_fts (env.py:256, MAX_DIST=30)
     max_dist: float = 30.0
+    # step-count normalizer for node positional features: discrete MAX_STEP=10
+    # (map_nav_src/models/graph_utils.py:5); CE R2R MAX_STEP=20, RxR 30
+    # (Policy_ViewSelection_GridMap.py:274-286)
+    pos_step_norm: float = 10.0
     # heading sign convention. discrete: angle = -heading (env.py:337);
     # continuous: angle = -heading + pi with map_x negated
     # (Policy_ViewSelection_GridMap.py:785,797)
@@ -272,7 +276,10 @@ def r2r_ce_config() -> GridMMConfig:
             tan_half_hfov=1.0,           # tan(pi/4), HFOV=90
             patches_per_view=49,
             depth_scale=1.0,             # habitat depth already metres
-            max_dist=30.0,
+            # CE R2R normalizers: MAX_DIST 25 / MAX_STEP 20 (Policy:272-286;
+            # both the node pos fts and get_gridmap_pos_fts read the global)
+            max_dist=25.0,
+            pos_step_norm=20.0,
             heading_sign=-1.0,
             heading_offset=3.141592653589793,
             map_x_sign=-1.0,

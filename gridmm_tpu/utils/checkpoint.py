@@ -366,6 +366,32 @@ def _leaf_paths(tree, prefix=""):
     return out
 
 
+def synthesize_torch_state_dict(rules, template_params: dict,
+                                seed: int = 0) -> Dict[str, np.ndarray]:
+    """Build a torch-shaped random state dict covering every rule, with
+    source shapes derived from the template leaves (testing utility: lets
+    import paths be exercised against the released key spaces without the
+    released files)."""
+    inner = template_params.get("params", template_params)
+    sd: Dict[str, np.ndarray] = {}
+    rng = np.random.default_rng(seed)
+    for src, dst, tf in rules:
+        try:
+            tgt = get_from_tree(inner, dst)
+        except KeyError:
+            continue
+        shape = tuple(np.shape(tgt))
+        if tf == "T":
+            shape = shape[::-1]
+        elif tf in ("Q", "K", "V"):
+            shape = (3 * shape[1], shape[0])
+        elif tf in ("Qb", "Kb", "Vb"):
+            shape = (3 * shape[0],)
+        if src not in sd:
+            sd[src] = rng.standard_normal(shape).astype(np.float32) * 0.02
+    return sd
+
+
 def _apply_rules(sd: Dict[str, Any], rules, template_params: dict,
                  strict: bool = False) -> Tuple[dict, Dict[str, List[str]]]:
     """Apply (torch key, flax path, transform) rules onto a param tree copy.

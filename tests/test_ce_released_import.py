@@ -24,24 +24,7 @@ def _synthetic_navigator_sd(agent):
     rules = CK.navigator_rules(cfg.num_l_layers, cfg.num_x_layers,
                                cfg.num_pano_layers,
                                has_obj=cfg.obj_feat_size > 0)
-    inner = agent.nav_params["params"]
-    sd = {}
-    rng = np.random.default_rng(0)
-    for src, dst, tf in rules:
-        try:
-            tgt = CK.get_from_tree(inner, dst)
-        except KeyError:
-            continue
-        shape = np.shape(tgt)
-        if tf == "T":
-            shape = shape[::-1]
-        elif tf in ("Q", "K", "V"):
-            shape = (3 * shape[1], shape[0])
-        elif tf in ("Qb", "Kb", "Vb"):
-            shape = (3 * shape[0],)
-        if src not in sd:
-            sd[src] = rng.standard_normal(shape).astype(np.float32) * 0.02
-    return sd
+    return CK.synthesize_torch_state_dict(rules, agent.nav_params)
 
 
 def test_remap_ce_released_key_spaces():
