@@ -217,8 +217,13 @@ class CEAgent:
 
     def rollout(self, env: ContinuousEnv, max_steps: int = 8,
                 feedback: str = "argmax",
-                rng: Optional[np.random.Generator] = None):
-        """Run one batch of episodes; returns (metrics list, losses info)."""
+                rng: Optional[np.random.Generator] = None,
+                on_step=None):
+        """Run one batch of episodes; returns (metrics list, losses info).
+
+        on_step(t, obs) is invoked with the observation list at every step
+        (t=0 is the reset state) — the eval video/trace hook
+        (base_il_trainer.py:631-644 rgb_frames collection)."""
         cfg = self.cfg
         rng = rng or np.random.default_rng(0)
         obs = env.reset()
@@ -247,6 +252,8 @@ class CEAgent:
         centers = np.asarray([19 + 36 * i for i in range(7)])
 
         for t in range(max_steps):
+            if on_step is not None:
+                on_step(t, obs)
             rgb = jnp.asarray(np.stack([ob.rgb for ob in obs]))
             depth = jnp.asarray(np.stack([ob.depth for ob in obs]))
             nms_maps, _probs = self._jit_waypoint(

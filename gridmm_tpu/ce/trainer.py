@@ -154,13 +154,69 @@ class CETrainer:
         return {"loss": float(np.mean(losses)), "ss_ratio": ratio}
 
     def evaluate(self, env: ContinuousEnv, batches: int = 2,
-                 max_steps: int = 6) -> Dict[str, float]:
+                 max_steps: int = 6, results_dir: Optional[str] = None,
+                 checkpoint_index: int = 0, split: str = "val_unseen",
+                 video_dir: Optional[str] = None) -> Dict[str, float]:
+        """Greedy eval; optionally persists the reference's observability
+        artifacts (base_il_trainer.py:631-644, 725-746):
+
+          results_dir -> per-rank stats_ep_ckpt_{i}_{split}_r{r}_w{w}.json
+                         (per-episode metric dicts) and, on rank 0, the
+                         aggregated stats_ckpt_{i}_{split}.json
+          video_dir   -> one animated GIF of the first camera per episode
+        """
+        import os
+
         all_m: List[dict] = []
+        ep_stats: Dict[str, dict] = {}
         for _ in range(batches):
-            all_m += self.agent.rollout(env, max_steps=max_steps,
-                                        feedback="argmax")
+            frames: Dict[int, list] = {}
+            hook = None
+            if video_dir:
+                def hook(t, obs, frames=frames):
+                    for i, ob in enumerate(obs):
+                        frames.setdefault(i, []).append(
+                            np.asarray(ob.rgb[0], np.uint8))
+            ms = self.agent.rollout(env, max_steps=max_steps,
+                                    feedback="argmax", on_step=hook)
+            obs = env.observations()
+            for i, m in enumerate(ms):
+                eid = getattr(obs[i], "episode_id", str(len(ep_stats)))
+                ep_stats.setdefault(eid, {k: float(v) for k, v in m.items()})
+                if video_dir and i in frames:
+                    from gridmm_tpu.utils.visualize import save_episode_video
+
+                    os.makedirs(video_dir, exist_ok=True)
+                    save_episode_video(
+                        os.path.join(video_dir,
+                                     f"ep_{eid}_ckpt_{checkpoint_index}"),
+                        frames[i])
+            all_m += ms
         keys = all_m[0].keys()
-        return {k: float(np.mean([m[k] for m in all_m])) for k in keys}
+        avg = {k: float(np.mean([m[k] for m in all_m])) for k in keys}
+        if results_dir:
+            import json
+
+            from gridmm_tpu.parallel.multihost import (process_count,
+                                                       process_index,
+                                                       weighted_mean_scalars)
+
+            os.makedirs(results_dir, exist_ok=True)
+            rank, world = process_index(), process_count()
+            with open(os.path.join(
+                    results_dir,
+                    f"stats_ep_ckpt_{checkpoint_index}_{split}_r{rank}_"
+                    f"w{world}.json"), "w") as f:
+                json.dump(ep_stats, f, indent=4)
+            agg = weighted_mean_scalars(avg, float(len(all_m)))
+            if rank == 0:
+                with open(os.path.join(
+                        results_dir,
+                        f"stats_ckpt_{checkpoint_index}_{split}.json"),
+                        "w") as f:
+                    json.dump(agg, f, indent=4)
+            avg = agg
+        return avg
 
     # ------------------------------------------------------------- inference
     def inference(self, env: ContinuousEnv, predictions_file: str,

@@ -32,8 +32,10 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--eval", action="store_true")
-    p.add_argument("--eval_batches", type=int, default=4,
-                   help="0 = full val split (reference test() wraparound)")
+    p.add_argument("--eval_batches", type=int, default=0,
+                   help="0 (default) = FULL val split for best-SPL ckpt "
+                        "selection (reference test() wraparound, "
+                        "main_nav.py:180-204); >0 subsamples (smoke only)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true",
                    help="tiny model dims (tests/smoke)")

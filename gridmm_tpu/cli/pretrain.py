@@ -31,7 +31,14 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--tasks", default="mlm,mrc,sap")
     p.add_argument("--mix_ratio", default="1,1,1")
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--steps", type=int, default=20,
+                   help="optimizer steps (with --accum_steps k each consumes "
+                        "k microbatches)")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient-accumulation window: the task is held "
+                        "fixed for k microbatches, grads averaged, ONE "
+                        "optimizer step per window (loader.py:44-59 + "
+                        "train_r2r.py:251-296 semantics)")
     p.add_argument("--valid_every", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--num_traj_steps", type=int, default=3)
@@ -48,7 +55,10 @@ def parse_args(argv=None):
     p.add_argument("--val_traj_files", default=None,
                    help="validation jsonl files (default: tail split)")
     p.add_argument("--val_fraction", type=float, default=0.1)
-    p.add_argument("--val_batches", type=int, default=2)
+    p.add_argument("--val_batches", type=int, default=0,
+                   help="0 = the WHOLE val split in order (reference "
+                        "validate() iterates the full loader, "
+                        "train_r2r.py:355-448); >0 subsamples")
     p.add_argument("--connectivity_dir", default=None)
     p.add_argument("--view_ft_file", default=None)
     p.add_argument("--depth_file", default=None)
@@ -184,17 +194,29 @@ def prefetched_task_batches(mux, batcher, steps: int, size: int = 2):
     stop = threading.Event()
     err: list = []
 
+    def _put(item) -> bool:
+        # bounded puts so an abandoned consumer can't leave this thread
+        # blocked forever on a full queue (it re-checks stop every tick)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for _ in range(steps):
                 if stop.is_set():
                     return
                 task = next(mux)
-                q.put((task, jax.device_put(batcher.batch(task))))
+                if not _put((task, jax.device_put(batcher.batch(task)))):
+                    return
         except Exception as e:
             err.append(e)
         finally:
-            q.put(None)
+            _put(None)
 
     threading.Thread(target=producer, daemon=True).start()
     try:
@@ -207,6 +229,11 @@ def prefetched_task_batches(mux, batcher, steps: int, size: int = 2):
             yield item
     finally:
         stop.set()
+        while True:  # release staged device batches promptly
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 class SyntheticBatcher:
@@ -226,13 +253,24 @@ class SyntheticBatcher:
 
 
 def validate(model, params, batches_by_task):
-    """Task accuracies (train_r2r.py:355-448 validate_{mlm,mrc,sap,og})."""
+    """Task accuracies (train_r2r.py:355-448 validate_{mlm,mrc,sap,og}).
+
+    Correct/total COUNTS accumulate across batches and divide once (the
+    reference's n_correct/n_word reduction) so metrics are invariant to how
+    the val split is chunked into batches."""
     from gridmm_tpu.models.pretrain import GridMMPretrain
     from gridmm_tpu.train.pretrain import _enc_kwargs, _mask_mrc_features
 
     out = {}
     for task, batches in batches_by_task.items():
-        accs = []
+        if callable(batches):  # lazy full-split iterator factory
+            batches = batches()
+        counts: dict = {}
+
+        def tally(name, correct, total):
+            c, t = counts.get(name, (0.0, 0.0))
+            counts[name] = (c + float(correct), t + float(total))
+
         for batch in batches:
             if task == "mlm":
                 logits = model.apply(
@@ -241,7 +279,7 @@ def validate(model, params, batches_by_task):
                 sel = batch.txt_labels != -1
                 pred = jnp.argmax(logits, -1)
                 correct = (pred == batch.txt_labels) & sel
-                accs.append(float(correct.sum()) / max(float(sel.sum()), 1))
+                tally("mlm_acc", correct.sum(), sel.sum())
                 continue
             if task == "mrc":
                 batch = _mask_mrc_features(batch)
@@ -255,27 +293,30 @@ def validate(model, params, batches_by_task):
                 pred = jnp.argmax(logits, -1)
                 tgt = jnp.argmax(batch.view_probs, -1)
                 correct = (pred == tgt) & sel
-                accs.append(float(correct.sum()) / max(float(sel.sum()), 1))
+                tally("mrc_acc", correct.sum(), sel.sum())
             elif task == "sap":
                 g, l, f, gr = model.apply(
                     params, enc, batch.gmap_mask, batch.gmap_visited_mask,
                     batch.vp_nav_mask, batch.fused_add_idx,
                     batch.cand_backtrack_mask,
                     method=GridMMPretrain.forward_sap_logits)
-                out["sap_gacc"] = float(
-                    (jnp.argmax(g, -1) == batch.global_act_labels).mean())
-                out["sap_lacc"] = float(
-                    (jnp.argmax(l, -1) == batch.local_act_labels).mean())
-                accs.append(float(
-                    (jnp.argmax(f, -1) == batch.global_act_labels).mean()))
+                n = batch.global_act_labels.shape[0]
+                tally("sap_gacc",
+                      (jnp.argmax(g, -1) == batch.global_act_labels).sum(), n)
+                tally("sap_lacc",
+                      (jnp.argmax(l, -1) == batch.local_act_labels).sum(), n)
+                tally("sap_acc",
+                      (jnp.argmax(f, -1) == batch.global_act_labels).sum(), n)
             elif task == "og":
                 logits = model.apply(params, enc, batch.vp_obj_mask,
                                      method=GridMMPretrain.forward_og_logits)
                 sel = batch.obj_labels >= 0
                 pred = jnp.argmax(logits, -1)
                 correct = (pred == batch.obj_labels) & sel
-                accs.append(float(correct.sum()) / max(float(sel.sum()), 1))
-        out[f"{task}_acc"] = float(np.mean(accs)) if accs else 0.0
+                tally("og_acc", correct.sum(), sel.sum())
+        for name, (c, t) in counts.items():
+            out[name] = c / max(t, 1.0)
+        out.setdefault(f"{task}_acc", 0.0)
     return out
 
 
@@ -299,11 +340,22 @@ def main(argv=None):
     if args.traj_files:
         train_ds, val_ds = build_dataset(args, cfg)
         batcher = DatasetBatcher(train_ds, args.batch_size, seed=args.seed)
-        val_batcher = DatasetBatcher(val_ds, args.batch_size,
-                                     seed=args.seed + 1)
-        val_by_task = {
-            t: [val_batcher.batch(t) for _ in range(args.val_batches)]
-            for t in tasks}
+        if args.val_batches:
+            val_batcher = DatasetBatcher(val_ds, args.batch_size,
+                                         seed=args.seed + 1)
+            val_by_task = {
+                t: [val_batcher.batch(t) for _ in range(args.val_batches)]
+                for t in tasks}
+        else:
+            # full val split in order, rebuilt lazily per validation call
+            # (reference validates the whole loader, train_r2r.py:355-448)
+            def _full_split(task, bs=args.batch_size, ds=val_ds):
+                return (ds.build_batch(
+                    list(range(i, min(i + bs, len(ds)))), task)
+                    for i in range(0, len(ds), bs))
+
+            val_by_task = {
+                t: (lambda t=t: _full_split(t)) for t in tasks}
         init_batch = batcher.batch(tasks[0])
     else:
         batcher = SyntheticBatcher(cfg, args.batch_size, args.num_traj_steps,
@@ -327,14 +379,38 @@ def main(argv=None):
         max(cfg.train.num_train_steps, args.steps))
     tx = build_optimizer("adamw", cfg.train, sched)
     state = create_train_state(cfg, params, tx)
-    steps = {t: make_pretrain_step(model, cfg, t, tx) for t in tasks}
-    mux = iter(TaskMultiplexer(tasks, mix, seed=args.seed))
+    accum = max(args.accum_steps, 1)
+    if accum > 1:
+        from gridmm_tpu.train.pretrain import make_pretrain_accum_step
+
+        steps = {t: make_pretrain_accum_step(model, cfg, t, tx, accum)
+                 for t in tasks}
+    else:
+        steps = {t: make_pretrain_step(model, cfg, t, tx) for t in tasks}
+    mux = iter(TaskMultiplexer(tasks, mix, seed=args.seed,
+                               accum_steps=accum))
     logger = MetricLogger(args.output_dir)
     rng = jax.random.PRNGKey(args.seed + 1)
 
-    stream = prefetched_task_batches(mux, batcher, args.steps)
-    for it, (task, batch) in enumerate(stream, start=1):
-        state, metrics = steps[task](state, batch, rng)
+    # --steps counts OPTIMIZER steps; each consumes `accum` microbatches of
+    # the same (held) task
+    stream = prefetched_task_batches(mux, batcher, args.steps * accum)
+    window: list = []
+    it = 0
+    for task, batch in stream:
+        window.append((task, batch))
+        if len(window) < accum:
+            continue
+        assert all(t == task for t, _ in window), \
+            "task changed inside an accumulation window"
+        if accum == 1:
+            state, metrics = steps[task](state, batch, rng)
+        else:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[b for _, b in window])
+            state, metrics = steps[task](state, stacked, rng)
+        window = []
+        it += 1
         logger.log(it, {k: float(v) for k, v in metrics.items()},
                    prefix="pretrain/")
         if it % args.valid_every == 0 or it == args.steps:

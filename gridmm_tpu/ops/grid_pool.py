@@ -99,46 +99,57 @@ def grid_scatter_pool(
     return pooled, cell_mask
 
 
-@jax.custom_vjp
-def grid_scatter_pool_pallas(point_fts, cell_ids, weights):
-    """Pallas-kernel forward with the XLA formulation as the backward rule
-    (the kernel is forward-only; gradients recompute through grid_scatter_pool,
-    whose VJP is exact for the same math)."""
-    from gridmm_tpu.ops.pallas.grid_pool_kernel import pallas_grid_pool
+def _chunk_and_pad(point_fts, cell_ids, weights):
+    """Kernel chunking shared by forward and backward.
 
+    Picks the largest sublane-aligned chunk that divides N, capped at 4096 so
+    the block (+ one-hot) stays comfortably in VMEM. Measured on the dev chip
+    at N=11760: larger chunks mean fewer grid blocks (3920 is the selected
+    divisor there and beat the earlier 2352 default when the cap was raised
+    from 2352 to 4096); chunk=N would force the whole buffer into VMEM at
+    once. A non-divisible N pads with invalid points (cell id -1 never
+    matches a one-hot row, so padding is exact)."""
     n = point_fts.shape[1]
-    # pick the largest sublane-aligned chunk that divides N, capped so the
-    # block (+ one-hot) stays comfortably in VMEM. Measured on the dev chip
-    # at N=11760: 2352 beats 336 by ~7% (fewer grid blocks); chunk=N would
-    # force the whole buffer into VMEM at once.
     divisors = [c for c in range(4096, 15, -16) if n % c == 0]
     if divisors:
-        chunk = divisors[0]
-    else:
-        # pad to the next multiple of 512 with invalid points (cell id -1
-        # never matches a one-hot row, so padding is exact)
-        pad = (-n) % 512
-        point_fts = jnp.pad(point_fts, ((0, 0), (0, pad), (0, 0)))
-        cell_ids = jnp.pad(cell_ids, ((0, 0), (0, pad)), constant_values=-1)
-        weights = jnp.pad(weights, ((0, 0), (0, pad)))
-        chunk = 512
-    return pallas_grid_pool(point_fts, cell_ids, weights, chunk=chunk)
+        return point_fts, cell_ids, weights, divisors[0]
+    pad = (-n) % 512
+    point_fts = jnp.pad(point_fts, ((0, 0), (0, pad), (0, 0)))
+    cell_ids = jnp.pad(cell_ids, ((0, 0), (0, pad)), constant_values=-1)
+    weights = jnp.pad(weights, ((0, 0), (0, pad)))
+    return point_fts, cell_ids, weights, 512
+
+
+@jax.custom_vjp
+def grid_scatter_pool_pallas(point_fts, cell_ids, weights):
+    """Pallas-kernel pool, forward AND backward (grid_pool_kernel.py):
+    numerically the same contract as grid_scatter_pool, without ever
+    materializing the (B, N, C) probability tensor the XLA VJP builds."""
+    from gridmm_tpu.ops.pallas.grid_pool_kernel import pallas_grid_pool
+
+    f, c, w, chunk = _chunk_and_pad(point_fts, cell_ids, weights)
+    return pallas_grid_pool(f, c, w, chunk=chunk)
 
 
 def _pallas_fwd(point_fts, cell_ids, weights):
-    out = grid_scatter_pool_pallas(point_fts, cell_ids, weights)
-    return out, (point_fts, cell_ids, weights)
+    from gridmm_tpu.ops.pallas.grid_pool_kernel import pallas_grid_pool_raw
+
+    f, c, w, chunk = _chunk_and_pad(point_fts, cell_ids, weights)
+    pooled, cell_mask, denom_pad = pallas_grid_pool_raw(f, c, w, chunk=chunk)
+    return (pooled, cell_mask), (point_fts, cell_ids, weights, denom_pad)
 
 
 def _pallas_bwd(res, cot):
     import numpy as np
 
-    point_fts, cell_ids, weights = res
-    num_cells = cot[0].shape[1]
-    _, vjp = jax.vjp(
-        lambda f, w: grid_scatter_pool(f, cell_ids, w, num_cells)[0],
-        point_fts, weights)
-    d_f, d_w = vjp(cot[0])
+    from gridmm_tpu.ops.pallas.grid_pool_kernel import pallas_grid_pool_bwd
+
+    point_fts, cell_ids, weights, denom_pad = res
+    n = point_fts.shape[1]
+    f, c, w, chunk = _chunk_and_pad(point_fts, cell_ids, weights)
+    d_f, d_w = pallas_grid_pool_bwd(f, c, w, denom_pad, cot[0], chunk=chunk)
+    d_f = d_f[:, :n].astype(point_fts.dtype)
+    d_w = d_w[:, :n].astype(weights.dtype)
     return d_f, np.zeros(cell_ids.shape, jax.dtypes.float0), d_w
 
 

@@ -73,6 +73,25 @@ def allocate_episodes_by_scene(episodes: List[dict], num_workers: int,
     return buckets
 
 
+def weighted_mean_scalars(values: Dict[str, float],
+                          weight: float) -> Dict[str, float]:
+    """Weight-averaged host-local scalars (e.g. per-host eval metrics weighted
+    by shard size — the reference computes metrics over the CONCATENATED
+    prediction lists, which is exactly a count-weighted mean)."""
+    if jax.process_count() == 1:
+        return dict(values)
+    from jax.experimental import multihost_utils
+
+    keys = sorted(values)
+    arr = np.asarray([weight] + [values[k] * weight for k in keys],
+                     np.float64)
+    gathered = np.asarray(multihost_utils.process_allgather(
+        arr, tiled=False)).reshape(jax.process_count(), -1)
+    total_w = max(gathered[:, 0].sum(), 1e-12)
+    sums = gathered[:, 1:].sum(0) / total_w
+    return {k: float(v) for k, v in zip(keys, sums)}
+
+
 def all_mean_scalars(values: Dict[str, float]) -> Dict[str, float]:
     """Mean of host-local scalars across hosts (validate_* reductions)."""
     if jax.process_count() == 1:

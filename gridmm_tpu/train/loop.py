@@ -37,7 +37,7 @@ def train_navigator(
     aug_agent: Optional[NavAgent] = None,
     iters: Optional[int] = None,
     log_every: Optional[int] = None,
-    eval_batches: Optional[int] = 4,
+    eval_batches: Optional[int] = None,
     ckpt_dir: Optional[str] = None,
     logger: Optional[MetricLogger] = None,
     seed: int = 0,
@@ -51,7 +51,10 @@ def train_navigator(
     Default (False) alternates the two passes across iterations — half the
     rollout cost per update, acknowledged schedule drift.
 
-    eval_batches=None evaluates the full val split (reference test() loop).
+    eval_batches=None (the default) evaluates the FULL val split for the
+    best-SPL checkpoint decision — reference test() + main_nav.py:180-204
+    semantics; a positive count is a subsampled probe for smoke configs
+    only (selection on a 4-batch sample is selection on noise).
 
     aug_agent (an agent over the augmented-instruction env, main_nav.py
     --aug split) alternates 1:1 with the GT-data agent per iteration
@@ -87,7 +90,9 @@ def train_navigator(
     final_metrics: Dict[str, float] = {}
 
     def _save_latest():
-        if ckpt_dir:
+        # checkpoint writes are rank-0-only: hosts share the output dir and
+        # concurrent orbax writers would corrupt it
+        if ckpt_dir and jax.process_index() == 0:
             from gridmm_tpu.utils.checkpoint import save_checkpoint
 
             save_checkpoint(os.path.join(os.path.abspath(ckpt_dir), "latest"),
@@ -96,7 +101,17 @@ def train_navigator(
     def _bucket(s: int) -> int:
         """Smallest configured bucket covering s (else max_action_len).
         Each bucket costs one compiled fwd+bwd graph (jit caches by shape);
-        short episodes then skip the padded scan tail."""
+        short episodes then skip the padded scan tail.
+
+        Multihost: hosts roll out different episodes, so the bucket is agreed
+        on from the GLOBAL max episode length — per-host buckets would hand
+        host_local_array_to_global_array inconsistent shard shapes and the
+        SPMD programs would diverge."""
+        if jax.process_count() > 1 and cfg.train.scan_buckets:
+            from jax.experimental import multihost_utils
+
+            s = int(np.max(multihost_utils.process_allgather(
+                np.asarray(s, np.int32))))
         buckets = cfg.train.scan_buckets
         if not buckets:
             return cfg.train.max_action_len
@@ -167,12 +182,21 @@ def train_navigator(
             if it % log_every == 0 and val_agent is not None:
                 with timer.section("eval"):
                     val_agent.params = state.params
-                    avg, _ = val_agent.evaluate(eval_batches)
+                    avg, preds = val_agent.evaluate(eval_batches)
+                if jax.process_count() > 1:
+                    # each host evaluated its val shard (sel_data_idxs);
+                    # count-weighted mean == metrics over the concatenated
+                    # preds, so every host takes the SAME best-SPL decision
+                    # (reference merges dist results before summarizing)
+                    from gridmm_tpu.parallel.multihost import \
+                        weighted_mean_scalars
+
+                    avg = weighted_mean_scalars(avg, float(len(preds)))
                 logger.log(it, avg, prefix="val/")
                 final_metrics = avg
                 if avg["spl"] > best_spl:
                     best_spl, best_iter = avg["spl"], it
-                    if ckpt_dir:
+                    if ckpt_dir and jax.process_index() == 0:
                         from gridmm_tpu.utils.checkpoint import save_checkpoint
 
                         save_checkpoint(

@@ -136,19 +136,61 @@ def make_pretrain_step(model: GridMMPretrain, cfg: GridMMConfig, task: str,
     return jax.jit(step)
 
 
+def make_pretrain_accum_step(model: GridMMPretrain, cfg: GridMMConfig,
+                             task: str, tx=None, accum: int = 2):
+    """Jitted update over `accum` stacked microbatches of ONE task.
+
+    Replicates the reference accumulation window (train_r2r.py:251-296): the
+    per-microbatch loss is scaled by 1/accum (grads averaged), gradients sum
+    across the window, and ONE optimizer step fires per window. Microbatch
+    grads are folded in a lax.scan so peak memory stays at one microbatch's
+    activations; dropout keys differ per microbatch."""
+    tx = tx or make_optimizer(cfg)
+
+    def step(state: TrainState, batches: PretrainBatch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def body(acc, xs):
+            i, mb = xs
+            loss, grads = jax.value_and_grad(
+                lambda p: task_loss(model, p, mb, task,
+                                    jax.random.fold_in(rng, i)))(state.params)
+            return jax.tree_util.tree_map(jnp.add, acc, grads), loss
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        grads, losses = jax.lax.scan(
+            body, zeros, (jnp.arange(accum), batches))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {
+            f"loss_{task}": losses.mean(),
+            "grad_norm": optax.global_norm(grads)}
+
+    return jax.jit(step)
+
+
 class TaskMultiplexer:
     """Samples the next task by mix ratio with a shared-seed RNG — replaces the
-    reference MetaLoader's dist.broadcast(task_id) (loader.py:54-59)."""
+    reference MetaLoader's dist.broadcast(task_id) (loader.py:54-59).
 
-    def __init__(self, tasks, mix_ratio, seed: int = 0):
+    accum_steps > 1 holds each sampled task for accum_steps consecutive
+    yields, the MetaLoader accumulation-window contract (loader.py:54-59:
+    task re-sampled only when step % accum_steps == 0)."""
+
+    def __init__(self, tasks, mix_ratio, seed: int = 0,
+                 accum_steps: int = 1):
         self.tasks = list(tasks)
         p = np.asarray(mix_ratio, np.float64)
         self.p = p / p.sum()
+        self.accum_steps = int(accum_steps)
         self._rng = np.random.default_rng(seed)
 
     def __iter__(self):
         while True:
-            yield self.tasks[self._rng.choice(len(self.tasks), p=self.p)]
+            task = self.tasks[self._rng.choice(len(self.tasks), p=self.p)]
+            for _ in range(self.accum_steps):
+                yield task
 
 
 def init_pretrain_params(model: GridMMPretrain, cfg: GridMMConfig, rng,

@@ -35,6 +35,29 @@ def save_grid_png(path: str, cell_mask, cell_scores=None) -> None:
     save_png(path, grid_occupancy_image(cell_mask, cell_scores))
 
 
+def save_episode_video(path: str, frames, fps: int = 4) -> str:
+    """Write an eval episode's RGB frames as an animated GIF (the
+    base_il_trainer.py:631-644 generate_video equivalent; habitat's mp4
+    writer needs moviepy/ffmpeg which this environment lacks).
+
+    Falls back to a horizontal filmstrip PNG when imageio is unavailable.
+    Returns the path actually written."""
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    try:
+        import imageio
+
+        if not path.endswith(".gif"):
+            path += ".gif"
+        imageio.mimsave(path, frames, duration=1.0 / fps, loop=0)
+        return path
+    except Exception:
+        strip = np.concatenate(frames, axis=1)
+        if not path.endswith(".png"):
+            path += ".png"
+        save_png(path, strip)
+        return path
+
+
 def _draw_line(img: np.ndarray, p0, p1, color) -> None:
     """Bresenham-ish line via dense interpolation (no deps)."""
     n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1)) * 2

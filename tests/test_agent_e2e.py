@@ -7,6 +7,7 @@ from pathlib import Path
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -35,6 +36,7 @@ def build_all(seed=0):
     return cfg, env, model, params, agent
 
 
+@pytest.mark.slow
 def test_rollout_and_eval():
     cfg, env, model, params, agent = build_all()
     traj, _, stats = agent.rollout(feedback="argmax")
@@ -70,6 +72,7 @@ def test_teacher_rollout_reaches_goal():
     assert avg["sr"] >= 50.0, avg
 
 
+@pytest.mark.slow
 def test_rollout_record_replay_training():
     cfg, env, model, params, agent = build_all()
     traj, batch, _ = agent.rollout(feedback="teacher", record=True)
@@ -98,6 +101,7 @@ def test_full_split_eval_covers_split():
     assert len(set(ids)) == len(ids)
 
 
+@pytest.mark.slow
 def test_train_loop_dagger_sum():
     import dataclasses
 
@@ -112,6 +116,7 @@ def test_train_loop_dagger_sum():
     assert result.best_iter == -1  # no val agent
 
 
+@pytest.mark.slow
 def test_train_loop_aug_interleave():
     """With an aug agent, iterations alternate GT/aug envs 1:1
     (main_nav.py:142-154) and both see teacher AND sample passes."""
@@ -153,6 +158,7 @@ def test_expl_sample_feedback():
         assert len(flat) >= 1
 
 
+@pytest.mark.slow
 def test_train_loop_scan_buckets():
     """scan_buckets pads episodes to the smallest covering bucket instead of
     max_action_len (one compiled graph per bucket); training runs across
@@ -186,6 +192,7 @@ def test_train_loop_scan_buckets():
                     log_every=2, seed=1)
 
 
+@pytest.mark.slow
 def test_interrupt_saves_latest_checkpoint(tmp_path):
     """An exception mid-training parks a resumable 'latest' checkpoint
     (preemption safety beyond the reference's log_every-cadence save)."""
@@ -211,3 +218,28 @@ def test_interrupt_saves_latest_checkpoint(tmp_path):
         train_navigator(cfg, model, agent, val_agent=None, iters=5,
                         log_every=100, ckpt_dir=str(tmp_path), seed=0)
     assert (Path(tmp_path) / "latest").exists()
+
+
+@pytest.mark.slow
+def test_training_selection_evals_full_split_by_default():
+    """train_navigator's best-SPL decision runs over the WHOLE val split
+    unless explicitly subsampled (main_nav.py:180-204 selects on the full
+    split; a 4-batch probe would checkpoint on noise)."""
+    from gridmm_tpu.train.loop import train_navigator
+
+    cfg, env, model, params, agent = build_all()
+    _, val_env, vm, vp, val_agent = build_all()
+    seen = []
+    orig = val_agent.evaluate
+
+    def spy(num_batches=None):
+        avg, preds = orig(num_batches)
+        seen.append((num_batches, len(preds)))
+        return avg, preds
+
+    val_agent.evaluate = spy
+    result = train_navigator(cfg, model, agent, val_agent=val_agent,
+                             iters=1, log_every=1, seed=0)
+    assert seen and all(nb is None for nb, _ in seen), seen
+    assert all(n == val_env.size() for _, n in seen), seen
+    assert result.best_iter == 1

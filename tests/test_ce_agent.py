@@ -6,6 +6,7 @@ from pathlib import Path
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -18,6 +19,7 @@ def build_ce_agent(img=56, depth_sz=256):
     return _build(img=img, depth_sz=depth_sz, tiny=True)
 
 
+@pytest.mark.slow
 def test_ce_rollout_runs():
     cfg, agent = build_ce_agent()
     env = SyntheticContinuousEnv(num_envs=2, image_size=56, depth_size=256,
@@ -107,6 +109,7 @@ def test_ce_ckpt_polling(tmp_path):
     assert all("sr" in r and "checkpoint" in r for r in results)
 
 
+@pytest.mark.slow
 def test_ce_rollout_with_view_tower():
     """view_tower=True routes panorama tokens through the timm-ViT cls path
     (Policy:335-343) instead of CLIP cls."""
@@ -118,3 +121,40 @@ def test_ce_rollout_with_view_tower():
                                  seed=3)
     metrics = agent.rollout(env, max_steps=3, feedback="argmax")
     assert len(metrics) == 2 and all(np.isfinite(m["ne"]) for m in metrics)
+
+
+@pytest.mark.slow
+def test_ce_eval_stats_and_video_artifacts(tmp_path):
+    """evaluate(results_dir=..., video_dir=...) writes the reference's
+    observability set: per-rank per-episode stats JSON, rank-0 aggregate
+    JSON (base_il_trainer.py:725-746), and one video per episode
+    (:631-644)."""
+    import json
+    import os
+
+    from gridmm_tpu.ce.trainer import CETrainer
+
+    cfg, agent = build_ce_agent()
+    env = SyntheticContinuousEnv(num_envs=2, image_size=56, depth_size=256,
+                                 seed=5)
+    trainer = CETrainer(cfg, agent)
+    res = tmp_path / "results"
+    vid = tmp_path / "videos"
+    avg = trainer.evaluate(env, batches=1, max_steps=3,
+                           results_dir=str(res), checkpoint_index=7,
+                           split="val_unseen", video_dir=str(vid))
+    assert "sr" in avg and np.isfinite(avg["nDTW"])
+
+    per_rank = res / "stats_ep_ckpt_7_val_unseen_r0_w1.json"
+    agg = res / "stats_ckpt_7_val_unseen.json"
+    assert per_rank.exists() and agg.exists()
+    ep_stats = json.loads(per_rank.read_text())
+    assert len(ep_stats) == 2
+    for stats in ep_stats.values():
+        assert "spl" in stats and "sr" in stats
+    agg_stats = json.loads(agg.read_text())
+    assert abs(agg_stats["sr"] - avg["sr"]) < 1e-9
+
+    vids = os.listdir(vid)
+    assert len(vids) == 2, vids
+    assert all(v.endswith((".gif", ".png")) for v in vids)

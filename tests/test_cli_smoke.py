@@ -10,6 +10,7 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+@pytest.mark.slow
 def test_main_nav_cli(tmp_path):
     from gridmm_tpu.cli.main_nav import main
 
@@ -20,6 +21,7 @@ def test_main_nav_cli(tmp_path):
     assert (tmp_path / "logs" / "metrics.jsonl").exists()
 
 
+@pytest.mark.slow
 def test_pretrain_cli(tmp_path):
     from gridmm_tpu.cli.pretrain import main
 

@@ -5,6 +5,7 @@ from pathlib import Path
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -18,6 +19,7 @@ from gridmm_tpu.train.step import create_train_state, make_train_step  # noqa: E
 from gridmm_tpu.train.synthetic import synthetic_trajectory_batch  # noqa: E402
 
 
+@pytest.mark.slow
 def test_fsdp_train_step():
     cfg = tiny_cfg()
     mesh = make_mesh(MeshConfig(mp_size=2), jax.devices())
@@ -38,6 +40,7 @@ def test_fsdp_train_step():
     assert np.isfinite(float(m["grad_norm"]))
 
 
+@pytest.mark.slow
 def test_train_navigator_with_mesh():
     """The CLI-facing mesh path: train_navigator(mesh=...) shards params +
     batches over the 8-device mesh and the loop trains (the DDP-equivalent

@@ -5,6 +5,7 @@ from pathlib import Path
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -79,3 +80,94 @@ def test_task_multiplexer_deterministic():
     assert m1 == m2
     tasks = [t for _, t in m1]
     assert set(tasks) == {"mlm", "mrc", "sap"}
+
+
+def test_task_multiplexer_accum_holds_task():
+    """accum_steps > 1 holds each sampled task for the whole window
+    (loader.py:54-59: task re-sampled only when step % accum == 0)."""
+    mux = iter(TaskMultiplexer(["mlm", "mrc", "sap"], [1, 1, 1], seed=3,
+                               accum_steps=3))
+    seq = [next(mux) for _ in range(30)]
+    for w in range(0, 30, 3):
+        assert len(set(seq[w:w + 3])) == 1, seq
+    assert len(set(seq)) > 1  # still multiplexes across windows
+
+
+@pytest.mark.slow
+def test_accum_step_matches_single_step_scaling():
+    """A k-window of identical microbatches must produce the SAME update as
+    one plain step on that batch (grads averaged, not summed; one optimizer
+    step per window). Dropout zeroed so rngs are irrelevant."""
+    import dataclasses
+
+    from gridmm_tpu.train.pretrain import make_pretrain_accum_step
+
+    cfg, model, batch, params = setup_all()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0, feat_dropout=0.0))
+    model = GridMMPretrain(cfg.model)
+    state0 = create_train_state(cfg, params)
+    rng = jax.random.PRNGKey(5)
+
+    plain = make_pretrain_step(model, cfg, "sap")
+    s1, m1 = plain(state0, batch, rng)
+
+    accum = make_pretrain_accum_step(model, cfg, "sap", accum=2)
+    stacked = jax.tree_util.tree_map(lambda x: np.stack([x, x]), batch)
+    s2, m2 = accum(state0, stacked, rng)
+
+    np.testing.assert_allclose(float(m1["loss_sap"]), float(m2["loss_sap"]),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=2e-5),
+        s1.params, s2.params)
+    assert int(s2.step) == 1  # one optimizer step per window
+
+
+def test_accum_step_averages_distinct_microbatches():
+    """With dropout off, accum over two DIFFERENT microbatches applies the
+    mean of their grads: the update direction must differ from either
+    microbatch's own step but the loss reported is the window mean."""
+    import dataclasses
+
+    from gridmm_tpu.train.pretrain import make_pretrain_accum_step, task_loss
+
+    cfg, model, batch, params = setup_all()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0, feat_dropout=0.0))
+    model = GridMMPretrain(cfg.model)
+    b2 = synthetic_pretrain_batch(cfg, batch=2, num_steps=3, seed=9)
+    state0 = create_train_state(cfg, params)
+    rng = jax.random.PRNGKey(7)
+
+    accum = make_pretrain_accum_step(model, cfg, "sap", accum=2)
+    stacked = jax.tree_util.tree_map(
+        lambda a, b: np.stack([a, b]), batch, b2)
+    _, m = accum(state0, stacked, rng)
+    l1 = float(task_loss(model, state0.params, batch, "sap",
+                         jax.random.fold_in(jax.random.fold_in(rng, 0), 0)))
+    l2 = float(task_loss(model, state0.params, b2, "sap",
+                         jax.random.fold_in(jax.random.fold_in(rng, 0), 1)))
+    np.testing.assert_allclose(float(m["loss_sap"]), (l1 + l2) / 2, rtol=1e-5)
+
+
+def test_validate_batch_count_invariant():
+    """validate() accumulates counts, so chunking the val set into different
+    batch sizes must not change any metric."""
+    from gridmm_tpu.cli.pretrain import validate
+
+    cfg, model, _, params = setup_all()
+    full = synthetic_pretrain_batch(cfg, batch=4, num_steps=3, seed=11)
+    halves = [jax.tree_util.tree_map(lambda x: x[:2], full),
+              jax.tree_util.tree_map(lambda x: x[2:], full)]
+    for task in ("mlm", "mrc", "sap"):
+        a = validate(model, params, {task: [full]})
+        b = validate(model, params, {task: halves})
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], atol=1e-12,
+                                       err_msg=f"{task}/{k}")

@@ -114,6 +114,7 @@ def _base_args(root: Path, traj: Path):
     ]
 
 
+@pytest.mark.slow
 def test_pretrain_cli_real_data(tmp_path, capsys):
     from gridmm_tpu.cli.pretrain import main
 
@@ -126,6 +127,7 @@ def test_pretrain_cli_real_data(tmp_path, capsys):
     assert lines and {"mlm_acc", "mrc_acc", "sap_acc"} <= set(lines[-1])
 
 
+@pytest.mark.slow
 def test_pretrain_cli_og_task(tmp_path, capsys):
     """--obj_ft_file enables object tokens + the og proxy task
     (pretrain_src/train_reverie_obj.py semantics)."""
@@ -211,6 +213,7 @@ def _soonify_fixture(root: Path, pseudo_idx: bool):
 
 
 @pytest.mark.parametrize("pseudo_idx", [False, True])
+@pytest.mark.slow
 def test_pretrain_cli_soon_og(tmp_path, capsys, pseudo_idx):
     """SOON pretraining: og supervision from bbox pseudo-labels (derived via
     polygon matching, soon/env.py:331-424) or a precomputed
@@ -250,6 +253,7 @@ def test_pretrain_dataset_soon_labels(tmp_path):
     assert labeled > 0
 
 
+@pytest.mark.slow
 def test_pretrain_cli_aug_views(tmp_path, capsys):
     """--aug_view_ft_file swaps train views with the EnvEdit bank p=0.5
     (SoonTextPathData.get_scanvp_feature is_train branch)."""

@@ -5,6 +5,7 @@ from pathlib import Path
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -135,6 +136,7 @@ def test_og_labels_and_object_tokens():
     assert got_label
 
 
+@pytest.mark.slow
 def test_og_task_trains():
     """task_loss('og') on non-degenerate labels is finite and decreases."""
     import jax

@@ -5,6 +5,7 @@ from pathlib import Path
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -16,6 +17,7 @@ from gridmm_tpu.train.recollection import (RecollectionStore,  # noqa: E402
 from gridmm_tpu.train.step import create_train_state, make_train_step  # noqa: E402
 
 
+@pytest.mark.slow
 def test_record_and_train_offline(tmp_path):
     cfg, env, model, params, agent = build_all()
     store = RecollectionStore(str(tmp_path / "recollect"))

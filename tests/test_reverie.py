@@ -6,6 +6,7 @@ from pathlib import Path
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -56,6 +57,7 @@ def test_reverie_rollout_and_det_metrics():
     assert 0.0 <= avg["det_sr"] <= avg["sr"] + 1e-9 or avg["sr"] == 0.0
 
 
+@pytest.mark.slow
 def test_reverie_training_step_with_og_loss():
     cfg, env, model, agent = build_reverie()
     _, batch, _ = agent.rollout(feedback="teacher", record=True)

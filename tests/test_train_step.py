@@ -6,6 +6,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -16,6 +17,7 @@ from gridmm_tpu.train.step import (create_train_state, make_train_step,  # noqa:
 from gridmm_tpu.train.synthetic import synthetic_trajectory_batch  # noqa: E402
 
 
+@pytest.mark.slow
 def test_gradients_finite():
     cfg = _tiny_config()
     model = GridMMNavigator(cfg.model)
@@ -49,10 +51,12 @@ def test_loss_decreases_under_training():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dagger_step_sums_losses():
     """make_dagger_step = one update over teacher(ml_weight) + sample(1.0)
     losses (reference agent_base.py:164-196 gradient shape)."""

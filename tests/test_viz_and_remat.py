@@ -6,6 +6,7 @@ from pathlib import Path
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -26,6 +27,7 @@ def test_grid_png(tmp_path):
     assert p.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
     from gridmm_tpu.train.step import trajectory_loss
