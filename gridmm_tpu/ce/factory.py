@@ -18,7 +18,7 @@ from gridmm_tpu.models.waypoint import WaypointConfig, WaypointPredictor
 
 def build_ce_agent(img: int = 56, depth_sz: int = 256, tiny: bool = True,
                    seed: int = 0, waypoint_rgb: bool = True,
-                   view_tower: bool = False):
+                   view_tower: bool = False, preset: str = "r2r"):
     """Assemble a CEAgent with fresh parameters.
 
     tiny=True uses smoke-scale dims (tests/synthetic arena); tiny=False uses
@@ -26,8 +26,11 @@ def build_ce_agent(img: int = 56, depth_sz: int = 256, tiny: bool = True,
     builds the depth-only waypoint predictor (RxR-CE,
     DepthDistPredictor_TRM). view_tower=True adds the timm ViT-B/16 view
     encoder (gridmap/vilmodel.py:631; cls token per view) — without it view
-    tokens fall back to CLIP cls features."""
-    base = r2r_ce_config()
+    tokens fall back to CLIP cls features. preset='rxr' swaps in the RxR-CE
+    normalizers + xlm-roberta text dims (Policy:280-286)."""
+    from gridmm_tpu.config import rxr_ce_config
+
+    base = rxr_ce_config() if preset == "rxr" else r2r_ce_config()
     if tiny:
         cfg = dataclasses.replace(
             base,

@@ -47,6 +47,17 @@ def parse_args(argv=None):
     p.add_argument("--depth_only_waypoint", action="store_true",
                    help="RxR-CE depth-only waypoint predictor "
                         "(DepthDistPredictor_TRM)")
+    p.add_argument("--task", choices=["r2r", "rxr"], default="r2r",
+                   help="rxr = RxR-CE preset: MAX_DIST 40 / MAX_STEP 30 "
+                        "normalizers + xlm-roberta text dims "
+                        "(Policy:280-286); pair with --depth_only_waypoint")
+    p.add_argument("--results_dir", default=None,
+                   help="eval: write per-rank episode stats JSON + rank-0 "
+                        "aggregate here (base_il_trainer.py:725-746)")
+    p.add_argument("--video_dir", default=None,
+                   help="eval: write one episode video here per episode "
+                        "(base_il_trainer.py:631-644)")
+    p.add_argument("--eval_split", default="val_unseen")
     # released-weights set (base_il_trainer.py:80-117 + vlnbert_init.py:11-65)
     p.add_argument("--waypoint_ckpt", default=None)
     p.add_argument("--navigator_ckpt", default=None,
@@ -71,7 +82,7 @@ def main(argv=None):
     cfg, agent = build_ce_agent(
         tiny=not args.full, view_tower=args.view_tower,
         waypoint_rgb=not args.depth_only_waypoint,
-        img=224 if args.full else 56, seed=args.seed)
+        img=224 if args.full else 56, seed=args.seed, preset=args.task)
     ckpts = dict(waypoint_ckpt=args.waypoint_ckpt,
                  navigator_ckpt=args.navigator_ckpt,
                  clip_ckpt=args.clip_ckpt, vit_ckpt=args.vit_ckpt,
@@ -124,7 +135,10 @@ def main(argv=None):
             max_steps=args.max_steps, timeout_seconds=args.poll_timeout)
         print(json.dumps({"polled": results}))
         return results[-1] if results else {}
-    metrics = trainer.evaluate(env, batches=1, max_steps=args.max_steps)
+    metrics = trainer.evaluate(env, batches=1, max_steps=args.max_steps,
+                               results_dir=args.results_dir,
+                               split=args.eval_split,
+                               video_dir=args.video_dir)
     print(json.dumps({"eval": metrics}))
     return metrics
 

@@ -287,3 +287,19 @@ def r2r_ce_config() -> GridMMConfig:
             y_sign=-1.0,
         ),
     )
+
+
+def rxr_ce_config() -> GridMMConfig:
+    """RxR-CE preset: the r2r_ce geometry with RxR normalizers MAX_DIST 40 /
+    MAX_STEP 30 (Policy_ViewSelection_GridMap.py:280-286), xlm-roberta text
+    stack, and the depth-only waypoint predictor convention
+    (base_il_trainer.py:100-117 DepthDistPredictor for RxR)."""
+    base = r2r_ce_config()
+    return dataclasses.replace(
+        base,
+        model=dataclasses.replace(base.model, vocab_size=250002,
+                                  max_position_embeddings=512),
+        shapes=dataclasses.replace(base.shapes, max_txt_len=256),
+        grid=dataclasses.replace(base.grid, max_dist=40.0,
+                                 pos_step_norm=30.0),
+    )

@@ -102,15 +102,22 @@ def grid_scatter_pool(
 def _chunk_and_pad(point_fts, cell_ids, weights):
     """Kernel chunking shared by forward and backward.
 
-    Picks the largest sublane-aligned chunk that divides N, capped at 4096 so
-    the block (+ one-hot) stays comfortably in VMEM. Measured on the dev chip
-    at N=11760: larger chunks mean fewer grid blocks (3920 is the selected
-    divisor there and beat the earlier 2352 default when the cap was raised
-    from 2352 to 4096); chunk=N would force the whole buffer into VMEM at
-    once. A non-divisible N pads with invalid points (cell id -1 never
-    matches a one-hot row, so padding is exact)."""
+    Picks the largest sublane-aligned chunk that divides N, capped so the
+    streamed feature block (+ one-hot) fits the ~16 MB scoped-VMEM budget
+    WITH Pallas's input double-buffering: a bf16 buffer allows 4096 (3920 is
+    the selected divisor at the serving N=11760 and beat the earlier 2352
+    default), but an f32 buffer at chunk 2944/d=768 measured a 17.3 MB VMEM
+    stack OOM on v5e — f32 caps at 2048. Fewer grid blocks is still better
+    within the cap. A non-divisible N pads with invalid points (cell id -1
+    never matches a one-hot row, so padding is exact)."""
     n = point_fts.shape[1]
-    divisors = [c for c in range(4096, 15, -16) if n % c == 0]
+    cap = 4096 if point_fts.dtype == jnp.bfloat16 else 2048
+    return _chunk_and_pad_cap(point_fts, cell_ids, weights, cap)
+
+
+def _chunk_and_pad_cap(point_fts, cell_ids, weights, cap: int):
+    n = point_fts.shape[1]
+    divisors = [c for c in range(cap, 15, -16) if n % c == 0]
     if divisors:
         return point_fts, cell_ids, weights, divisors[0]
     pad = (-n) % 512
@@ -146,7 +153,10 @@ def _pallas_bwd(res, cot):
 
     point_fts, cell_ids, weights, denom_pad = res
     n = point_fts.shape[1]
-    f, c, w, chunk = _chunk_and_pad(point_fts, cell_ids, weights)
+    # the backward streams ~2.5x the forward per block (g in + dg out + the
+    # gathered-cotangent intermediate), so it takes a tighter chunk cap to
+    # stay inside scoped VMEM
+    f, c, w, chunk = _chunk_and_pad_cap(point_fts, cell_ids, weights, 1024)
     d_f, d_w = pallas_grid_pool_bwd(f, c, w, denom_pad, cot[0], chunk=chunk)
     d_f = d_f[:, :n].astype(point_fts.dtype)
     d_w = d_w[:, :n].astype(weights.dtype)

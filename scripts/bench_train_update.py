@@ -9,6 +9,7 @@ dependency, sync once with a scalar fetch.
 import dataclasses
 import sys
 import time
+import traceback
 
 import jax
 import numpy as np
@@ -16,42 +17,48 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main():
+def run_one(use_pallas: bool, b: int, steps: int = 15) -> None:
     from gridmm_tpu.config import r2r_config
     from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
     from gridmm_tpu.train.step import create_train_state, make_train_step
     from gridmm_tpu.train.synthetic import synthetic_trajectory_batch
 
-    print(f"devices: {jax.devices()}")
-    steps = 15
+    cfg = r2r_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model,
+                                  use_pallas_grid_pool=use_pallas),
+        train=dataclasses.replace(cfg.train, batch_size=b,
+                                  max_action_len=steps))
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    state = create_train_state(cfg, params)
+    batch = synthetic_trajectory_batch(cfg, batch=b, num_steps=steps)
+    batch = jax.device_put(batch)
+    rng = jax.random.PRNGKey(1)
+    step = jax.jit(make_train_step(model, cfg))
+
+    state, m = step(state, batch, rng)  # compile
+    _ = float(m["loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, rng)
+    _ = float(m["loss"])  # single hard sync after the queue drains
+    dt = (time.perf_counter() - t0) / iters
+    print(f"pallas_pool={use_pallas} B={b}: {dt*1e3:.1f} ms/update  "
+          f"{b/dt:.1f} eps/s", flush=True)
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
     for use_pallas in (False, True):
         for b in (8, 16, 32):
-            cfg = r2r_config()
-            cfg = dataclasses.replace(
-                cfg,
-                model=dataclasses.replace(cfg.model,
-                                          use_pallas_grid_pool=use_pallas),
-                train=dataclasses.replace(cfg.train, batch_size=b,
-                                          max_action_len=steps))
-            model = GridMMNavigator(cfg.model)
-            params = init_navigator(model, cfg.shapes,
-                                    jax.random.PRNGKey(0))
-            state = create_train_state(cfg, params)
-            batch = synthetic_trajectory_batch(cfg, batch=b, num_steps=steps)
-            batch = jax.device_put(batch)
-            rng = jax.random.PRNGKey(1)
-            step = jax.jit(make_train_step(model, cfg))
-
-            state, m = step(state, batch, rng)  # compile
-            _ = float(m["loss"])
-            iters = 10
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                state, m = step(state, batch, rng)
-            _ = float(m["loss"])  # single hard sync after the queue drains
-            dt = (time.perf_counter() - t0) / iters
-            print(f"pallas_pool={use_pallas} B={b}: {dt*1e3:.1f} ms/update  "
-                  f"{b/dt:.1f} eps/s")
+            try:
+                run_one(use_pallas, b)
+            except Exception:
+                print(f"pallas_pool={use_pallas} B={b}: FAILED", flush=True)
+                traceback.print_exc()
 
 
 if __name__ == "__main__":

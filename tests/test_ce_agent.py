@@ -158,3 +158,19 @@ def test_ce_eval_stats_and_video_artifacts(tmp_path):
     vids = os.listdir(vid)
     assert len(vids) == 2, vids
     assert all(v.endswith((".gif", ".png")) for v in vids)
+
+
+def test_rxr_ce_preset_normalizers():
+    """RxR-CE preset: MAX_DIST 40 / MAX_STEP 30 + xlm vocab (Policy:280-286)."""
+    from gridmm_tpu.config import rxr_ce_config
+
+    cfg = rxr_ce_config()
+    assert cfg.grid.max_dist == 40.0 and cfg.grid.pos_step_norm == 30.0
+    assert cfg.model.vocab_size == 250002
+    # tiny build keeps the preset's grid normalizers
+    from gridmm_tpu.ce.factory import build_ce_agent
+
+    tiny_cfg, _ = build_ce_agent(tiny=True, preset="rxr",
+                                 waypoint_rgb=False)
+    assert tiny_cfg.grid.max_dist == 40.0
+    assert tiny_cfg.grid.pos_step_norm == 30.0

@@ -106,6 +106,7 @@ def test_decay_mask_excludes_bias_and_layernorm():
     assert n_decay > 10 and n_skip > 10
 
 
+@pytest.mark.slow
 def test_stacked_replay_matches_incremental():
     """The carry-free stacked replay loss is numerically equivalent to the
     incremental point-buffer scan (deterministic; gradients too)."""
