@@ -40,6 +40,15 @@ def parse_args(argv=None):
                         "optimizer step per window (loader.py:44-59 + "
                         "train_r2r.py:251-296 semantics)")
     p.add_argument("--valid_every", type=int, default=10)
+    p.add_argument("--save_every", type=int, default=0,
+                   help="save a checkpoint every N optimizer steps (0 = "
+                        "final only); the ModelSaver model_step_N cadence "
+                        "(pretrain_src/utils/save.py:23-45). Each save also "
+                        "exports a navigator-shaped params dir that "
+                        "main_nav --resume consumes directly")
+    p.add_argument("--resume", default=None,
+                   help="orbax checkpoint dir from a previous run "
+                        "(ckpts/latest) — restores params+optimizer+step")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--num_traj_steps", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
@@ -379,6 +388,34 @@ def main(argv=None):
         max(cfg.train.num_train_steps, args.steps))
     tx = build_optimizer("adamw", cfg.train, sched)
     state = create_train_state(cfg, params, tx)
+    import os
+
+    from gridmm_tpu.utils.checkpoint import (pretrain_params_to_navigator,
+                                             restore_checkpoint,
+                                             save_checkpoint)
+
+    if args.resume:
+        state = restore_checkpoint(os.path.abspath(args.resume), state)
+        print(json.dumps({"resumed_step": int(state.step)}))
+
+    ckpt_root = os.path.abspath(os.path.join(args.output_dir, "ckpts"))
+    nav_template: list = []  # built lazily on first save (one init trace)
+
+    def _save(state, tag: str) -> None:
+        save_checkpoint(os.path.join(ckpt_root, tag), state)
+        # fine-tune handoff flavor: main_nav --resume <dir>/navigator_latest.
+        # Projected onto the fine-tune tree (the pretrain 'bert' scope also
+        # carries MLM-only lang-branch params a strict restore would reject).
+        if not nav_template:
+            from gridmm_tpu.models.navigator import (GridMMNavigator,
+                                                     init_navigator)
+            nav_template.append(init_navigator(
+                GridMMNavigator(cfg.model), cfg.shapes,
+                jax.random.PRNGKey(0)))
+        save_checkpoint(
+            os.path.join(ckpt_root, "navigator_latest"),
+            pretrain_params_to_navigator(state.params, nav_template[0]))
+
     accum = max(args.accum_steps, 1)
     if accum > 1:
         from gridmm_tpu.train.pretrain import make_pretrain_accum_step
@@ -397,26 +434,36 @@ def main(argv=None):
     stream = prefetched_task_batches(mux, batcher, args.steps * accum)
     window: list = []
     it = 0
-    for task, batch in stream:
-        window.append((task, batch))
-        if len(window) < accum:
-            continue
-        assert all(t == task for t, _ in window), \
-            "task changed inside an accumulation window"
-        if accum == 1:
-            state, metrics = steps[task](state, batch, rng)
-        else:
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *[b for _, b in window])
-            state, metrics = steps[task](state, stacked, rng)
-        window = []
-        it += 1
-        logger.log(it, {k: float(v) for k, v in metrics.items()},
-                   prefix="pretrain/")
-        if it % args.valid_every == 0 or it == args.steps:
-            acc = validate(model, state.params, val_by_task)
-            logger.log(it, acc, prefix="valid/")
-            print(json.dumps({"step": it, **acc}))
+    try:
+        for task, batch in stream:
+            window.append((task, batch))
+            if len(window) < accum:
+                continue
+            assert all(t == task for t, _ in window), \
+                "task changed inside an accumulation window"
+            if accum == 1:
+                state, metrics = steps[task](state, batch, rng)
+            else:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *[b for _, b in window])
+                state, metrics = steps[task](state, stacked, rng)
+            window = []
+            it += 1
+            logger.log(it, {k: float(v) for k, v in metrics.items()},
+                       prefix="pretrain/")
+            if args.save_every and it % args.save_every == 0:
+                _save(state, f"step_{int(state.step)}")
+                _save(state, "latest")
+            if it % args.valid_every == 0 or it == args.steps:
+                acc = validate(model, state.params, val_by_task)
+                logger.log(it, acc, prefix="valid/")
+                print(json.dumps({"step": it, **acc}))
+    except BaseException:
+        # interrupted: park a resumable checkpoint before propagating
+        # (mirrors train/loop.py's interrupt-safe latest)
+        _save(state, "latest")
+        raise
+    _save(state, "latest")
     return state
 
 

@@ -355,6 +355,51 @@ def require_navigator_coverage(report: Dict[str, List[str]],
             f"{report['unused_torch_keys'][:8]}")
 
 
+def _intersect_with_template(src: dict, template: dict, path: str = ""):
+    """Project ``src`` onto ``template``'s tree structure.
+
+    Every template leaf MUST exist in src (missing leaves raise — partial
+    fine-tune initialization would be silent corruption); src-only subtrees
+    are dropped."""
+    out = {}
+    for k, v in template.items():
+        here = f"{path}/{k}" if path else k
+        if k not in src:
+            raise ValueError(f"pretrain tree is missing navigator leaf "
+                             f"'{here}' (have: {sorted(src)[:8]})")
+        out[k] = (_intersect_with_template(src[k], v, here)
+                  if isinstance(v, dict) else src[k])
+    return out
+
+
+def pretrain_params_to_navigator(pretrain_params: dict,
+                                 navigator_template: dict = None) -> dict:
+    """NATIVE pretrain checkpoint -> fine-tune navigator params.
+
+    GridMMPretrain scopes the complete navigator trunk+heads under 'bert'
+    (models/pretrain.py); the pretrain-only heads (mlm_head,
+    image_classifier, obj head) live beside it and are dropped — the native
+    equivalent of the torch remap at map_nav_src/models/vlnbert_init.py:19-27
+    (strip 'bert.', drop prediction heads).
+
+    The pretrain 'bert' scope is a strict SUPERSET of the fine-tune tree:
+    MLM traces ``local_encoder.lang2visn``, materializing language-branch
+    params (``lang_self_att``/``lang_ffn``) that navigation never creates.
+    Pass ``navigator_template`` (an ``init_navigator`` tree) to project onto
+    exactly the fine-tune structure so a strict orbax restore accepts it;
+    any template leaf absent from the pretrain tree raises."""
+    inner = pretrain_params.get("params", pretrain_params)
+    if "bert" not in inner:
+        raise ValueError(
+            f"not a pretrain param tree (no 'bert' scope): "
+            f"{sorted(inner)[:6]}")
+    out = inner["bert"]
+    if navigator_template is not None:
+        tpl = navigator_template.get("params", navigator_template)
+        out = _intersect_with_template(out, tpl, "params")
+    return {"params": out}
+
+
 def _leaf_paths(tree, prefix=""):
     out = []
     for k, v in tree.items():

@@ -35,6 +35,37 @@ def test_optimizer_zoo_builds_and_steps():
         assert jnp.isfinite(new["w"]).all(), name
 
 
+def test_lookahead_matches_reference_recursion():
+    """Golden: lookahead(sgd) vs a numpy transcription of
+    pretrain_src/optim/lookahead.py:29-52 (every k fast steps:
+    slow += alpha*(fast-slow); fast = slow)."""
+    import optax
+
+    from gridmm_tpu.train.optimizers import lookahead
+
+    lr, alpha, k = 0.1, 0.5, 2
+    tx = lookahead(optax.sgd(lr), sync_period=k, slow_step_size=alpha)
+    params = {"w": jnp.arange(4, dtype=jnp.float32)}
+    state = tx.init(params)
+
+    fast = np.arange(4, dtype=np.float32)
+    slow = fast.copy()
+    rng = np.random.default_rng(0)
+    for step in range(1, 7):
+        g = rng.normal(size=4).astype(np.float32)
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+        # reference recursion
+        fast = fast - lr * g
+        if step % k == 0:
+            slow = slow + alpha * (fast - slow)
+            fast = slow.copy()
+        np.testing.assert_allclose(np.asarray(params["w"]), fast,
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(state.slow["w"]), slow,
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_multihost_single_host_paths():
     from gridmm_tpu.parallel.multihost import (all_mean_scalars,
                                                merge_prediction_lists)
