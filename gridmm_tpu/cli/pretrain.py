@@ -52,6 +52,14 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--num_traj_steps", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", choices=["off", "auto"], default="off",
+                   help="auto = shard the update over all visible devices "
+                        "(batch over `data`, params by the TP/FSDP rules) — "
+                        "the reference's torch.distributed.launch 3-GPU DDP "
+                        "(pretrain_src/train_r2r.py:70-110) without a "
+                        "launcher")
+    p.add_argument("--mp_size", type=int, default=1,
+                   help="model-parallel axis size within --mesh auto")
     p.add_argument("--output_dir", default="runs/pretrain")
     p.add_argument("--preset", default=None,
                    choices=["tiny", "r2r", "reverie", "soon", "rxr"],
@@ -189,11 +197,14 @@ class DatasetBatcher:
         return self.ds.build_batch(self._next_indices(), task)
 
 
-def prefetched_task_batches(mux, batcher, steps: int, size: int = 2):
+def prefetched_task_batches(mux, batcher, steps: int, size: int = 2,
+                            shardings=None):
     """Overlap host batch collation (TextPathDataset expansion is host
     python) + device staging with device compute — the PrefetchLoader
     equivalent (pretrain_src/data/loader.py:90-124) for the task-multiplexed
-    stream. Yields (task, device_batch) `steps` times."""
+    stream. Yields (task, device_batch) `steps` times. `shardings` (a
+    NamedSharding tree matching the batch) stages each batch sharded over
+    the mesh's data axis instead of on the default device."""
     import queue
     import threading
 
@@ -220,7 +231,8 @@ def prefetched_task_batches(mux, batcher, steps: int, size: int = 2):
                 if stop.is_set():
                     return
                 task = next(mux)
-                if not _put((task, jax.device_put(batcher.batch(task)))):
+                staged = jax.device_put(batcher.batch(task), shardings)
+                if not _put((task, staged)):
                     return
         except Exception as e:
             err.append(e)
@@ -387,6 +399,25 @@ def main(argv=None):
         cfg.train.lr, min(cfg.train.warmup_steps, max(args.steps // 10, 1)),
         max(cfg.train.num_train_steps, args.steps))
     tx = build_optimizer("adamw", cfg.train, sched)
+
+    mesh = None
+    batch_sh = None
+    if args.mesh == "auto":
+        from gridmm_tpu.config import MeshConfig
+        from gridmm_tpu.parallel.mesh import (batch_shardings, make_mesh,
+                                              param_shardings)
+
+        mesh = make_mesh(MeshConfig(mp_size=args.mp_size))
+        dp = mesh.shape["data"]
+        if args.batch_size % dp:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} not divisible by the "
+                f"data-parallel axis ({dp})")
+        # shard params BEFORE building optimizer state: optax init mirrors
+        # the param shardings (zeros_like keeps them), same as train/loop.py
+        params = jax.device_put(params, param_shardings(params, mesh))
+        batch_sh = batch_shardings(init_batch, mesh)
+        print(f"mesh: data={dp} model={args.mp_size}")
     state = create_train_state(cfg, params, tx)
     import os
 
@@ -431,7 +462,13 @@ def main(argv=None):
 
     # --steps counts OPTIMIZER steps; each consumes `accum` microbatches of
     # the same (held) task
-    stream = prefetched_task_batches(mux, batcher, args.steps * accum)
+    stream = prefetched_task_batches(mux, batcher, args.steps * accum,
+                                     shardings=batch_sh)
+    stacked_sh = None
+    if mesh is not None and accum > 1:
+        # stacked microbatches: (accum, B, ...) — batch dim moves to 1
+        from gridmm_tpu.parallel.mesh import batch_shardings as _bs
+        stacked_sh = _bs(init_batch, mesh, batch_dim=1)
     window: list = []
     it = 0
     try:
@@ -446,6 +483,10 @@ def main(argv=None):
             else:
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(xs), *[b for _, b in window])
+                if stacked_sh is not None:
+                    # pin the (accum, B, ...) stack to P(None, "data") —
+                    # eager-stack sharding propagation isn't guaranteed
+                    stacked = jax.device_put(stacked, stacked_sh)
                 state, metrics = steps[task](state, stacked, rng)
             window = []
             it += 1

@@ -171,3 +171,28 @@ def test_validate_batch_count_invariant():
         for k in a:
             np.testing.assert_allclose(a[k], b[k], atol=1e-12,
                                        err_msg=f"{task}/{k}")
+
+
+@pytest.mark.slow
+def test_pretrain_cli_mesh(tmp_path):
+    """--mesh auto shards the pretrain update over the 8-device CPU mesh:
+    batch over `data`, params by the TP rules (mp=2), accum window stacked
+    at P(None, 'data') — the reference's 3-GPU DDP pretrain
+    (pretrain_src/train_r2r.py:70-110) as one SPMD program."""
+    from gridmm_tpu.cli.pretrain import main as pretrain_main
+
+    state = pretrain_main([
+        "--steps", "2", "--valid_every", "2", "--batch_size", "8",
+        "--num_traj_steps", "2", "--accum_steps", "2",
+        "--mesh", "auto", "--mp_size", "2",
+        "--output_dir", str(tmp_path)])
+    assert int(state.step) == 2
+    flat = jax.tree_util.tree_leaves_with_path(state.params)
+    ffn = [(p, l) for p, l in flat
+           if "intermediate_dense" in "/".join(
+               str(getattr(k, "key", k)) for k in p) and l.ndim == 2]
+    assert ffn, "no FFN kernels found"
+    path, leaf = ffn[0]
+    assert not leaf.sharding.is_fully_replicated, path
+    assert len(leaf.sharding.device_set) == 8
+    assert np.isfinite(jax.tree_util.tree_leaves(state.params)[0]).all()
