@@ -433,7 +433,11 @@ class CEAgent:
                 rel = heading_c - ob.heading
                 vp_pos_fts[i, j + 1, af + 3: 2 * af + 3] = angle_features(
                     rel, 0.0, af)
+                # cur_cand_pos_fts dist triple [d/MAX_DIST, d/MAX_DIST,
+                # 1/MAX_STEP] (Policy:576-584)
                 vp_pos_fts[i, j + 1, 2 * af + 3] = dist_c / gc.max_dist
+                vp_pos_fts[i, j + 1, 2 * af + 4] = dist_c / gc.max_dist
+                vp_pos_fts[i, j + 1, 2 * af + 5] = 1.0 / gc.pos_step_norm
 
         ig = np.full((b,), self.cfg.train.ignoreid, np.int32)
         return StepInputs(

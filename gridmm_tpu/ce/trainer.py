@@ -298,7 +298,10 @@ def evaluate_checkpoints_polling(trainer: CETrainer, env: ContinuousEnv,
                                  ckpt_dir: str, batches: int = 1,
                                  max_steps: int = 6,
                                  poll_seconds: float = 2.0,
-                                 timeout_seconds: float = 0.0
+                                 timeout_seconds: float = 0.0,
+                                 results_dir: Optional[str] = None,
+                                 split: str = "val_unseen",
+                                 video_dir: Optional[str] = None
                                  ) -> List[Dict[str, float]]:
     """Evaluate checkpoints as they appear in ckpt_dir
     (base_il_trainer.eval(), :896-912: sleep-and-poll loop). Stops once no
@@ -320,7 +323,12 @@ def evaluate_checkpoints_polling(trainer: CETrainer, env: ContinuousEnv,
         prev += 1
         trainer.agent.nav_params = restore_checkpoint(
             os.path.abspath(ckpt), trainer.agent.nav_params)
-        metrics = trainer.evaluate(env, batches=batches, max_steps=max_steps)
+        # stats/video files are named per checkpoint ordinal so successive
+        # evals never overwrite each other (base_il_trainer names by index)
+        metrics = trainer.evaluate(env, batches=batches, max_steps=max_steps,
+                                   results_dir=results_dir,
+                                   checkpoint_index=prev, split=split,
+                                   video_dir=video_dir)
         metrics["checkpoint"] = ckpt
         results.append(metrics)
         deadline = time.monotonic() + timeout_seconds

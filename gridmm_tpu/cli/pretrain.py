@@ -432,8 +432,10 @@ def main(argv=None):
     ckpt_root = os.path.abspath(os.path.join(args.output_dir, "ckpts"))
     nav_template: list = []  # built lazily on first save (one init trace)
 
-    def _save(state, tag: str) -> None:
+    def _save(state, tag: str, nav: bool = True) -> None:
         save_checkpoint(os.path.join(ckpt_root, tag), state)
+        if not nav:
+            return
         # fine-tune handoff flavor: main_nav --resume <dir>/navigator_latest.
         # Projected onto the fine-tune tree (the pretrain 'bert' scope also
         # carries MLM-only lang-branch params a strict restore would reject).
@@ -493,7 +495,9 @@ def main(argv=None):
             logger.log(it, {k: float(v) for k, v in metrics.items()},
                        prefix="pretrain/")
             if args.save_every and it % args.save_every == 0:
-                _save(state, f"step_{int(state.step)}")
+                # navigator export once per cadence (with 'latest'); the
+                # step_N dir is a resume point only
+                _save(state, f"step_{int(state.step)}", nav=False)
                 _save(state, "latest")
             if it % args.valid_every == 0 or it == args.steps:
                 acc = validate(model, state.params, val_by_task)
@@ -501,8 +505,14 @@ def main(argv=None):
                 print(json.dumps({"step": it, **acc}))
     except BaseException:
         # interrupted: park a resumable checkpoint before propagating
-        # (mirrors train/loop.py's interrupt-safe latest)
-        _save(state, "latest")
+        # (mirrors train/loop.py's interrupt-safe latest) — but only if this
+        # run actually stepped; a crash during the first compile must not
+        # overwrite a previous run's trained 'latest' with fresh init
+        if it > 0:
+            try:
+                _save(state, "latest")
+            except Exception as save_err:  # don't mask the original error
+                print(f"interrupt-save failed: {save_err!r}", flush=True)
         raise
     _save(state, "latest")
     return state

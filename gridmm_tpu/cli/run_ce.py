@@ -58,6 +58,12 @@ def parse_args(argv=None):
                    help="eval: write one episode video here per episode "
                         "(base_il_trainer.py:631-644)")
     p.add_argument("--eval_split", default="val_unseen")
+    p.add_argument("--checkpoint_index", type=int, default=0,
+                   help="names the eval stats/video files (the reference "
+                        "keys them by checkpoint index so evals of several "
+                        "checkpoints into one --results_dir don't clobber "
+                        "each other); the polling mode numbers checkpoints "
+                        "automatically")
     # released-weights set (base_il_trainer.py:80-117 + vlnbert_init.py:11-65)
     p.add_argument("--waypoint_ckpt", default=None)
     p.add_argument("--navigator_ckpt", default=None,
@@ -132,11 +138,14 @@ def main(argv=None):
 
         results = evaluate_checkpoints_polling(
             trainer, env, args.poll_ckpt_dir, batches=1,
-            max_steps=args.max_steps, timeout_seconds=args.poll_timeout)
+            max_steps=args.max_steps, timeout_seconds=args.poll_timeout,
+            results_dir=args.results_dir, split=args.eval_split,
+            video_dir=args.video_dir)
         print(json.dumps({"polled": results}))
         return results[-1] if results else {}
     metrics = trainer.evaluate(env, batches=1, max_steps=args.max_steps,
                                results_dir=args.results_dir,
+                               checkpoint_index=args.checkpoint_index,
                                split=args.eval_split,
                                video_dir=args.video_dir)
     print(json.dumps({"eval": metrics}))

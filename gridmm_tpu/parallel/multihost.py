@@ -83,8 +83,13 @@ def weighted_mean_scalars(values: Dict[str, float],
     from jax.experimental import multihost_utils
 
     keys = sorted(values)
-    arr = np.asarray([weight] + [values[k] * weight for k in keys],
-                     np.float64)
+    if weight <= 0.0:
+        # empty shard (fewer val scenes than hosts): its metrics are
+        # np.mean([]) = NaN and NaN * 0.0 would poison every rank's sums
+        arr = np.zeros(1 + len(keys), np.float64)
+    else:
+        arr = np.asarray([weight] + [values[k] * weight for k in keys],
+                         np.float64)
     gathered = np.asarray(multihost_utils.process_allgather(
         arr, tiled=False)).reshape(jax.process_count(), -1)
     total_w = max(gathered[:, 0].sum(), 1e-12)

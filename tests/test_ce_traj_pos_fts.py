@@ -165,3 +165,10 @@ def test_build_step_fills_visited_and_start_fts():
         np.testing.assert_allclose(vp[i, 0, af + 2],
                                    2.0 / cfg.grid.pos_step_norm)
         assert vp[i, 0, af] > 0.0  # moved away from start
+        # candidate rows carry cur_cand_pos_fts' full dist triple
+        # [d/MAX_DIST, d/MAX_DIST, 1/MAX_STEP] (Policy:576-584)
+        d = cands[i][0][1] / cfg.grid.max_dist
+        np.testing.assert_allclose(vp[i, 1, 2 * af + 3], d)
+        np.testing.assert_allclose(vp[i, 1, 2 * af + 4], d)
+        np.testing.assert_allclose(vp[i, 1, 2 * af + 5],
+                                   1.0 / cfg.grid.pos_step_norm)

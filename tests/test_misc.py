@@ -75,6 +75,29 @@ def test_multihost_single_host_paths():
     assert all_mean_scalars({"x": 1.0}) == {"x": 1.0}
 
 
+def test_weighted_mean_zero_weight_rank(monkeypatch):
+    """A rank with an empty eval shard (NaN metrics, weight 0) must not
+    poison the aggregated mean with NaN on any rank."""
+    from jax.experimental import multihost_utils
+
+    from gridmm_tpu.parallel import multihost
+
+    rank_arrays = []
+
+    def fake_allgather(arr, tiled=False):
+        rank_arrays.append(np.asarray(arr))
+        # simulate the peer rank: weight 2.0, spl 0.5 -> [2.0, 1.0]
+        return np.stack([rank_arrays[-1], np.asarray([2.0, 1.0])])
+
+    monkeypatch.setattr(multihost.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+    out = multihost.weighted_mean_scalars({"spl": float("nan")}, 0.0)
+    assert np.isfinite(out["spl"]) and out["spl"] == 0.5
+    # and the NaN-free weighted path still averages correctly
+    out = multihost.weighted_mean_scalars({"spl": 1.0}, 2.0)
+    assert out["spl"] == 0.75
+
+
 def test_bf16_compute_path():
     from gridmm_tpu.models.navigator import (GridMMNavigator, dummy_batches,
                                              init_navigator)
