@@ -1,0 +1,57 @@
+"""Per-step latency of the full-scale continuous-env (VLN-CE) policy.
+
+Times complete `CEAgent.rollout` steps on the real device — per step that is
+the four jitted graphs (ResNet50+ddppo waypoint towers + TRM + NMS, CLIP
+ViT-B/32 grid tokens, optional timm ViT-B/16 view cls, navigation forward)
+plus the host-side NMS thresholding / index-map assembly, i.e. the number a
+VLN-CE user actually experiences per action. The reference publishes no
+step-latency figure (ss_trainer_GridMap.py drives the same stack per step).
+
+Through the tunneled dev chip every dispatch carries a ~10-30 ms RPC floor;
+whole-rollout timing amortizes it across the episode's steps the same way the
+reference's episode loop would.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", type=int, nargs="+", default=[1, 4])
+    p.add_argument("--steps", type=int, default=6)
+    p.add_argument("--rounds", type=int, default=5)
+    p.add_argument("--view_tower", action="store_true",
+                   help="include the timm ViT-B/16 view encoder")
+    args = p.parse_args()
+
+    from gridmm_tpu.ce.env import SyntheticContinuousEnv
+    from gridmm_tpu.ce.factory import build_ce_agent
+
+    _, agent = build_ce_agent(tiny=False, view_tower=args.view_tower,
+                              img=224)
+    for b in args.batches:
+        env = SyntheticContinuousEnv(num_envs=b, image_size=224,
+                                     depth_size=256, seed=0)
+        agent.rollout(env, max_steps=args.steps, feedback="argmax")  # compile
+        per_step = []
+        for _ in range(args.rounds):
+            steps = []
+            t0 = time.perf_counter()
+            agent.rollout(env, max_steps=args.steps, feedback="argmax",
+                          on_step=lambda t, obs: steps.append(t))
+            # an episode that stops after k hook calls ran k policy steps
+            per_step.append(
+                (time.perf_counter() - t0) * 1e3 / max(len(steps), 1))
+        lat = float(np.percentile(per_step, 50))
+        print(f"batch={b}: p50 step={lat:.1f} ms  "
+              f"({12 * b * 1e3 / lat:.0f} frames/s)")
+
+
+if __name__ == "__main__":
+    main()

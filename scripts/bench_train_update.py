@@ -17,7 +17,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def run_one(use_pallas: bool, b: int, steps: int = 15) -> None:
+def run_one(use_pallas: bool, b: int, steps: int = 15,
+            compute_dtype: str = "float32") -> None:
     from gridmm_tpu.config import r2r_config
     from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
     from gridmm_tpu.train.step import create_train_state, make_train_step
@@ -27,7 +28,8 @@ def run_one(use_pallas: bool, b: int, steps: int = 15) -> None:
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model,
-                                  use_pallas_grid_pool=use_pallas),
+                                  use_pallas_grid_pool=use_pallas,
+                                  compute_dtype=compute_dtype),
         train=dataclasses.replace(cfg.train, batch_size=b,
                                   max_action_len=steps))
     model = GridMMNavigator(cfg.model)
@@ -46,19 +48,31 @@ def run_one(use_pallas: bool, b: int, steps: int = 15) -> None:
         state, m = step(state, batch, rng)
     _ = float(m["loss"])  # single hard sync after the queue drains
     dt = (time.perf_counter() - t0) / iters
-    print(f"pallas_pool={use_pallas} B={b}: {dt*1e3:.1f} ms/update  "
-          f"{b/dt:.1f} eps/s", flush=True)
+    print(f"pallas_pool={use_pallas} dtype={compute_dtype} B={b}: "
+          f"{dt*1e3:.1f} ms/update  {b/dt:.1f} eps/s", flush=True)
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--dtypes", nargs="+", default=["float32"],
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32])
+    p.add_argument("--pallas", action="store_true",
+                   help="also sweep the Pallas pool variant")
+    args = p.parse_args()
+
     print(f"devices: {jax.devices()}", flush=True)
-    for use_pallas in (False, True):
-        for b in (8, 16, 32):
-            try:
-                run_one(use_pallas, b)
-            except Exception:
-                print(f"pallas_pool={use_pallas} B={b}: FAILED", flush=True)
-                traceback.print_exc()
+    for use_pallas in ((False, True) if args.pallas else (False,)):
+        for dtype in args.dtypes:
+            for b in args.batches:
+                try:
+                    run_one(use_pallas, b, compute_dtype=dtype)
+                except Exception:
+                    print(f"pallas_pool={use_pallas} dtype={dtype} B={b}: "
+                          f"FAILED", flush=True)
+                    traceback.print_exc()
 
 
 if __name__ == "__main__":

@@ -10,11 +10,26 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from __graft_entry__ import _tiny_config, dryrun_multichip  # noqa: E402
+from __graft_entry__ import dryrun_multichip  # noqa: E402
 from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator  # noqa: E402
 from gridmm_tpu.train.step import (create_train_state, make_train_step,  # noqa: E402
                                    trajectory_loss)
 from gridmm_tpu.train.synthetic import synthetic_trajectory_batch  # noqa: E402
+
+
+def _tiny_config(max_points: int = 1176):
+    from gridmm_tpu.config import (GridConfig, GridMMConfig, MeshConfig,
+                                   ModelConfig, NavigatorShapes, TrainConfig)
+
+    model = ModelConfig(
+        vocab_size=512, hidden_size=128, num_attention_heads=4,
+        intermediate_size=256, num_l_layers=2, num_x_layers=2,
+        num_pano_layers=1, image_feat_size=128, max_position_embeddings=128)
+    grid = GridConfig(feature_dim=128, max_steps=2)
+    shapes = NavigatorShapes(
+        max_txt_len=16, max_gmap_len=8, max_vp_len=12, max_points=max_points)
+    return GridMMConfig(model=model, grid=grid, shapes=shapes,
+                        mesh=MeshConfig(), train=TrainConfig(batch_size=8))
 
 
 @pytest.mark.slow
