@@ -67,6 +67,9 @@ def parse_args(argv=None):
                         "reference's torch.distributed.launch DDP")
     p.add_argument("--mp_size", type=int, default=1,
                    help="model-parallel axis size within --mesh auto")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 activations/matmuls (params, logits, loss "
+                        "and gmap accumulators stay f32)")
     p.add_argument("--scan_buckets", default=None,
                    help="comma-separated episode-length buckets (e.g. "
                         "'6,10,15'); short episodes pad to the smallest "
@@ -246,6 +249,10 @@ def main(argv=None):
             cfg.train, batch_size=args.batch_size, iters=args.iters,
             log_every=args.log_every, dagger_sum=args.dagger_sum,
             scan_buckets=buckets))
+    if args.bf16:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           compute_dtype="bfloat16"))
 
     if args.world == "synthetic":
         train_env, val_env = build_synthetic(args, cfg)

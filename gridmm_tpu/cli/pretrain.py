@@ -87,6 +87,9 @@ def parse_args(argv=None):
                    help="EnvEdit aug_views.hdf5; train views swapped with "
                         "p=0.5 (SoonTextPathData.get_scanvp_feature "
                         "is_train branch, dataset.py:856-864)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 activations/matmuls (params, head logits "
+                        "and losses stay f32)")
     return p.parse_args(argv)
 
 
@@ -109,6 +112,10 @@ def _resolve_config(args):
             model=dataclasses.replace(cfg.model,
                                       obj_feat_size=cfg.model.image_feat_size),
             shapes=dataclasses.replace(cfg.shapes, max_obj_len=20))
+    if args.bf16:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           compute_dtype="bfloat16"))
     return cfg
 
 

@@ -48,6 +48,25 @@ def test_gradients_finite():
     assert nonzero > len(leaves) * 0.8
 
 
+@pytest.mark.slow
+def test_bf16_train_step_gradients_finite():
+    """--bf16 path: bf16 activations, f32 params/grads, finite + nonzero."""
+    import dataclasses
+    cfg = _tiny_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"))
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    batch = synthetic_trajectory_batch(cfg, batch=2, num_steps=2)
+    loss, grads = jax.value_and_grad(
+        lambda p: trajectory_loss(model, cfg, p, batch))(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(g.dtype == jnp.float32 for g in leaves)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+    assert sum(bool(jnp.any(g != 0)) for g in leaves) > len(leaves) * 0.8
+
+
 def test_loss_decreases_under_training():
     import dataclasses
     cfg = _tiny_config()
