@@ -11,8 +11,10 @@ Policy_ViewSelection_GridMap.py modes): per step
   4. move via env.step_to; teacher = candidate minimizing the oracle
      cand_dist_to_goal (ss_trainer:288-328).
 
-Everything tensor-shaped runs in three jitted graphs (waypoint, clip+project,
-nav step); the host only thresholds the NMS output and builds index maps.
+Everything tensor-shaped runs in two jitted graphs (one fused perception
+dispatch: waypoint towers + NMS + CLIP grid tokens + optional timm view cls;
+one navigation step); the host only thresholds the NMS output and builds
+index maps. CLIP patch tokens stay device-resident end to end.
 """
 
 from __future__ import annotations
@@ -146,10 +148,7 @@ class CEAgent:
         self._jit_nav = jax.jit(
             lambda p, txt, mask, carry, x: nav_device_step(
                 navigator, cfg, p, txt, mask, carry, x))
-        self._jit_waypoint = jax.jit(self._waypoint_impl)
-        self._jit_grid_fts = jax.jit(self._grid_fts_impl)
-        self._jit_view_fts = (jax.jit(self._view_fts_impl)
-                              if view_encoder is not None else None)
+        self._jit_perception = jax.jit(self._perception_impl)
 
     # ------------------------------------------------------------- device fns
     def _waypoint_impl(self, wp_params, rgb_params, depth_params, rgb, depth):
@@ -166,11 +165,34 @@ class CEAgent:
         return waypoint_nms(probs, max_predictions=self.max_candidates,
                             sigma=(7.0, 5.0)), probs
 
+    def _perception_impl(self, wp_params, rgb_params, depth_params,
+                         clip_params, view_params, rgb, depth):
+        """All per-step perception in ONE dispatch: waypoint towers + NMS,
+        CLIP grid tokens, optional timm view cls. One compiled graph means
+        one host round trip per step instead of three and lets XLA overlap
+        the independent towers."""
+        nms_maps, probs = self._waypoint_impl(wp_params, rgb_params,
+                                              depth_params, rgb, depth)
+        patch, view_cls = self._grid_fts_impl(clip_params, rgb)
+        view_feats = (self._view_fts_impl(view_params, rgb)
+                      if self.view_encoder is not None else None)
+        return nms_maps, probs, patch, view_cls, view_feats
+
     def _grid_fts_impl(self, clip_params, rgb):
-        """(B,12,H,W,3) u8 -> (B, 12, tokens, width) CLIP tokens."""
+        """(B,12,H,W,3) u8 -> (patch_fts (B, 12*(T-1), d) f32 device-resident,
+        view_cls (B, 12, d) f32).
+
+        The patch tokens feed the point buffer verbatim, so they are sliced,
+        reshaped and cast on device and never pulled to the host (at B=4 the
+        old host round trip moved ~14 MB/step through the transfer path);
+        only the 12 cls rows (for panorama view features) come back."""
+        d = self.cfg.model.image_feat_size
+        b, v = rgb.shape[0], rgb.shape[1]
         flat = rgb.reshape((-1,) + rgb.shape[2:])
         toks = self.clip.apply(clip_params, normalize_images(flat))
-        return toks.reshape(rgb.shape[0], rgb.shape[1], *toks.shape[1:])
+        toks = toks.reshape(b, v, *toks.shape[1:])
+        patch = toks[:, :, 1:, :d].astype(jnp.float32).reshape(b, -1, d)
+        return patch, toks[:, :, 0, :d].astype(jnp.float32)
 
     def _view_fts_impl(self, view_params, rgb):
         """(B,12,H,W,3) u8 -> (B, 12, width) timm-ViT cls features
@@ -256,15 +278,14 @@ class CEAgent:
                 on_step(t, obs)
             rgb = jnp.asarray(np.stack([ob.rgb for ob in obs]))
             depth = jnp.asarray(np.stack([ob.depth for ob in obs]))
-            nms_maps, _probs = self._jit_waypoint(
-                self.wp_params, self.rgb_params, self.depth_params, rgb,
-                depth)
+            nms_maps, _probs, patch_dev, view_cls, view_feats = \
+                self._jit_perception(self.wp_params, self.rgb_params,
+                                     self.depth_params, self.clip_params,
+                                     self.view_params, rgb, depth)
             nms_maps = np.asarray(nms_maps)
-            clip_toks = np.asarray(
-                self._jit_grid_fts(self.clip_params, rgb))  # (B,12,T,W)
-            view_feats = (np.asarray(
-                self._jit_view_fts(self.view_params, rgb))
-                if self._jit_view_fts is not None else None)
+            view_cls = np.asarray(view_cls)  # (B,12,d); patches stay on device
+            view_feats = (np.asarray(view_feats)
+                          if view_feats is not None else None)
 
             cand_lists = [
                 self.candidates_from_nms(nms_maps[i], obs[i].heading,
@@ -273,10 +294,11 @@ class CEAgent:
             ]
 
             x, cur_slots = self._build_step(
-                obs, cand_lists, clip_toks, centers, next_slot, t,
+                obs, cand_lists, view_cls, centers, next_slot, t,
                 view_feats=view_feats)
             targets = self._teacher(env, obs, cand_lists, ended)
-            x = x._replace(target=targets.astype(np.int32))
+            x = x._replace(target=targets.astype(np.int32),
+                           patch_fts=patch_dev)
 
             carry, out = self._jit_nav(
                 self.nav_params, txt_embeds, jnp.asarray(txt_mask), carry,
@@ -307,9 +329,13 @@ class CEAgent:
                    for i in range(b)]
         return metrics
 
-    def _build_step(self, obs: List[CEStepObs], cand_lists, clip_toks,
+    def _build_step(self, obs: List[CEStepObs], cand_lists, view_cls,
                     centers, next_slot, t,
                     view_feats=None) -> Tuple[StepInputs, np.ndarray]:
+        """Assemble host-side StepInputs. view_cls is (B, 12, d) per-view cls
+        features; the returned patch_fts field is a zero placeholder — the
+        caller replaces it with the device-resident patch tokens from
+        _grid_fts_impl."""
         cfg = self.cfg
         sh, gc = cfg.shapes, cfg.grid
         b = len(obs)
@@ -352,14 +378,14 @@ class CEAgent:
             cands = cand_lists[i]
             # panorama tokens: one feature per view, candidates first — timm
             # ViT cls when a view tower is configured, CLIP cls otherwise
-            view_cls = (view_feats[i][:, :d] if view_feats is not None
-                        else clip_toks[i, :, 0, :d])  # (12, d)
+            view_cls_i = (view_feats[i][:, :d] if view_feats is not None
+                          else view_cls[i])  # (12, d)
             k = 0
             for heading_c, dist_c, _score in cands:
                 rel = heading_c - ob.heading
                 img_idx = int(round((rel % (2 * math.pi)) /
                                     (2 * math.pi / 12))) % 12
-                view_img_fts[i, k] = view_cls[img_idx]
+                view_img_fts[i, k] = view_cls_i[img_idx]
                 loc_fts[i, k, :af] = angle_features(rel, 0.0, af)
                 loc_fts[i, k, af:] = 1.0
                 nav_types[i, k] = 1
@@ -367,7 +393,7 @@ class CEAgent:
             for ix in range(12):
                 if k >= vm1:
                     break
-                view_img_fts[i, k] = view_cls[ix]
+                view_img_fts[i, k] = view_cls_i[ix]
                 loc_fts[i, k, :af] = angle_features(
                     ix * 2 * math.pi / 12, 0.0, af)
                 loc_fts[i, k, af:] = 1.0
@@ -376,7 +402,6 @@ class CEAgent:
 
             dm = ob.depth[:, centers][:, :, centers]
             depth_p[i] = dm.reshape(gc.num_views, gc.patches_per_view)
-            patch_fts[i] = clip_toks[i, :, 1:, :d].reshape(-1, d)
             pos_xy[i] = ob.position
             heading[i] = ob.heading
 

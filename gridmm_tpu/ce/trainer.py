@@ -98,22 +98,28 @@ class CETrainer:
             for t in range(max_steps):
                 rgb = jnp.asarray(np.stack([ob.rgb for ob in obs]))
                 depth = jnp.asarray(np.stack([ob.depth for ob in obs]))
-                nms_maps, probs = agent._jit_waypoint(
-                    agent.wp_params, agent.rgb_params, agent.depth_params,
-                    rgb, depth)
+                nms_maps, probs, patch_dev, view_cls, view_feats = \
+                    agent._jit_perception(
+                        agent.wp_params, agent.rgb_params, agent.depth_params,
+                        agent.clip_params, agent.view_params, rgb, depth)
                 nms_maps, probs = np.asarray(nms_maps), np.asarray(probs)
-                clip_toks = np.asarray(
-                    agent._jit_grid_fts(agent.clip_params, rgb))
+                view_cls = np.asarray(view_cls)
+                # same view tokens in train as in eval rollout (the reference
+                # runs one policy forward for both; previously a configured
+                # timm view tower was silently unused in training)
+                view_feats = (np.asarray(view_feats)
+                              if view_feats is not None else None)
                 # train-time waypoint sampling augmentation (Policy:393-425)
                 cand_lists = [
                     agent.candidates_from_nms(nms_maps[i], obs[i].heading,
                                               agent.max_candidates,
                                               probs=probs[i], rng=rng)
                     for i in range(b)]
-                x, _ = agent._build_step(obs, cand_lists, clip_toks, centers,
-                                         next_slot, t)
+                x, _ = agent._build_step(obs, cand_lists, view_cls, centers,
+                                         next_slot, t, view_feats=view_feats)
                 targets = agent._teacher(env, obs, cand_lists, ended)
-                x = x._replace(target=targets.astype(np.int32))
+                x = x._replace(target=targets.astype(np.int32),
+                               patch_fts=patch_dev)
                 recorded.append(x)
 
                 carry, out = agent._jit_nav(

@@ -126,16 +126,15 @@ def test_build_step_fills_visited_and_start_fts():
                                  seed=3)
     obs = env.reset()
     centers = np.asarray([19 + 36 * i for i in range(7)])
-    clip_toks = np.zeros(
-        (2, 12, 50, cfg.model.image_feat_size), np.float32)
+    view_cls = np.zeros((2, 12, cfg.model.image_feat_size), np.float32)
     next_slot = np.full((2,), 1, np.int32)
     cands = [[(0.3, 1.0, 0.9)], [(1.0, 2.0, 0.8)]]
 
-    x0, _ = agent._build_step(obs, cands, clip_toks, centers, next_slot, 0)
+    x0, _ = agent._build_step(obs, cands, view_cls, centers, next_slot, 0)
     for i in range(2):
         env.step_to(i, cands[i][0][0], cands[i][0][1])
     obs = env.observations()
-    x1, _ = agent._build_step(obs, cands, clip_toks, centers, next_slot, 1)
+    x1, _ = agent._build_step(obs, cands, view_cls, centers, next_slot, 1)
 
     af = cfg.model.angle_feat_size
     gp = np.asarray(x1.gmap_pos_fts)
