@@ -28,7 +28,7 @@ from gridmm_tpu.utils.logging import MetricLogger
 class CETrainer:
     def __init__(self, cfg: GridMMConfig, agent: CEAgent,
                  schedule_ratio: float = 0.75,
-                 epochs_per_ratio: int = 1):
+                 epochs_per_ratio: int = 1, mesh=None):
         import dataclasses
 
         # CE selects among [stop]+current candidates -> train the local head
@@ -40,7 +40,27 @@ class CETrainer:
         self.agent = agent
         self.schedule_ratio = schedule_ratio
         self.epochs_per_ratio = epochs_per_ratio
+        # mesh: SPMD equivalent of the reference's DDP-wrapped CE trainer
+        # (base_il_trainer.py _init_distributed/DDP): navigator params shard
+        # by the Megatron/TP rules over `model`, the episode batch splits over
+        # `data`, and XLA inserts the gradient all-reduce over ICI. The
+        # perception towers (no TP rules) are replicated so every jitted
+        # input carries an explicit mesh sharding.
+        self.mesh = mesh
+        if mesh is not None:
+            from gridmm_tpu.parallel.mesh import param_shardings, replicated
+
+            agent.nav_params = jax.device_put(
+                agent.nav_params, param_shardings(agent.nav_params, mesh))
+            for name in ("wp_params", "rgb_params", "depth_params",
+                         "clip_params", "view_params"):
+                p = getattr(agent, name)
+                if p is not None:
+                    setattr(agent, name, jax.device_put(
+                        p, replicated(p, mesh)))
         self.tx = make_optimizer(self.cfg)
+        # eager init on sharded params: computation follows data, so the
+        # optimizer state inherits the parameter shardings
         self.opt_state = self.tx.init(agent.nav_params)
 
         from gridmm_tpu.train.step import trajectory_loss
@@ -76,6 +96,16 @@ class CETrainer:
         ratio = self.ss_ratio(epoch)
         losses = []
         agent = self.agent
+        data_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            dp = self.mesh.shape["data"]
+            if env.num_envs % dp != 0:
+                raise ValueError(
+                    f"num_envs {env.num_envs} not divisible by the data-axis "
+                    f"size {dp}")
+            data_sharding = NamedSharding(self.mesh, PartitionSpec("data"))
         for bi in range(batches):
             obs = env.reset()
             b = env.num_envs
@@ -96,8 +126,15 @@ class CETrainer:
             recorded = []
 
             for t in range(max_steps):
-                rgb = jnp.asarray(np.stack([ob.rgb for ob in obs]))
-                depth = jnp.asarray(np.stack([ob.depth for ob in obs]))
+                rgb = np.stack([ob.rgb for ob in obs])
+                depth = np.stack([ob.depth for ob in obs])
+                if data_sharding is not None:
+                    # perception shards over envs: the towers are pure
+                    # batch maps, so GSPMD runs them collective-free
+                    rgb = jax.device_put(rgb, data_sharding)
+                    depth = jax.device_put(depth, data_sharding)
+                else:
+                    rgb, depth = jnp.asarray(rgb), jnp.asarray(depth)
                 nms_maps, probs, patch_dev, view_cls, view_feats = \
                     agent._jit_perception(
                         agent.wp_params, agent.rgb_params, agent.depth_params,
@@ -148,9 +185,16 @@ class CETrainer:
             batch = pad_to_steps(
                 TrajectoryBatch(txt_ids, txt_mask, stacked), max_steps,
                 self.cfg.train.ignoreid)
+            if self.mesh is not None:
+                from gridmm_tpu.parallel.mesh import \
+                    trajectory_batch_shardings
+
+                batch = jax.device_put(
+                    batch, trajectory_batch_shardings(batch, self.mesh))
+            else:
+                batch = jax.tree_util.tree_map(jnp.asarray, batch)
             agent.nav_params, self.opt_state, loss = self._jit_update(
-                agent.nav_params, self.opt_state,
-                jax.tree_util.tree_map(jnp.asarray, batch),
+                agent.nav_params, self.opt_state, batch,
                 jrandom.fold_in(jrng, bi))
             losses.append(float(loss))
             if logger:

@@ -64,6 +64,14 @@ def parse_args(argv=None):
                         "checkpoints into one --results_dir don't clobber "
                         "each other); the polling mode numbers checkpoints "
                         "automatically")
+    p.add_argument("--mesh", choices=["off", "auto"], default="off",
+                   help="train over a device mesh: DP over `data` (+optional "
+                        "TP via --mp_size) — the SPMD equivalent of the "
+                        "reference's DDP CE trainer (base_il_trainer "
+                        "_init_distributed); --num_envs must be divisible by "
+                        "the data-axis size")
+    p.add_argument("--mp_size", type=int, default=1,
+                   help="model-parallel axis size within --mesh auto")
     # released-weights set (base_il_trainer.py:80-117 + vlnbert_init.py:11-65)
     p.add_argument("--waypoint_ckpt", default=None)
     p.add_argument("--navigator_ckpt", default=None,
@@ -112,7 +120,14 @@ def main(argv=None):
         env = SyntheticContinuousEnv(num_envs=args.num_envs,
                                      image_size=224 if args.full else 56,
                                      depth_size=256, seed=args.seed)
-    trainer = CETrainer(cfg, agent)
+    mesh = None
+    if args.mesh == "auto":
+        from gridmm_tpu.config import MeshConfig
+        from gridmm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(MeshConfig(mp_size=args.mp_size))
+        print(f"mesh: data={mesh.shape['data']} model={args.mp_size}")
+    trainer = CETrainer(cfg, agent, mesh=mesh)
     logger = MetricLogger(args.output_dir)
 
     if args.run_type == "inference":
