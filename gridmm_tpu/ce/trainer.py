@@ -62,6 +62,7 @@ class CETrainer:
         # eager init on sharded params: computation follows data, so the
         # optimizer state inherits the parameter shardings
         self.opt_state = self.tx.init(agent.nav_params)
+        self._epoch = 0
 
         from gridmm_tpu.train.step import trajectory_loss
 
@@ -201,6 +202,7 @@ class CETrainer:
                 logger.log(epoch * batches + bi,
                            {"loss": losses[-1], "ss_ratio": ratio},
                            prefix="ce_train/")
+        self._epoch = epoch
         return {"loss": float(np.mean(losses)), "ss_ratio": ratio}
 
     def evaluate(self, env: ContinuousEnv, batches: int = 2,
@@ -267,6 +269,37 @@ class CETrainer:
                     json.dump(agg, f, indent=4)
             avg = agg
         return avg
+
+    # ----------------------------------------------------------- checkpoints
+    def save(self, path: str) -> None:
+        """Write `ckpt.{epoch}`-style training state: navigator params +
+        optimizer state + epoch (ss_trainer_GridMap.py:65-75 save_checkpoint
+        writes state_dict/optim_state/epoch/step_id). Rank-0 only — hosts
+        share the checkpoint dir."""
+        if jax.process_index() != 0:
+            return
+        from gridmm_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(os.path.abspath(path), {
+            "params": self.agent.nav_params,
+            "opt_state": self.opt_state,
+            "epoch": np.asarray(self._epoch, np.int32)})
+
+    def restore(self, path: str) -> int:
+        """Restore full training state saved by `save`; returns the stored
+        epoch (the reference's IL.is_requeue restore,
+        base_il_trainer.py:147-150). Restoring into the current (possibly
+        mesh-sharded) params/opt_state keeps their shardings."""
+        from gridmm_tpu.utils.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(os.path.abspath(path), {
+            "params": self.agent.nav_params,
+            "opt_state": self.opt_state,
+            "epoch": np.asarray(0, np.int32)})
+        self.agent.nav_params = state["params"]
+        self.opt_state = state["opt_state"]
+        self._epoch = int(state["epoch"])
+        return self._epoch
 
     # ------------------------------------------------------------- inference
     def inference(self, env: ContinuousEnv, predictions_file: str,
@@ -371,8 +404,13 @@ def evaluate_checkpoints_polling(trainer: CETrainer, env: ContinuousEnv,
             time.sleep(poll_seconds)
             continue
         prev += 1
-        trainer.agent.nav_params = restore_checkpoint(
-            os.path.abspath(ckpt), trainer.agent.nav_params)
+        try:
+            # full training-state layout written by CETrainer.save
+            trainer.restore(ckpt)
+        except Exception:
+            # bare navigator-params checkpoint (e.g. train/loop.py exports)
+            trainer.agent.nav_params = restore_checkpoint(
+                os.path.abspath(ckpt), trainer.agent.nav_params)
         # stats/video files are named per checkpoint ordinal so successive
         # evals never overwrite each other (base_il_trainer names by index)
         metrics = trainer.evaluate(env, batches=batches, max_steps=max_steps,

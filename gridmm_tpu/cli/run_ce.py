@@ -64,6 +64,18 @@ def parse_args(argv=None):
                         "checkpoints into one --results_dir don't clobber "
                         "each other); the polling mode numbers checkpoints "
                         "automatically")
+    p.add_argument("--ckpt_dir", default=None,
+                   help="train: write ckpt.{epoch} training state here "
+                        "(default <output_dir>/checkpoints; '' disables) — "
+                        "the reference's per-epoch ckpt.{epoch}.pth "
+                        "(ss_trainer_GridMap.py:65-75)")
+    p.add_argument("--save_every", type=int, default=1,
+                   help="train: checkpoint every N epochs (last epoch "
+                        "always saved)")
+    p.add_argument("--resume", action="store_true",
+                   help="train: restore the newest ckpt.{N} in --ckpt_dir "
+                        "(params + optimizer + epoch) and continue — "
+                        "IL.is_requeue semantics (base_il_trainer.py:147-150)")
     p.add_argument("--mesh", choices=["off", "auto"], default="off",
                    help="train over a device mesh: DP over `data` (+optional "
                         "TP via --mp_size) — the SPMD equivalent of the "
@@ -142,12 +154,33 @@ def main(argv=None):
         return {"predictions": n, "file": path}
 
     if args.run_type == "train":
-        for ep in range(args.epochs):
+        import os
+
+        from gridmm_tpu.ce.trainer import poll_checkpoint_dir
+
+        ckpt_dir = (os.path.join(args.output_dir, "checkpoints")
+                    if args.ckpt_dir is None else args.ckpt_dir)
+        start_ep = 0
+        if args.resume and ckpt_dir:
+            # newest = last entry in the polling order (numeric suffix)
+            newest, prev = None, -1
+            while True:
+                nxt = poll_checkpoint_dir(ckpt_dir, prev)
+                if nxt is None:
+                    break
+                newest, prev = nxt, prev + 1
+            if newest is not None:
+                start_ep = trainer.restore(newest) + 1
+                print(json.dumps({"resumed": newest, "epoch": start_ep}))
+        for ep in range(start_ep, args.epochs):
             stats = trainer.train_epoch(env, ep,
                                         batches=args.batches_per_epoch,
                                         max_steps=args.max_steps,
                                         logger=logger, seed=args.seed)
             print(json.dumps({"epoch": ep, **stats}))
+            if ckpt_dir and (ep % args.save_every == 0
+                             or ep == args.epochs - 1):
+                trainer.save(os.path.join(ckpt_dir, f"ckpt.{ep}"))
     if args.run_type == "eval" and args.poll_ckpt_dir:
         from gridmm_tpu.ce.trainer import evaluate_checkpoints_polling
 
