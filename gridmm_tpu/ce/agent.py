@@ -240,14 +240,22 @@ class CEAgent:
     def rollout(self, env: ContinuousEnv, max_steps: int = 8,
                 feedback: str = "argmax",
                 rng: Optional[np.random.Generator] = None,
-                on_step=None):
+                on_step=None, timer=None):
         """Run one batch of episodes; returns (metrics list, losses info).
 
         on_step(t, obs) is invoked with the observation list at every step
         (t=0 is the reset state) — the eval video/trace hook
-        (base_il_trainer.py:631-644 rgb_frames collection)."""
+        (base_il_trainer.py:631-644 rgb_frames collection).
+
+        timer: optional utils.logging.SectionTimer accumulating per-phase
+        wall time (transfer/perception/candidates/build_step/teacher/nav/
+        env_step) for latency attribution."""
+        import contextlib
+
         cfg = self.cfg
         rng = rng or np.random.default_rng(0)
+        sec = (timer.section if timer is not None
+               else (lambda name: contextlib.nullcontext()))
         obs = env.reset()
         b = env.num_envs
         sh = cfg.shapes
@@ -276,36 +284,47 @@ class CEAgent:
         for t in range(max_steps):
             if on_step is not None:
                 on_step(t, obs)
-            rgb = jnp.asarray(np.stack([ob.rgb for ob in obs]))
-            depth = jnp.asarray(np.stack([ob.depth for ob in obs]))
-            nms_maps, _probs, patch_dev, view_cls, view_feats = \
-                self._jit_perception(self.wp_params, self.rgb_params,
-                                     self.depth_params, self.clip_params,
-                                     self.view_params, rgb, depth)
-            nms_maps = np.asarray(nms_maps)
-            view_cls = np.asarray(view_cls)  # (B,12,d); patches stay on device
-            view_feats = (np.asarray(view_feats)
-                          if view_feats is not None else None)
+            with sec("transfer"):
+                rgb = jnp.asarray(np.stack([ob.rgb for ob in obs]))
+                depth = jnp.asarray(np.stack([ob.depth for ob in obs]))
+            with sec("perception"):
+                nms_maps, _probs, patch_dev, view_cls, view_feats = \
+                    self._jit_perception(self.wp_params, self.rgb_params,
+                                         self.depth_params, self.clip_params,
+                                         self.view_params, rgb, depth)
+                nms_maps = np.asarray(nms_maps)
+                view_cls = np.asarray(view_cls)  # (B,12,d); patches stay put
+                view_feats = (np.asarray(view_feats)
+                              if view_feats is not None else None)
 
-            cand_lists = [
-                self.candidates_from_nms(nms_maps[i], obs[i].heading,
-                                         self.max_candidates)
-                for i in range(b)
-            ]
+            with sec("candidates"):
+                cand_lists = [
+                    self.candidates_from_nms(nms_maps[i], obs[i].heading,
+                                             self.max_candidates)
+                    for i in range(b)
+                ]
 
-            x, cur_slots = self._build_step(
-                obs, cand_lists, view_cls, centers, next_slot, t,
-                view_feats=view_feats)
-            targets = self._teacher(env, obs, cand_lists, ended)
-            x = x._replace(target=targets.astype(np.int32),
-                           patch_fts=patch_dev)
+            with sec("build_step"):
+                x, cur_slots = self._build_step(
+                    obs, cand_lists, view_cls, centers, next_slot, t,
+                    view_feats=view_feats)
+            if feedback == "teacher":
+                # the oracle (geodesic RPC per candidate) is a training-only
+                # signal; greedy eval/inference skip it like the reference's
+                # _eval_checkpoint does (cand_dist_to_goal only in train_ml,
+                # ss_trainer:288-328)
+                with sec("teacher"):
+                    targets = self._teacher(env, obs, cand_lists, ended)
+                x = x._replace(target=targets.astype(np.int32))
+            x = x._replace(patch_fts=patch_dev)
 
-            carry, out = self._jit_nav(
-                self.nav_params, txt_embeds, jnp.asarray(txt_mask), carry,
-                jax.tree_util.tree_map(jnp.asarray, x))
-            # CE selects among [stop]+current candidates (local logits;
-            # Policy:620-627 truncates to candidate count)
-            logits = np.asarray(out.local_logits, np.float64)
+            with sec("nav"):
+                carry, out = self._jit_nav(
+                    self.nav_params, txt_embeds, jnp.asarray(txt_mask), carry,
+                    jax.tree_util.tree_map(jnp.asarray, x))
+                # CE selects among [stop]+current candidates (local logits;
+                # Policy:620-627 truncates to candidate count)
+                logits = np.asarray(out.local_logits, np.float64)
 
             if feedback == "teacher":
                 a_t = targets.copy()
@@ -313,15 +332,16 @@ class CEAgent:
             else:
                 a_t = logits.argmax(-1)
 
-            for i in range(b):
-                if ended[i]:
-                    continue
-                if a_t[i] == 0 or t == max_steps - 1:
-                    ended[i] = True
-                    continue
-                heading_i, dist_i, _ = cand_lists[i][a_t[i] - 1]
-                env.step_to(i, heading_i, dist_i)
-            obs = env.observations()
+            with sec("env_step"):
+                for i in range(b):
+                    if ended[i]:
+                        continue
+                    if a_t[i] == 0 or t == max_steps - 1:
+                        ended[i] = True
+                        continue
+                    heading_i, dist_i, _ = cand_lists[i][a_t[i] - 1]
+                    env.step_to(i, heading_i, dist_i)
+                obs = env.observations()
             if ended.all():
                 break
 

@@ -28,6 +28,10 @@ def main():
     p.add_argument("--rounds", type=int, default=5)
     p.add_argument("--view_tower", action="store_true",
                    help="include the timm ViT-B/16 view encoder")
+    p.add_argument("--breakdown", action="store_true",
+                   help="attribute per-step time to rollout phases "
+                        "(transfer/perception/candidates/build_step/nav/"
+                        "env_step)")
     args = p.parse_args()
 
     from gridmm_tpu.ce.env import SyntheticContinuousEnv
@@ -51,6 +55,15 @@ def main():
         lat = float(np.percentile(per_step, 50))
         print(f"batch={b}: p50 step={lat:.1f} ms  "
               f"({12 * b * 1e3 / lat:.0f} frames/s)")
+        if args.breakdown:
+            from gridmm_tpu.utils.logging import SectionTimer
+
+            timer = SectionTimer()
+            agent.rollout(env, max_steps=args.steps, feedback="argmax",
+                          timer=timer)
+            for k, v in sorted(timer.summary().items(),
+                               key=lambda kv: -kv[1]):
+                print(f"  {k:<12} {v * 1e3:7.1f} ms/step")
 
 
 if __name__ == "__main__":
