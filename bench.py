@@ -23,6 +23,8 @@ import numpy as np
 
 
 def main():
+    from gridmm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from gridmm_tpu.config import r2r_config
     from gridmm_tpu.models.clip_vit import ClipVisionTransformer, clip_b32
     from gridmm_tpu.ops import geometry as G

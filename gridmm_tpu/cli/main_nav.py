@@ -225,6 +225,8 @@ def build_real(args, cfg):
 
 def main(argv=None):
     args = parse_args(argv)
+    from gridmm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     if args.multihost:
         jax.distributed.initialize()
     from gridmm_tpu.config import (r2r_config, reverie_config, rxr_config)

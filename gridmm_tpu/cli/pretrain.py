@@ -350,6 +350,8 @@ def validate(model, params, batches_by_task):
 
 def main(argv=None):
     args = parse_args(argv)
+    from gridmm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from gridmm_tpu.models.pretrain import GridMMPretrain
     from gridmm_tpu.train.pretrain import (TaskMultiplexer,
                                            init_pretrain_params,

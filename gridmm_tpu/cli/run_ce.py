@@ -100,6 +100,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from gridmm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from gridmm_tpu.ce.factory import build_ce_agent
     from gridmm_tpu.ce.env import SyntheticContinuousEnv
     from gridmm_tpu.ce.trainer import CETrainer

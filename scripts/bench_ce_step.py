@@ -22,6 +22,8 @@ sys.path.insert(0, ".")
 
 
 def main():
+    from gridmm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--batches", type=int, nargs="+", default=[1, 4])
     p.add_argument("--steps", type=int, default=6)

@@ -17,6 +17,8 @@ sys.path.insert(0, ".")
 
 
 def main():
+    from gridmm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from gridmm_tpu.config import r2r_config
     from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
     from gridmm_tpu.train.step import init_carry, nav_device_step

@@ -32,6 +32,8 @@ def bench(fn, args, iters=30, warmup=3):
 
 
 def main():
+    from gridmm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     print(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
     for b, steps in ((8, 15), (16, 15), (32, 15)):

@@ -53,6 +53,8 @@ def run_one(use_pallas: bool, b: int, steps: int = 15,
 
 
 def main():
+    from gridmm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import argparse
 
     p = argparse.ArgumentParser()
