@@ -74,7 +74,10 @@ class CETrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        self._jit_update = jax.jit(update)
+        # donate params + opt state: updated in place, the pre-update
+        # values are never read again (train_epoch re-reads agent.nav_params
+        # each batch)
+        self._jit_update = jax.jit(update, donate_argnums=(0, 1))
 
     def ss_ratio(self, epoch: int) -> float:
         return self.schedule_ratio ** (epoch // self.epochs_per_ratio + 1)

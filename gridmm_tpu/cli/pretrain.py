@@ -462,10 +462,12 @@ def main(argv=None):
     if accum > 1:
         from gridmm_tpu.train.pretrain import make_pretrain_accum_step
 
-        steps = {t: make_pretrain_accum_step(model, cfg, t, tx, accum)
+        steps = {t: make_pretrain_accum_step(model, cfg, t, tx, accum,
+                                             donate=True)
                  for t in tasks}
     else:
-        steps = {t: make_pretrain_step(model, cfg, t, tx) for t in tasks}
+        steps = {t: make_pretrain_step(model, cfg, t, tx, donate=True)
+                 for t in tasks}
     mux = iter(TaskMultiplexer(tasks, mix, seed=args.seed,
                                accum_steps=accum))
     logger = MetricLogger(args.output_dir)

@@ -119,9 +119,14 @@ def task_loss(model: GridMMPretrain, params, batch: PretrainBatch, task: str,
 
 
 def make_pretrain_step(model: GridMMPretrain, cfg: GridMMConfig, task: str,
-                       tx=None):
+                       tx=None, donate: bool = False):
     """Jitted update for one task (tasks have different graphs, so one compiled
-    step per task — the reference similarly dispatches per task)."""
+    step per task — the reference similarly dispatches per task).
+
+    donate=True donates the TrainState so XLA updates params/opt slots in
+    place (halves their peak HBM); the caller must not touch the old state
+    after the call — the training CLI never does, tests that replay one
+    state through several step fns keep the default."""
     tx = tx or make_optimizer(cfg)
 
     def step(state: TrainState, batch: PretrainBatch, rng):
@@ -133,11 +138,12 @@ def make_pretrain_step(model: GridMMPretrain, cfg: GridMMConfig, task: str,
         return TrainState(params, opt_state, state.step + 1), {
             f"loss_{task}": loss, "grad_norm": optax.global_norm(grads)}
 
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_pretrain_accum_step(model: GridMMPretrain, cfg: GridMMConfig,
-                             task: str, tx=None, accum: int = 2):
+                             task: str, tx=None, accum: int = 2,
+                             donate: bool = False):
     """Jitted update over `accum` stacked microbatches of ONE task.
 
     Replicates the reference accumulation window (train_r2r.py:251-296): the
@@ -167,7 +173,7 @@ def make_pretrain_accum_step(model: GridMMPretrain, cfg: GridMMConfig,
             f"loss_{task}": losses.mean(),
             "grad_norm": optax.global_norm(grads)}
 
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 class TaskMultiplexer:

@@ -18,7 +18,7 @@ sys.path.insert(0, ".")
 
 
 def run_one(use_pallas: bool, b: int, steps: int = 15,
-            compute_dtype: str = "float32") -> None:
+            compute_dtype: str = "float32", donate: bool = True) -> None:
     from gridmm_tpu.config import r2r_config
     from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
     from gridmm_tpu.train.step import create_train_state, make_train_step
@@ -38,7 +38,10 @@ def run_one(use_pallas: bool, b: int, steps: int = 15,
     batch = synthetic_trajectory_batch(cfg, batch=b, num_steps=steps)
     batch = jax.device_put(batch)
     rng = jax.random.PRNGKey(1)
-    step = jax.jit(make_train_step(model, cfg))
+    # donation matches train_navigator's production jit (state updates in
+    # place); --no-donate isolates its contribution
+    step = jax.jit(make_train_step(model, cfg),
+                   donate_argnums=(0,) if donate else ())
 
     state, m = step(state, batch, rng)  # compile
     _ = float(m["loss"])
@@ -48,7 +51,8 @@ def run_one(use_pallas: bool, b: int, steps: int = 15,
         state, m = step(state, batch, rng)
     _ = float(m["loss"])  # single hard sync after the queue drains
     dt = (time.perf_counter() - t0) / iters
-    print(f"pallas_pool={use_pallas} dtype={compute_dtype} B={b}: "
+    print(f"pallas_pool={use_pallas} dtype={compute_dtype} B={b} "
+          f"donate={donate}: "
           f"{dt*1e3:.1f} ms/update  {b/dt:.1f} eps/s", flush=True)
 
 
@@ -63,6 +67,8 @@ def main():
     p.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32])
     p.add_argument("--pallas", action="store_true",
                    help="also sweep the Pallas pool variant")
+    p.add_argument("--no-donate", action="store_true",
+                   help="measure without TrainState donation")
     args = p.parse_args()
 
     print(f"devices: {jax.devices()}", flush=True)
@@ -70,7 +76,8 @@ def main():
         for dtype in args.dtypes:
             for b in args.batches:
                 try:
-                    run_one(use_pallas, b, compute_dtype=dtype)
+                    run_one(use_pallas, b, compute_dtype=dtype,
+                            donate=not args.no_donate)
                 except Exception:
                     print(f"pallas_pool={use_pallas} dtype={dtype} B={b}: "
                           f"FAILED", flush=True)
