@@ -11,10 +11,13 @@ Policy_ViewSelection_GridMap.py modes): per step
   4. move via env.step_to; teacher = candidate minimizing the oracle
      cand_dist_to_goal (ss_trainer:288-328).
 
-Everything tensor-shaped runs in two jitted graphs (one fused perception
-dispatch: waypoint towers + NMS + CLIP grid tokens + optional timm view cls;
-one navigation step); the host only thresholds the NMS output and builds
-index maps. CLIP patch tokens stay device-resident end to end.
+Greedy (argmax) rollouts run the ENTIRE policy step as one jitted dispatch
+(ce/device_step.py: perception towers + NMS + top_k candidate extraction +
+step assembly + navigation forward); the host only keeps the trajectory
+history and moves the env. Teacher rollouts and train-time sampling keep the
+two-dispatch host-assembly path (the oracle RPC and the numpy RNG sit
+between candidate extraction and the navigation forward). CLIP patch tokens
+stay device-resident end to end.
 """
 
 from __future__ import annotations
@@ -149,6 +152,12 @@ class CEAgent:
             lambda p, txt, mask, carry, x: nav_device_step(
                 navigator, cfg, p, txt, mask, carry, x))
         self._jit_perception = jax.jit(self._perception_impl)
+        # greedy rollouts run perception + candidate extraction + step
+        # assembly + navigation as ONE dispatch (ce/device_step.py); the
+        # host path stays for teacher feedback (oracle RPC between
+        # candidate extraction and action) and train-time sampling
+        self.fused_rollout = True
+        self._jit_full_step = jax.jit(self._full_step_impl)
 
     # ------------------------------------------------------------- device fns
     def _waypoint_impl(self, wp_params, rgb_params, depth_params, rgb, depth):
@@ -193,6 +202,29 @@ class CEAgent:
         toks = toks.reshape(b, v, *toks.shape[1:])
         patch = toks[:, :, 1:, :d].astype(jnp.float32).reshape(b, -1, d)
         return patch, toks[:, :, 0, :d].astype(jnp.float32)
+
+    def _full_step_impl(self, nav_params, wp_params, rgb_params, depth_params,
+                        clip_params, view_params, txt_embeds, txt_mask, carry,
+                        rgb, depth, pos_xy, heading, traj_pos, traj_dist,
+                        traj_len, t):
+        """The ENTIRE greedy policy step as one XLA graph: perception towers,
+        waypoint candidates from the NMS heatmap (lax.top_k), step assembly
+        (ce/device_step.py twin of _build_step), navigation forward. One
+        dispatch per action instead of two plus host assembly."""
+        from gridmm_tpu.ce.device_step import (device_build_step,
+                                               device_candidates)
+
+        nms_maps, _probs, patch, view_cls, view_feats = self._perception_impl(
+            wp_params, rgb_params, depth_params, clip_params, view_params,
+            rgb, depth)
+        cand = device_candidates(nms_maps, self.max_candidates)
+        x = device_build_step(self.cfg, cand, view_cls, depth, pos_xy,
+                              heading, traj_pos, traj_dist, traj_len, t,
+                              view_feats=view_feats)
+        x = x._replace(patch_fts=patch)
+        carry, out = nav_device_step(self.navigator, self.cfg, nav_params,
+                                     txt_embeds, txt_mask, carry, x)
+        return carry, out.local_logits, cand
 
     def _view_fts_impl(self, view_params, rgb):
         """(B,12,H,W,3) u8 -> (B, 12, width) timm-ViT cls features
@@ -281,6 +313,10 @@ class CEAgent:
         # depth patch centers (Policy:728-730): 19 + 36*i over 256px maps
         centers = np.asarray([19 + 36 * i for i in range(7)])
 
+        if feedback == "argmax" and self.fused_rollout:
+            return self._rollout_fused(env, obs, txt_embeds, txt_mask, carry,
+                                       max_steps, on_step, sec)
+
         for t in range(max_steps):
             if on_step is not None:
                 on_step(t, obs)
@@ -348,6 +384,66 @@ class CEAgent:
         metrics = [ce_episode_metrics(env.paths[i], obs[i].gt_path)
                    for i in range(b)]
         return metrics
+
+    def _rollout_fused(self, env: ContinuousEnv, obs, txt_embeds, txt_mask,
+                       carry, max_steps: int, on_step, sec):
+        """Greedy rollout driving the single-dispatch step: the host only
+        maintains the trajectory history, fetches (logits, candidate bins)
+        once per step, and moves the env. Action-trace-equivalent to the
+        legacy two-dispatch path (tests/test_ce_device_step.py)."""
+        b = env.num_envs
+        cap = self.cfg.model.max_action_steps
+        traj_pos = np.zeros((b, cap, 3), np.float32)
+        traj_dist = np.zeros((b, cap), np.float32)
+        ended = np.zeros((b,), bool)
+        txt_mask_dev = jnp.asarray(txt_mask)
+
+        for t in range(max_steps):
+            if on_step is not None:
+                on_step(t, obs)
+            r = min(t, cap - 1)
+            for i, ob in enumerate(obs):
+                p3 = np.array([ob.position[0], 0.0, ob.position[1]],
+                              np.float32)
+                traj_dist[i, r] = (0.0 if t == 0 else float(
+                    np.linalg.norm(p3 - traj_pos[i, max(r - 1, 0)])))
+                traj_pos[i, r] = p3
+            with sec("transfer"):
+                rgb = jnp.asarray(np.stack([ob.rgb for ob in obs]))
+                depth = jnp.asarray(np.stack([ob.depth for ob in obs]))
+                pos = jnp.asarray(np.stack(
+                    [ob.position for ob in obs]).astype(np.float32))
+                hd = jnp.asarray(
+                    np.asarray([ob.heading for ob in obs], np.float32))
+            with sec("fused_step"):
+                carry, logits, cand = self._jit_full_step(
+                    self.nav_params, self.wp_params, self.rgb_params,
+                    self.depth_params, self.clip_params, self.view_params,
+                    txt_embeds, txt_mask_dev, carry, rgb, depth, pos, hd,
+                    jnp.asarray(traj_pos), jnp.asarray(traj_dist),
+                    jnp.full((b,), min(t + 1, cap), jnp.int32), np.int32(t))
+                logits = np.asarray(logits, np.float64)
+                ang = np.asarray(cand.ang_bins)
+                dbin = np.asarray(cand.dist_bins)
+                n_cands = np.asarray(cand.mask).sum(-1)
+            a_t = logits.argmax(-1)
+            with sec("env_step"):
+                for i in range(b):
+                    if ended[i]:
+                        continue
+                    if a_t[i] == 0 or t == max_steps - 1 or \
+                            a_t[i] > n_cands[i]:
+                        ended[i] = True
+                        continue
+                    j = int(a_t[i]) - 1
+                    heading_i = obs[i].heading + \
+                        ang[i, j] * (2 * math.pi / NUM_ANGLES)
+                    env.step_to(i, heading_i, (dbin[i, j] + 1) * DIST_BIN)
+                obs = env.observations()
+            if ended.all():
+                break
+        return [ce_episode_metrics(env.paths[i], obs[i].gt_path)
+                for i in range(b)]
 
     def _build_step(self, obs: List[CEStepObs], cand_lists, view_cls,
                     centers, next_slot, t,

@@ -1,11 +1,13 @@
 """Per-step latency of the full-scale continuous-env (VLN-CE) policy.
 
 Times complete `CEAgent.rollout` steps on the real device — per step that is
-the four jitted graphs (ResNet50+ddppo waypoint towers + TRM + NMS, CLIP
-ViT-B/32 grid tokens, optional timm ViT-B/16 view cls, navigation forward)
-plus the host-side NMS thresholding / index-map assembly, i.e. the number a
-VLN-CE user actually experiences per action. The reference publishes no
-step-latency figure (ss_trainer_GridMap.py drives the same stack per step).
+ONE fused dispatch (ResNet50+ddppo waypoint towers + TRM + NMS + top_k
+candidate extraction, CLIP ViT-B/32 grid tokens, optional timm ViT-B/16 view
+cls, step assembly, navigation forward; ce/device_step.py) plus the host env
+move, i.e. the number a VLN-CE user actually experiences per action.
+--legacy measures the previous two-dispatch host-assembly path. The
+reference publishes no step-latency figure (ss_trainer_GridMap.py drives the
+same stack per step).
 
 Through the tunneled dev chip every dispatch carries a ~10-30 ms RPC floor;
 whole-rollout timing amortizes it across the episode's steps the same way the
@@ -32,8 +34,11 @@ def main():
                    help="include the timm ViT-B/16 view encoder")
     p.add_argument("--breakdown", action="store_true",
                    help="attribute per-step time to rollout phases "
-                        "(transfer/perception/candidates/build_step/nav/"
+                        "(fused: transfer/fused_step/env_step; legacy: "
+                        "transfer/perception/candidates/build_step/nav/"
                         "env_step)")
+    p.add_argument("--legacy", action="store_true",
+                   help="use the two-dispatch host-assembly rollout path")
     args = p.parse_args()
 
     from gridmm_tpu.ce.env import SyntheticContinuousEnv
@@ -41,6 +46,7 @@ def main():
 
     _, agent = build_ce_agent(tiny=False, view_tower=args.view_tower,
                               img=224)
+    agent.fused_rollout = not args.legacy
     for b in args.batches:
         env = SyntheticContinuousEnv(num_envs=b, image_size=224,
                                      depth_size=256, seed=0)

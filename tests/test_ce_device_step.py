@@ -1,0 +1,160 @@
+"""Single-dispatch CE step (ce/device_step.py) vs the host assembly path.
+
+The fused step must be an exact re-expression of candidates_from_nms +
+_build_step (themselves golden-tested against the reference's loops), so
+these tests drive both paths in lockstep on the synthetic arena and compare
+every StepInputs field, then whole greedy rollouts action-for-action."""
+
+import math
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from gridmm_tpu.ce.agent import (CEAgent, NUM_ANGLES, DIST_BIN,  # noqa: E402
+                                 start_pos_features, traj_pos_features)
+from gridmm_tpu.ce.device_step import (  # noqa: E402
+    device_build_step, device_candidates, device_start_pos_features,
+    device_traj_pos_features)
+from gridmm_tpu.ce.env import SyntheticContinuousEnv  # noqa: E402
+from gridmm_tpu.train.step import StepInputs  # noqa: E402
+
+
+def _tiny_agent():
+    from gridmm_tpu.ce.factory import build_ce_agent
+
+    return build_ce_agent(img=56, depth_sz=256, tiny=True)
+
+
+def test_device_candidates_match_host():
+    from gridmm_tpu.models.waypoint import waypoint_nms
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(4, NUM_ANGLES * 12)).astype(np.float32) * 3
+    probs = jax.nn.softmax(jnp.asarray(logits), -1).reshape(4, NUM_ANGLES, 12)
+    nms = waypoint_nms(probs, max_predictions=5, sigma=(7.0, 5.0))
+    nms_h = np.asarray(nms)
+    dev = device_candidates(nms, 5)
+    for i in range(4):
+        heading = float(rng.uniform(0, 2 * np.pi))
+        host = CEAgent.candidates_from_nms(nms_h[i], heading, 5)
+        n = int(np.asarray(dev.mask[i]).sum())
+        assert n == len(host)
+        for j, (h, dst, sc) in enumerate(host):
+            a = int(dev.ang_bins[i, j])
+            d = int(dev.dist_bins[i, j])
+            assert abs(heading + a * (2 * math.pi / NUM_ANGLES) - h) < 1e-9
+            assert abs((d + 1) * DIST_BIN - dst) < 1e-9
+            assert abs(float(dev.scores[i, j]) - sc) < 1e-6
+
+
+def test_device_traj_and_start_features_match_host():
+    rng = np.random.default_rng(1)
+    af, max_dist, max_step = 4, 25.0, 20.0
+    b, cap = 3, 8
+    lens = np.array([1, 4, 8])
+    heads = rng.uniform(0, 2 * np.pi, b).astype(np.float32)
+    tp = np.zeros((b, cap, 3), np.float32)
+    td = np.zeros((b, cap), np.float32)
+    for i in range(b):
+        tp[i, : lens[i]] = rng.normal(size=(lens[i], 3)) * 3
+        td[i, 1: lens[i]] = rng.uniform(0.1, 2.0, max(lens[i] - 1, 0))
+    dev_tf = np.asarray(device_traj_pos_features(
+        jnp.asarray(tp), jnp.asarray(td), jnp.asarray(lens),
+        jnp.asarray(heads), af, max_dist, max_step))
+    dev_sf = np.asarray(device_start_pos_features(
+        jnp.asarray(tp), jnp.asarray(td), jnp.asarray(lens),
+        jnp.asarray(heads), af, max_dist, max_step))
+    for i in range(b):
+        pos_list = [tp[i, j].astype(np.float64) for j in range(lens[i])]
+        dist_list = [float(td[i, j]) for j in range(lens[i])]
+        host_tf = traj_pos_features(pos_list, dist_list, float(heads[i]),
+                                    af, max_dist, max_step)
+        np.testing.assert_allclose(dev_tf[i, : lens[i]], host_tf, atol=2e-5)
+        host_sf = start_pos_features(pos_list, dist_list, float(heads[i]),
+                                     af, max_dist, max_step)
+        np.testing.assert_allclose(dev_sf[i], host_sf, atol=2e-5)
+
+
+def test_device_build_step_matches_host_over_episode():
+    cfg, agent = _tiny_agent()
+    b = 2
+    env = SyntheticContinuousEnv(num_envs=b, image_size=56, depth_size=256,
+                                 seed=3)
+    obs = env.reset()
+    centers = np.asarray([19 + 36 * i for i in range(7)])
+    next_slot = np.full((b,), 1, np.int32)
+    cap = cfg.model.max_action_steps
+    tpos = np.zeros((b, cap, 3), np.float32)
+    tdist = np.zeros((b, cap), np.float32)
+    exact = {"nav_types", "view_mask", "gmap_step_ids", "gmap_mask",
+             "gmap_visited_mask", "cur_node_idx", "cand_gmap_idx",
+             "vp_nav_mask", "fused_add_idx", "cand_backtrack_mask",
+             "target", "grid_target", "vp_obj_mask", "obj_target"}
+    for t in range(3):
+        rgb = jnp.asarray(np.stack([ob.rgb for ob in obs]))
+        depth = jnp.asarray(np.stack([ob.depth for ob in obs]))
+        nms, _probs, _patch, view_cls, view_feats = agent._jit_perception(
+            agent.wp_params, agent.rgb_params, agent.depth_params,
+            agent.clip_params, agent.view_params, rgb, depth)
+        nms_h = np.asarray(nms)
+        cand_lists = [
+            agent.candidates_from_nms(nms_h[i], obs[i].heading, 5)
+            for i in range(b)]
+        x_host, _cur = agent._build_step(obs, cand_lists,
+                                         np.asarray(view_cls), centers,
+                                         next_slot, t)
+        for i, ob in enumerate(obs):
+            p3 = np.array([ob.position[0], 0.0, ob.position[1]], np.float32)
+            tdist[i, t] = (0.0 if t == 0 else
+                           float(np.linalg.norm(p3 - tpos[i, t - 1])))
+            tpos[i, t] = p3
+        x_dev = device_build_step(
+            cfg, device_candidates(nms, 5), view_cls, depth,
+            jnp.asarray(np.stack(
+                [ob.position for ob in obs]).astype(np.float32)),
+            jnp.asarray(np.asarray([ob.heading for ob in obs], np.float32)),
+            jnp.asarray(tpos), jnp.asarray(tdist),
+            jnp.full((b,), t + 1, jnp.int32), np.int32(t),
+            view_feats=view_feats)
+        for f in StepInputs._fields:
+            a_h = np.asarray(getattr(x_host, f))
+            a_d = np.asarray(getattr(x_dev, f))
+            assert a_h.shape == a_d.shape, f
+            if f in exact:
+                np.testing.assert_array_equal(a_d, a_h, err_msg=f)
+            else:
+                np.testing.assert_allclose(a_d, a_h, atol=1e-4,
+                                           err_msg=f"step {t}: {f}")
+        # walk each env to its best candidate so later steps see a real
+        # trajectory history
+        for i in range(b):
+            if cand_lists[i]:
+                h, dst, _ = cand_lists[i][0]
+                env.step_to(i, h, dst)
+        obs = env.observations()
+
+
+def test_fused_rollout_matches_legacy_actions():
+    cfg, agent = _tiny_agent()
+
+    def run(fused: bool):
+        env = SyntheticContinuousEnv(num_envs=2, image_size=56,
+                                     depth_size=256, seed=11)
+        agent.fused_rollout = fused
+        m = agent.rollout(env, max_steps=4, feedback="argmax")
+        return m, [np.asarray(p) for p in env.paths]
+
+    m_fused, paths_fused = run(True)
+    m_legacy, paths_legacy = run(False)
+    for p1, p2 in zip(paths_fused, paths_legacy):
+        assert len(p1) == len(p2)
+        np.testing.assert_allclose(p1, p2, atol=1e-9)
+    for mf, ml in zip(m_fused, m_legacy):
+        for k in mf:
+            np.testing.assert_allclose(mf[k], ml[k], atol=1e-7, err_msg=k)
