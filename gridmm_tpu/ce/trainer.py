@@ -183,8 +183,13 @@ class CETrainer:
                 if ended.all():
                     break
 
+            # stack per field; device-resident fields (patch_fts) stack on
+            # device so the CLIP tokens never round-trip through the host
             stacked = StepInputs(*[
-                np.stack([np.asarray(getattr(s, f)) for s in recorded])
+                (jnp.stack([getattr(s, f) for s in recorded])
+                 if isinstance(getattr(recorded[0], f), jax.Array)
+                 else np.stack([np.asarray(getattr(s, f))
+                                for s in recorded]))
                 for f in StepInputs._fields])
             batch = pad_to_steps(
                 TrajectoryBatch(txt_ids, txt_mask, stacked), max_steps,

@@ -12,6 +12,7 @@ import os
 from typing import Iterator, List
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from gridmm_tpu.train.step import StepInputs, TrajectoryBatch
@@ -46,6 +47,15 @@ def pad_to_steps(batch: TrajectoryBatch, num_steps: int,
             steps=StepInputs(*[a[:num_steps] for a in batch.steps]))
 
     def pad(a, field):
+        if isinstance(a, jax.Array):
+            # device-resident fields (e.g. CLIP patch tokens recorded by the
+            # CE trainer) pad on device — pulling them to host would round-
+            # trip megabytes per episode for no reason
+            reps = jnp.concatenate(
+                [a, jnp.repeat(a[-1:], num_steps - s, axis=0)])
+            if field in ("target", "obj_target"):
+                reps = reps.at[s:].set(ignore_id)
+            return reps
         reps = np.concatenate(
             [np.asarray(a),
              np.repeat(np.asarray(a[-1:]), num_steps - s, axis=0)])

@@ -87,3 +87,28 @@ def test_device_prefetch_pipeline():
     import pytest
     with pytest.raises(RuntimeError, match="producer failed"):
         list(it)
+
+
+def test_pad_to_steps_device_fields_stay_on_device():
+    """Device-resident fields (the CE trainer's recorded CLIP patch tokens)
+    pad via jnp without a host round trip, matching the numpy path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridmm_tpu.train.recollection import pad_to_steps
+    from gridmm_tpu.train.synthetic import synthetic_trajectory_batch
+    from tests.test_agent_e2e import tiny_cfg
+
+    cfg = tiny_cfg()
+    batch = synthetic_trajectory_batch(cfg, batch=2, num_steps=2)
+    dev = batch._replace(steps=batch.steps._replace(
+        patch_fts=jnp.asarray(batch.steps.patch_fts),
+        target=jnp.asarray(batch.steps.target)))
+    p_np = pad_to_steps(batch, 4)
+    p_dev = pad_to_steps(dev, 4)
+    assert isinstance(p_dev.steps.patch_fts, jax.Array)
+    np.testing.assert_array_equal(np.asarray(p_dev.steps.patch_fts),
+                                  np.asarray(p_np.steps.patch_fts))
+    # ignore-id backfill works through the .at[] path too
+    np.testing.assert_array_equal(np.asarray(p_dev.steps.target),
+                                  np.asarray(p_np.steps.target))
