@@ -499,8 +499,14 @@ class CEAgent:
             k = 0
             for heading_c, dist_c, _score in cands:
                 rel = heading_c - ob.heading
-                img_idx = int(round((rel % (2 * math.pi)) /
-                                    (2 * math.pi / 12))) % 12
+                # nearest 30-degree sector via the INTEGER angle bin (the
+                # float64 cancellation in rel is << half a 3-degree bin, so
+                # the bin recovery is exact); half-up ties match the device
+                # twin (device_step.py) and the sector-sampling augmentation
+                a_bin = int(round((rel % (2 * math.pi)) /
+                                  (2 * math.pi / NUM_ANGLES))) % NUM_ANGLES
+                per_img = NUM_ANGLES // 12
+                img_idx = ((a_bin + per_img // 2) // per_img) % 12
                 view_img_fts[i, k] = view_cls_i[img_idx]
                 loc_fts[i, k, :af] = angle_features(rel, 0.0, af)
                 loc_fts[i, k, af:] = 1.0

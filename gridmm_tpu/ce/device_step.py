@@ -169,8 +169,12 @@ def device_build_step(
     # the difference is the raw bin angle)
     rel = cand.ang_bins.astype(jnp.float32) * (2 * jnp.pi / NUM_ANGLES)
     dist = (cand.dist_bins.astype(jnp.float32) + 1.0) * DIST_BIN
-    img_idx = (jnp.round(jnp.mod(rel, 2 * jnp.pi) / (2 * jnp.pi / 12))
-               .astype(jnp.int32) % 12)  # (B, K)
+    # nearest 30-degree view sector, computed in INTEGER bin space with the
+    # same half-up tie rule as the host path and the sector-sampling
+    # augmentation — float rounding of rel would flip midpoint bins
+    # (ang_bin % 10 == 5) on f32-vs-f64 noise
+    per_img = NUM_ANGLES // 12
+    img_idx = ((cand.ang_bins + per_img // 2) // per_img) % 12  # (B, K)
     cand_ang = device_angle_features(rel, jnp.zeros_like(rel), af)  # (B,K,af)
 
     # ---- panorama tokens: candidates first, then the 12 raw views ---------

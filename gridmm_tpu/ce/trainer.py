@@ -359,18 +359,14 @@ class CETrainer:
         return len(episode_predictions)
 
 
-def poll_checkpoint_dir(ckpt_dir: str, prev_index: int) -> Optional[str]:
-    """Next unevaluated checkpoint in a folder, ordered by the trailing
-    number in the entry name (habitat's poll_checkpoint_folder behavior used
-    at base_il_trainer.py:896-912). None if not yet written.
-
-    Only numbered entries count as checkpoints — rolling 'latest' links,
-    logs, and in-progress tmp dirs are ignored rather than restored."""
+def _numbered_checkpoints(ckpt_dir: str) -> List[str]:
+    """Checkpoint entries in a folder, ordered by the trailing number in the
+    entry name. Only numbered entries count as checkpoints — rolling 'latest'
+    links, logs, and in-progress tmp dirs are ignored rather than restored."""
     import re
 
     if not os.path.isdir(ckpt_dir):
-        return None
-
+        return []
     entries = []
     for name in os.listdir(ckpt_dir):
         if name.endswith((".tmp", ".log")) or name.startswith((".", "tmp")):
@@ -380,9 +376,23 @@ def poll_checkpoint_dir(ckpt_dir: str, prev_index: int) -> Optional[str]:
             continue  # e.g. a 'latest' rolling checkpoint
         entries.append((int(m.group(1)), name))
     entries.sort()
+    return [os.path.join(ckpt_dir, name) for _, name in entries]
+
+
+def poll_checkpoint_dir(ckpt_dir: str, prev_index: int) -> Optional[str]:
+    """Next unevaluated checkpoint in a folder (habitat's
+    poll_checkpoint_folder behavior used at base_il_trainer.py:896-912).
+    None if not yet written."""
+    entries = _numbered_checkpoints(ckpt_dir)
     if prev_index + 1 < len(entries):
-        return os.path.join(ckpt_dir, entries[prev_index + 1][1])
+        return entries[prev_index + 1]
     return None
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Newest numbered checkpoint (the --resume entry point), or None."""
+    entries = _numbered_checkpoints(ckpt_dir)
+    return entries[-1] if entries else None
 
 
 def evaluate_checkpoints_polling(trainer: CETrainer, env: ContinuousEnv,
@@ -399,7 +409,8 @@ def evaluate_checkpoints_polling(trainer: CETrainer, env: ContinuousEnv,
     new checkpoint shows up within timeout_seconds (0 = single sweep)."""
     import time
 
-    from gridmm_tpu.utils.checkpoint import restore_checkpoint
+    from gridmm_tpu.utils.checkpoint import (restore_checkpoint,
+                                             restore_checkpoint_subtree)
 
     results: List[Dict[str, float]] = []
     prev = -1
@@ -413,8 +424,11 @@ def evaluate_checkpoints_polling(trainer: CETrainer, env: ContinuousEnv,
             continue
         prev += 1
         try:
-            # full training-state layout written by CETrainer.save
-            trainer.restore(ckpt)
+            # CETrainer.save layout: restore ONLY its 'params' entry — eval
+            # never touches the optimizer moments, and skipping them cuts
+            # the per-checkpoint restore I/O to a third
+            trainer.agent.nav_params = restore_checkpoint_subtree(
+                os.path.abspath(ckpt), "params", trainer.agent.nav_params)
         except Exception:
             # bare navigator-params checkpoint (e.g. train/loop.py exports)
             trainer.agent.nav_params = restore_checkpoint(

@@ -521,7 +521,18 @@ def main(argv=None):
         # overwrite a previous run's trained 'latest' with fresh init
         if it > 0:
             try:
-                _save(state, "latest")
+                from gridmm_tpu.utils.checkpoint import params_deleted
+
+                # the TrainState is donated to the step jits: an interrupt
+                # inside a step dispatch leaves `state` on deleted buffers
+                # and the save would raise — skip it (the save_every cadence
+                # checkpoint stays the resume point)
+                if params_deleted(state.params):
+                    print("interrupt landed mid-step (donated buffers "
+                          "gone); resume from the last cadence checkpoint",
+                          flush=True)
+                else:
+                    _save(state, "latest")
             except Exception as save_err:  # don't mask the original error
                 print(f"interrupt-save failed: {save_err!r}", flush=True)
         raise

@@ -158,19 +158,13 @@ def main(argv=None):
     if args.run_type == "train":
         import os
 
-        from gridmm_tpu.ce.trainer import poll_checkpoint_dir
+        from gridmm_tpu.ce.trainer import latest_checkpoint
 
         ckpt_dir = (os.path.join(args.output_dir, "checkpoints")
                     if args.ckpt_dir is None else args.ckpt_dir)
         start_ep = 0
         if args.resume and ckpt_dir:
-            # newest = last entry in the polling order (numeric suffix)
-            newest, prev = None, -1
-            while True:
-                nxt = poll_checkpoint_dir(ckpt_dir, prev)
-                if nxt is None:
-                    break
-                newest, prev = nxt, prev + 1
+            newest = latest_checkpoint(ckpt_dir)
             if newest is not None:
                 start_ep = trainer.restore(newest) + 1
                 print(json.dumps({"resumed": newest, "epoch": start_ep}))

@@ -208,8 +208,22 @@ def train_navigator(
                             state.params)
     except BaseException:
         # interrupted (preemption / SIGINT): park a resumable checkpoint
-        # before propagating — --resume picks it up
-        _save_latest()
+        # before propagating — --resume picks it up. The TrainState is
+        # donated to the step jits, so an interrupt landing INSIDE a step
+        # dispatch leaves `state` pointing at deleted buffers (old buffers
+        # invalidated, new state never bound); skip the save then — the
+        # last cadence 'latest' stays the resume point — and never let a
+        # save failure mask the original exception.
+        try:
+            from gridmm_tpu.utils.checkpoint import params_deleted
+
+            if params_deleted(state.params):
+                print("interrupt landed mid-step (donated buffers gone); "
+                      "resume from the last cadence checkpoint", flush=True)
+            else:
+                _save_latest()
+        except Exception as save_err:
+            print(f"interrupt-save failed: {save_err!r}", flush=True)
         raise
     agent.params = state.params
     logger.log(iters, timer.summary(), prefix="time/")

@@ -25,6 +25,16 @@ import numpy as np
 
 
 # --------------------------------------------------------------------- orbax
+def params_deleted(params) -> bool:
+    """True if any leaf buffer was invalidated — e.g. the tree was donated
+    (donate_argnums) to a jit whose dispatch was then interrupted, so the
+    old buffers are gone but the new state was never bound. Saving such a
+    tree raises 'Array has been deleted'; interrupt-save paths check this
+    first so a failed save can't mask the original exception."""
+    return any(getattr(leaf, "is_deleted", lambda: False)()
+               for leaf in jax.tree_util.tree_leaves(params))
+
+
 def save_checkpoint(path: str, state) -> None:
     import orbax.checkpoint as ocp
 
@@ -37,6 +47,19 @@ def restore_checkpoint(path: str, template):
 
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, template)
+
+
+def restore_checkpoint_subtree(path: str, key: str, template):
+    """Restore only `key` from a dict-layout checkpoint (e.g. the 'params'
+    entry of a training-state checkpoint), skipping the other entries'
+    I/O entirely — eval-only consumers shouldn't deserialize two
+    param-sized optimizer-moment trees per checkpoint."""
+    import orbax.checkpoint as ocp
+
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        out = ckptr.restore(path, args=ocp.args.PyTreeRestore(
+            item={key: template}, partial_restore=True))
+    return out[key]
 
 
 # ------------------------------------------------------------ torch importers

@@ -58,3 +58,39 @@ def test_run_ce_cli_ckpt_and_resume(tmp_path, capsys):
     trained = [ln for ln in lines if "loss" in ln]
     assert [ln["epoch"] for ln in trained] == [2]
     assert (tmp_path / "checkpoints" / "ckpt.2").exists()
+
+
+def test_params_only_subtree_restore(tmp_path):
+    """Eval polling restores ONLY the 'params' entry of a CETrainer.save
+    checkpoint (skipping the optimizer-moment I/O entirely)."""
+    from gridmm_tpu.utils.checkpoint import restore_checkpoint_subtree
+
+    cfg, agent = build_ce_agent(tiny=True, seed=0)
+    env = SyntheticContinuousEnv(num_envs=2, image_size=56, depth_size=256,
+                                 seed=0)
+    trainer = CETrainer(cfg, agent)
+    trainer.train_epoch(env, 0, batches=1, max_steps=2, seed=0)
+    trainer.save(str(tmp_path / "ckpt.0"))
+    trained = jax.tree_util.tree_map(np.asarray, agent.nav_params)
+
+    _cfg2, agent2 = build_ce_agent(tiny=True, seed=1)
+    params = restore_checkpoint_subtree(str(tmp_path / "ckpt.0"), "params",
+                                        agent2.nav_params)
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, trained,
+        jax.tree_util.tree_map(np.asarray, params))
+
+
+def test_params_deleted_detects_donated_buffers():
+    """The interrupt-save guard: params_deleted flags a tree whose buffers
+    were invalidated (donation mid-dispatch) and passes a live tree."""
+    import jax.numpy as jnp
+
+    from gridmm_tpu.utils.checkpoint import params_deleted
+
+    tree = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    assert not params_deleted(tree)
+    tree["w"].delete()
+    assert params_deleted(tree)
+    # numpy leaves (host params) never count as deleted
+    assert not params_deleted({"w": np.ones((3,))})

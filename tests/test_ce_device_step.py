@@ -25,10 +25,11 @@ from gridmm_tpu.ce.env import SyntheticContinuousEnv  # noqa: E402
 from gridmm_tpu.train.step import StepInputs  # noqa: E402
 
 
-def _tiny_agent():
+def _tiny_agent(view_tower: bool = False):
     from gridmm_tpu.ce.factory import build_ce_agent
 
-    return build_ce_agent(img=56, depth_sz=256, tiny=True)
+    return build_ce_agent(img=56, depth_sz=256, tiny=True,
+                          view_tower=view_tower)
 
 
 def test_device_candidates_match_host():
@@ -81,8 +82,11 @@ def test_device_traj_and_start_features_match_host():
         np.testing.assert_allclose(dev_sf[i], host_sf, atol=2e-5)
 
 
-def test_device_build_step_matches_host_over_episode():
-    cfg, agent = _tiny_agent()
+@pytest.mark.parametrize("view_tower", [False, True])
+def test_device_build_step_matches_host_over_episode(view_tower):
+    # view_tower=True exercises the timm view-cls panorama branch
+    # (view_src = view_feats[..., :d]) on both paths
+    cfg, agent = _tiny_agent(view_tower)
     b = 2
     env = SyntheticContinuousEnv(num_envs=b, image_size=56, depth_size=256,
                                  seed=3)
@@ -106,9 +110,10 @@ def test_device_build_step_matches_host_over_episode():
         cand_lists = [
             agent.candidates_from_nms(nms_h[i], obs[i].heading, 5)
             for i in range(b)]
-        x_host, _cur = agent._build_step(obs, cand_lists,
-                                         np.asarray(view_cls), centers,
-                                         next_slot, t)
+        x_host, _cur = agent._build_step(
+            obs, cand_lists, np.asarray(view_cls), centers, next_slot, t,
+            view_feats=(np.asarray(view_feats)
+                        if view_feats is not None else None))
         for i, ob in enumerate(obs):
             p3 = np.array([ob.position[0], 0.0, ob.position[1]], np.float32)
             tdist[i, t] = (0.0 if t == 0 else
@@ -140,8 +145,9 @@ def test_device_build_step_matches_host_over_episode():
         obs = env.observations()
 
 
-def test_fused_rollout_matches_legacy_actions():
-    cfg, agent = _tiny_agent()
+@pytest.mark.parametrize("view_tower", [False, True])
+def test_fused_rollout_matches_legacy_actions(view_tower):
+    cfg, agent = _tiny_agent(view_tower)
 
     def run(fused: bool):
         env = SyntheticContinuousEnv(num_envs=2, image_size=56,
@@ -158,3 +164,21 @@ def test_fused_rollout_matches_legacy_actions():
     for mf, ml in zip(m_fused, m_legacy):
         for k in mf:
             np.testing.assert_allclose(mf[k], ml[k], atol=1e-7, err_msg=k)
+
+
+def test_candidate_sector_bins_robust_at_midpoints():
+    """30-degree sector selection: midpoint angle bins (a % 10 == 5) used to
+    flip sectors on f32-vs-f64 rounding noise; both paths now derive the
+    sector from the INTEGER bin, and the host's bin recovery from the float
+    heading difference is exact for every bin and heading."""
+    delta = 2 * math.pi / NUM_ANGLES
+    for heading in [0.0, 0.37, 5.93, 2 * math.pi - 1e-9]:
+        for a in range(NUM_ANGLES):
+            rel = (heading + a * delta) - heading  # host's cancellation
+            a_bin = int(round((rel % (2 * math.pi)) / delta)) % NUM_ANGLES
+            assert a_bin == a, (heading, a)
+    per_img = NUM_ANGLES // 12
+    dev = np.asarray(((jnp.arange(NUM_ANGLES) + per_img // 2) // per_img)
+                     % 12)
+    host = [((a + per_img // 2) // per_img) % 12 for a in range(NUM_ANGLES)]
+    np.testing.assert_array_equal(dev, host)
