@@ -328,10 +328,10 @@ class CEAgent:
                     self._jit_perception(self.wp_params, self.rgb_params,
                                          self.depth_params, self.clip_params,
                                          self.view_params, rgb, depth)
-                nms_maps = np.asarray(nms_maps)
-                view_cls = np.asarray(view_cls)  # (B,12,d); patches stay put
-                view_feats = (np.asarray(view_feats)
-                              if view_feats is not None else None)
+                # one batched device_get (async copies overlap — one round
+                # trip, not three); patch tokens stay device-resident
+                nms_maps, view_cls, view_feats = jax.device_get(
+                    (nms_maps, view_cls, view_feats))
 
             with sec("candidates"):
                 cand_lists = [

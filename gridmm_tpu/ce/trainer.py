@@ -143,13 +143,12 @@ class CETrainer:
                     agent._jit_perception(
                         agent.wp_params, agent.rgb_params, agent.depth_params,
                         agent.clip_params, agent.view_params, rgb, depth)
-                nms_maps, probs = np.asarray(nms_maps), np.asarray(probs)
-                view_cls = np.asarray(view_cls)
-                # same view tokens in train as in eval rollout (the reference
-                # runs one policy forward for both; previously a configured
-                # timm view tower was silently unused in training)
-                view_feats = (np.asarray(view_feats)
-                              if view_feats is not None else None)
+                # one batched device_get: the async host copies overlap, so a
+                # high-latency link pays one round trip instead of four.
+                # (view_feats: same view tokens in train as in eval rollout —
+                # the reference runs one policy forward for both)
+                nms_maps, probs, view_cls, view_feats = jax.device_get(
+                    (nms_maps, probs, view_cls, view_feats))
                 # train-time waypoint sampling augmentation (Policy:393-425)
                 cand_lists = [
                     agent.candidates_from_nms(nms_maps[i], obs[i].heading,
