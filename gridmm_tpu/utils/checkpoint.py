@@ -56,9 +56,14 @@ def restore_checkpoint_subtree(path: str, key: str, template):
     param-sized optimizer-moment trees per checkpoint."""
     import orbax.checkpoint as ocp
 
+    item = {key: template}
     with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
         out = ckptr.restore(path, args=ocp.args.PyTreeRestore(
-            item={key: template}, partial_restore=True))
+            item=item,
+            # carry the template's shardings explicitly; otherwise orbax
+            # falls back to the sharding file and warns
+            restore_args=ocp.checkpoint_utils.construct_restore_args(item),
+            partial_restore=True))
     return out[key]
 
 
