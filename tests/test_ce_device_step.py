@@ -182,3 +182,43 @@ def test_candidate_sector_bins_robust_at_midpoints():
                      % 12)
     host = [((a + per_img // 2) // per_img) % 12 for a in range(NUM_ANGLES)]
     np.testing.assert_array_equal(dev, host)
+
+
+def test_device_build_step_zero_candidates():
+    """An all-zero NMS map (no waypoint peaks) must produce the same
+    view-only panorama and masks on both paths — the n=0 edge the arena
+    rollouts rarely hit."""
+    cfg, agent = _tiny_agent()
+    b = 2
+    env = SyntheticContinuousEnv(num_envs=b, image_size=56, depth_size=256,
+                                 seed=5)
+    obs = env.reset()
+    centers = np.asarray([19 + 36 * i for i in range(7)])
+    next_slot = np.full((b,), 1, np.int32)
+    cap = cfg.model.max_action_steps
+    tpos = np.zeros((b, cap, 3), np.float32)
+    for i, ob in enumerate(obs):
+        tpos[i, 0] = [ob.position[0], 0.0, ob.position[1]]
+    tdist = np.zeros((b, cap), np.float32)
+
+    rgb = jnp.asarray(np.stack([ob.rgb for ob in obs]))
+    depth = jnp.asarray(np.stack([ob.depth for ob in obs]))
+    _nms, _probs, _patch, view_cls, view_feats = agent._jit_perception(
+        agent.wp_params, agent.rgb_params, agent.depth_params,
+        agent.clip_params, agent.view_params, rgb, depth)
+    zero_nms = jnp.zeros((b, NUM_ANGLES, 12), jnp.float32)
+
+    cand = device_candidates(zero_nms, 5)
+    assert not bool(np.asarray(cand.mask).any())
+    x_host, _ = agent._build_step(obs, [[] for _ in range(b)],
+                                  np.asarray(view_cls), centers, next_slot, 0)
+    x_dev = device_build_step(
+        cfg, cand, view_cls, depth,
+        jnp.asarray(np.stack([ob.position for ob in obs]).astype(np.float32)),
+        jnp.asarray(np.asarray([ob.heading for ob in obs], np.float32)),
+        jnp.asarray(tpos), jnp.asarray(tdist), jnp.ones((b,), jnp.int32),
+        np.int32(0))
+    for f in StepInputs._fields:
+        a_h, a_d = np.asarray(getattr(x_host, f)), np.asarray(getattr(x_dev, f))
+        assert np.isfinite(a_d[np.isfinite(a_h)]).all(), f
+        np.testing.assert_allclose(a_d, a_h, atol=1e-4, err_msg=f)
