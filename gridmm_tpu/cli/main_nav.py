@@ -78,6 +78,9 @@ def parse_args(argv=None):
     p.add_argument("--submit", default=None,
                    help="write leaderboard-format predictions JSON here "
                         "after the final eval (main_nav.py:246-260)")
+    p.add_argument("--detailed_output", action="store_true",
+                   help="include per-node stop probabilities in the "
+                        "submission records (r2r/agent.py:427-431 details)")
     return p.parse_args(argv)
 
 
@@ -307,7 +310,8 @@ def main(argv=None):
                                                    process_index)
 
         val_agent.params = agent.params
-        _, preds = val_agent.evaluate(None)
+        _, preds = val_agent.evaluate(None,
+                                      detailed_output=args.detailed_output)
         preds = merge_prediction_lists(preds)
         if process_index() == 0:
             val_agent.write_submission(preds, args.submit)

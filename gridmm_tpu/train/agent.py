@@ -460,13 +460,15 @@ class NavAgent:
         return traj, batch, stats
 
     # ------------------------------------------------------------------ eval
-    def evaluate(self, num_batches: Optional[int] = None
-                 ) -> Tuple[dict, List[dict]]:
+    def evaluate(self, num_batches: Optional[int] = None,
+                 detailed_output: bool = False) -> Tuple[dict, List[dict]]:
         """Greedy eval with instr_id dedup (agent_base.py:43-65 test loop).
 
         num_batches=None iterates the WHOLE split to wraparound — reference
         `test()` semantics; a fixed count is a subsample and should only be
-        used for cheap mid-training probes."""
+        used for cheap mid-training probes. detailed_output additionally
+        records per-node stop probabilities (r2r/agent.py:427-431,
+        agent_base.py:30-32 `details`)."""
         preds: Dict[str, dict] = {}
         self.env.reset_epoch(shuffle=False)
         total = self.env.size()
@@ -476,12 +478,17 @@ class NavAgent:
         for _ in range(limit):
             traj, _, _ = self.rollout(feedback="argmax")
             for item in traj:
-                preds.setdefault(item["instr_id"], {
+                rec = {
                     "instr_id": item["instr_id"],
                     "trajectory": item["trajectory"],
                     "pred_obj_id": item.get("pred_obj_id"),
                     "pred_obj_heading": item.get("pred_obj_heading"),
-                    "pred_obj_elevation": item.get("pred_obj_elevation")})
+                    "pred_obj_elevation": item.get("pred_obj_elevation")}
+                if detailed_output:
+                    rec["details"] = {
+                        vp: {"stop_prob": score}
+                        for vp, score in item["stop_scores"].items()}
+                preds.setdefault(item["instr_id"], rec)
             if num_batches is None and len(preds) >= total:
                 break
         pred_list = list(preds.values())
@@ -491,13 +498,21 @@ class NavAgent:
     @staticmethod
     def write_submission(preds, path: str) -> None:
         """Leaderboard-format JSON: [{instr_id, trajectory: [[vp, 0, 0], ...]}]
-        (main_nav.py:246-260 submit format)."""
+        (main_nav.py:246-260 submit format). Object-grounding datasets
+        (REVERIE/SOON) additionally carry the predicted object under the
+        reference's submission key `pred_objid`
+        (reverie/agent_base.py:30, reverie/env.py:719)."""
         import json
 
         out = []
         for item in preds:
             flat = [vp for seg in item["trajectory"] for vp in seg]
-            out.append({"instr_id": item["instr_id"],
-                        "trajectory": [[vp, 0.0, 0.0] for vp in flat]})
+            rec = {"instr_id": item["instr_id"],
+                   "trajectory": [[vp, 0.0, 0.0] for vp in flat]}
+            if item.get("pred_obj_id") is not None:
+                rec["pred_objid"] = str(item["pred_obj_id"])
+            if item.get("details"):
+                rec["details"] = item["details"]
+            out.append(rec)
         with open(path, "w") as f:
             json.dump(out, f)

@@ -1,0 +1,108 @@
+"""AOT serving export: jax.export roundtrip of the navigator serving graphs.
+
+The exported artifacts must reproduce the live jitted step bit-for-bit on the
+same backend, and must deserialize + run WITHOUT rebuilding the model."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gridmm_tpu.config import tiny_config
+from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
+from gridmm_tpu.train.step import init_carry, nav_device_step
+from gridmm_tpu.utils.export import (export_navigator_serving, load_exported,
+                                     save_serving_bundle, zero_step_inputs)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    return cfg, model, params
+
+
+def _example_inputs(cfg, batch=2, seed=1):
+    rng = np.random.default_rng(seed)
+    t = cfg.shapes.max_txt_len
+    txt_ids = jnp.asarray(
+        rng.integers(1, 100, size=(batch, t)), jnp.int32)
+    txt_mask = jnp.asarray(np.arange(t)[None] < 7, bool) * jnp.ones(
+        (batch, 1), bool)
+    x = zero_step_inputs(cfg, batch)
+    x = x._replace(
+        view_img_fts=jnp.asarray(
+            rng.standard_normal(x.view_img_fts.shape), jnp.float32) * 0.3,
+        view_mask=jnp.ones_like(x.view_mask),
+        nav_types=jnp.ones_like(x.nav_types),
+        depth=jnp.asarray(
+            rng.integers(100, 15000, size=x.depth.shape), jnp.float32),
+        patch_fts=jnp.asarray(
+            rng.standard_normal(x.patch_fts.shape), jnp.float32) * 0.3,
+        gmap_mask=jnp.asarray(
+            np.arange(x.gmap_mask.shape[1])[None] < 3, bool)
+        * jnp.ones((batch, 1), bool),
+        vp_nav_mask=jnp.ones_like(x.vp_nav_mask),
+    )
+    return txt_ids, txt_mask, x
+
+
+def test_export_roundtrip_matches_live_step(setup, tmp_path):
+    cfg, model, params = setup
+    batch = 2
+    exports = export_navigator_serving(model, cfg, params, batch=batch)
+    save_serving_bundle(exports, str(tmp_path), cfg=cfg)
+
+    manifest = json.loads((tmp_path / "manifest.json").read_text())
+    assert set(manifest["artifacts"]) == {"language", "nav_step"}
+    assert manifest["model"]["hidden_size"] == cfg.model.hidden_size
+
+    lang = load_exported(str(tmp_path / "language.jaxexport"))
+    step = load_exported(str(tmp_path / "nav_step.jaxexport"))
+
+    txt_ids, txt_mask, x = _example_inputs(cfg, batch)
+    carry = init_carry(cfg, batch)
+
+    # live path
+    txt_live = jax.jit(lambda p, i, m: model.apply(
+        p, "language", {"txt_ids": i, "txt_mask": m}))(
+            params, txt_ids, txt_mask)
+    carry_live, out_live = jax.jit(
+        lambda p, t, m, c, xx: nav_device_step(model, cfg, p, t, m, c, xx))(
+            params, txt_live, txt_mask, carry, x)
+
+    # exported path (no model object involved)
+    txt_exp = jax.jit(lang.call)(params, txt_ids, txt_mask)
+    carry_exp, out_exp = jax.jit(step.call)(
+        params, txt_exp, txt_mask, init_carry(cfg, batch), x)
+
+    np.testing.assert_array_equal(np.asarray(txt_live), np.asarray(txt_exp))
+    np.testing.assert_array_equal(np.asarray(out_live.fused_logits),
+                                  np.asarray(out_exp.fused_logits))
+    np.testing.assert_array_equal(np.asarray(out_live.grid_logits),
+                                  np.asarray(out_exp.grid_logits))
+    np.testing.assert_array_equal(np.asarray(carry_live.point_state.count),
+                                  np.asarray(carry_exp.point_state.count))
+    # the pytree namedtuple types survive the roundtrip
+    assert type(carry_exp).__name__ == "NavCarry"
+    assert type(out_exp).__name__ == "NavOutputs"
+
+
+def test_export_rejects_wrong_shapes(setup):
+    cfg, model, params = setup
+    exports = export_navigator_serving(model, cfg, params, batch=1)
+    txt_ids, txt_mask, _ = _example_inputs(cfg, batch=2)
+    with pytest.raises(Exception, match="(?i)shape|rank|aval|incompatible"):
+        jax.jit(exports["language"].call)(params, txt_ids, txt_mask)
+
+
+def test_export_cli_smoke(tmp_path):
+    from gridmm_tpu.cli.export_serving import main
+
+    main(["--tiny", "--out_dir", str(tmp_path / "bundle"), "--batch", "1"])
+    files = {p.name for p in (tmp_path / "bundle").iterdir()}
+    assert {"language.jaxexport", "nav_step.jaxexport",
+            "manifest.json"} <= files

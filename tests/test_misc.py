@@ -128,6 +128,18 @@ def test_submission_writer(tmp_path):
     data = json.loads(path.read_text())
     assert data[0]["trajectory"] == [["a", 0.0, 0.0], ["b", 0.0, 0.0],
                                      ["c", 0.0, 0.0]]
+    assert "pred_objid" not in data[0]  # plain R2R entries stay objid-free
+
+
+def test_submission_writer_object_grounding(tmp_path):
+    """REVERIE/SOON submissions carry pred_objid (reverie/agent_base.py:30)."""
+    from gridmm_tpu.train.agent import NavAgent
+
+    preds = [{"instr_id": "2_1", "trajectory": [["a"]], "pred_obj_id": 17}]
+    path = tmp_path / "submit_obj.json"
+    NavAgent.write_submission(preds, str(path))
+    data = json.loads(path.read_text())
+    assert data[0]["pred_objid"] == "17"
 
 
 def test_aug_view_wrapper():
