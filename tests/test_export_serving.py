@@ -99,6 +99,21 @@ def test_export_rejects_wrong_shapes(setup):
         jax.jit(exports["language"].call)(params, txt_ids, txt_mask)
 
 
+def test_cross_platform_export_from_cpu(setup, tmp_path):
+    """TPU serving bundles can be built on a CPU-only host: jax.export
+    lowers for the requested platforms without needing the device, and the
+    multi-platform artifact still executes on the local backend."""
+    cfg, model, params = setup
+    exports = export_navigator_serving(model, cfg, params, batch=1,
+                                       platforms=("cpu", "tpu"))
+    save_serving_bundle(exports, str(tmp_path), cfg=cfg)
+    lang = load_exported(str(tmp_path / "language.jaxexport"))
+    assert set(lang.platforms) == {"cpu", "tpu"}
+    txt_ids, txt_mask, _ = _example_inputs(cfg, batch=1)
+    out = jax.jit(lang.call)(params, txt_ids, txt_mask)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_export_cli_smoke(tmp_path):
     from gridmm_tpu.cli.export_serving import main
 
