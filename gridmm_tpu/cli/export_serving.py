@@ -31,6 +31,15 @@ def parse_args(argv=None):
                    help="static serving batch of the exported step graph")
     p.add_argument("--max_action_len", type=int, default=None,
                    help="episode-length cap; sizes the exported point buffer")
+    p.add_argument("--mesh", choices=["auto"], default=None,
+                   help="export the graphs pjit-ed over the device mesh "
+                        "(multi-chip serving; records shardings + device "
+                        "count in the artifact)")
+    p.add_argument("--mp_size", type=int, default=1,
+                   help="model-axis (tensor-parallel) size of --mesh auto")
+    p.add_argument("--fsdp", action="store_true",
+                   help="additionally shard params over the data axis "
+                        "(ZeRO-3 style) in the exported graphs")
     p.add_argument("--platforms", default=None,
                    help="comma-separated lowering targets, e.g. 'tpu,cpu' "
                         "(default: current backend only)")
@@ -85,12 +94,25 @@ def main(argv=None):
         params = restore_checkpoint(os.path.abspath(args.resume), params)
 
     platforms = args.platforms.split(",") if args.platforms else None
-    exports = export_navigator_serving(model, cfg, params,
-                                       batch=args.batch, platforms=platforms)
+    if args.mesh:
+        from gridmm_tpu.config import MeshConfig
+        from gridmm_tpu.parallel.mesh import make_mesh
+        from gridmm_tpu.utils.export import export_navigator_serving_sharded
+
+        mesh = make_mesh(MeshConfig(mp_size=args.mp_size))
+        exports = export_navigator_serving_sharded(
+            model, cfg, params, mesh, batch=args.batch,
+            platforms=platforms, fsdp=args.fsdp)
+        mesh_manifest = {"mesh": dict(mesh.shape)}
+    else:
+        exports = export_navigator_serving(
+            model, cfg, params, batch=args.batch, platforms=platforms)
+        mesh_manifest = {}
     manifest = save_serving_bundle(
         exports, args.out_dir, cfg=cfg,
         extra_manifest={"batch": args.batch,
-                        "config": "tiny" if args.tiny else args.config})
+                        "config": "tiny" if args.tiny else args.config,
+                        **mesh_manifest})
     import json
     print(json.dumps(manifest))
 

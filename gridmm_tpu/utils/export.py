@@ -119,6 +119,64 @@ def export_navigator_serving(model, cfg, params, batch: int = 1,
     return {"language": exp_lang, "nav_step": exp_step}
 
 
+def export_navigator_serving_sharded(model, cfg, params, mesh, batch: int,
+                                     platforms: Optional[Sequence[str]] = None,
+                                     fsdp: bool = False):
+    """Multi-chip serving export: the step graph pjit-ed over a device mesh.
+
+    Parameters follow the parallel/mesh.py rules (Megatron-TP over `model`,
+    optional ZeRO-3 over `data`), per-step inputs and the episode carry are
+    batch-sharded over the `data` axis. The artifact records the shardings
+    and the mesh shape; a deserializing process must run it on the same
+    number of devices (jax.export sharded-calling convention). `batch` must
+    be divisible by the data-axis size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gridmm_tpu.parallel.mesh import param_shardings
+    from gridmm_tpu.train.step import init_carry, nav_device_step
+
+    register_serving_pytrees()
+
+    data_axis, _ = mesh.axis_names
+    dp = mesh.shape[data_axis]
+    if batch % dp != 0:
+        raise ValueError(f"serving batch {batch} not divisible by "
+                         f"data-axis size {dp}")
+    pshard = param_shardings(params, mesh, fsdp=fsdp)
+
+    def bshard(tree):
+        return jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P(data_axis)), tree)
+
+    t = cfg.shapes.max_txt_len
+    txt_ids = jnp.zeros((batch, t), jnp.int32)
+    txt_mask = jnp.zeros((batch, t), bool)
+    carry = init_carry(cfg, batch)
+    x = zero_step_inputs(cfg, batch)
+
+    lang_fn = jax.jit(
+        lambda p, ids, mask: model.apply(
+            p, "language", {"txt_ids": ids, "txt_mask": mask}),
+        in_shardings=(pshard, bshard(txt_ids), bshard(txt_mask)))
+    step_fn = jax.jit(
+        lambda p, txt, mask, c, xx: nav_device_step(
+            model, cfg, p, txt, mask, c, xx),
+        in_shardings=(pshard, bshard(jnp.zeros((batch, t, 1))),
+                      bshard(txt_mask), bshard(carry), bshard(x)))
+
+    params = jax.device_put(params, pshard)
+    txt_ids, txt_mask, carry, x = (
+        jax.device_put(v, bshard(v)) for v in (txt_ids, txt_mask, carry, x))
+    txt_embeds = lang_fn(params, txt_ids, txt_mask)
+
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    exp_lang = jax.export.export(lang_fn, **kw)(params, txt_ids, txt_mask)
+    exp_step = jax.export.export(step_fn, **kw)(
+        params, txt_embeds, txt_mask, carry, x)
+    return {"language": exp_lang, "nav_step": exp_step}
+
+
 def save_serving_bundle(exports: dict, out_dir: str, cfg=None,
                         extra_manifest: Optional[dict] = None) -> dict:
     """Serialize exported graphs to `<out_dir>/<name>.jaxexport` + manifest."""
@@ -132,6 +190,7 @@ def save_serving_bundle(exports: dict, out_dir: str, cfg=None,
             "file": fname,
             "platforms": list(exp.platforms),
             "num_args": len(exp.in_avals),
+            "nr_devices": exp.nr_devices,
         }
     if cfg is not None:
         manifest["model"] = {

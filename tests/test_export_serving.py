@@ -114,6 +114,63 @@ def test_cross_platform_export_from_cpu(setup, tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_sharded_export_matches_single_device(setup, tmp_path):
+    """The mesh-sharded (dp=4, tp=2) serving artifact computes the same step
+    as the single-device path and records the 8-device calling convention."""
+    from gridmm_tpu.config import MeshConfig
+    from gridmm_tpu.parallel.mesh import make_mesh
+    from gridmm_tpu.utils.export import export_navigator_serving_sharded
+
+    cfg, model, params = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_mesh(MeshConfig(mp_size=2), jax.devices())
+    batch = 8
+    exports = export_navigator_serving_sharded(model, cfg, params, mesh,
+                                               batch=batch)
+    save_serving_bundle(exports, str(tmp_path), cfg=cfg)
+    manifest = json.loads((tmp_path / "manifest.json").read_text())
+    assert manifest["artifacts"]["nav_step"]["nr_devices"] == 8
+
+    lang = load_exported(str(tmp_path / "language.jaxexport"))
+    step = load_exported(str(tmp_path / "nav_step.jaxexport"))
+
+    txt_ids, txt_mask, x = _example_inputs(cfg, batch)
+    carry = init_carry(cfg, batch)
+
+    txt_ref = jax.jit(lambda p, i, m: model.apply(
+        p, "language", {"txt_ids": i, "txt_mask": m}))(
+            params, txt_ids, txt_mask)
+    carry_ref, out_ref = jax.jit(
+        lambda p, t, m, c, xx: nav_device_step(model, cfg, p, t, m, c, xx))(
+            params, txt_ref, txt_mask, carry, x)
+
+    # a sharded artifact must be invoked in an N-device context: place the
+    # args on the recorded shardings first
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gridmm_tpu.parallel.mesh import param_shardings
+
+    data_sh = lambda tree: jax.device_put(tree, jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P("data")), tree))
+    params_d = jax.device_put(params, param_shardings(params, mesh))
+    txt_sh = jax.jit(lang.call)(params_d, data_sh(txt_ids), data_sh(txt_mask))
+    carry_sh, out_sh = jax.jit(step.call)(
+        params_d, txt_sh, data_sh(txt_mask),
+        data_sh(init_carry(cfg, batch)), data_sh(x))
+
+    # TP changes the matmul reduction order -> tolerance, not bit equality
+    np.testing.assert_allclose(np.asarray(txt_sh), np.asarray(txt_ref),
+                               rtol=2e-5, atol=2e-5)
+    ref, sh = (np.asarray(out_ref.fused_logits),
+               np.asarray(out_sh.fused_logits))
+    finite = np.isfinite(ref)
+    assert (finite == np.isfinite(sh)).all()
+    np.testing.assert_allclose(sh[finite], ref[finite], rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(carry_sh.point_state.count),
+                                  np.asarray(carry_ref.point_state.count))
+
+
 def test_export_cli_smoke(tmp_path):
     from gridmm_tpu.cli.export_serving import main
 
