@@ -314,7 +314,8 @@ def main(argv=None):
                                       detailed_output=args.detailed_output)
         preds = merge_prediction_lists(preds)
         if process_index() == 0:
-            val_agent.write_submission(preds, args.submit)
+            val_agent.write_submission(preds, args.submit,
+                                       objects=cfg.model.obj_feat_size > 0)
             print(f"wrote {len(preds)} predictions -> {args.submit}")
     print(json.dumps({
         "best_spl": result.best_spl, "best_iter": result.best_iter,

@@ -77,10 +77,10 @@ class TextPathDataset:
         self.cfg = cfg
         self.rng = random.Random(seed)
         self.angle_table = all_point_angle_features(cfg.model.angle_feat_size)
+        tables = {s: g.all_pairs_tables() for s, g in graphs.items()}
         self.shortest_paths = shortest_paths or {
-            s: g.all_pairs_paths() for s, g in graphs.items()}
-        self.shortest_distances = {
-            s: g.all_pairs_distances() for s, g in graphs.items()}
+            s: t[1] for s, t in tables.items()}
+        self.shortest_distances = {s: t[0] for s, t in tables.items()}
 
     def __len__(self):
         return len(self.data)

@@ -114,10 +114,9 @@ class DiscreteNavEnv:
         self.batch: List[dict] = []
         self.states: List[EpisodeState] = []
 
-        self.shortest_distances = {
-            s: g.all_pairs_distances() for s, g in graphs.items()}
-        self.shortest_paths = {
-            s: g.all_pairs_paths() for s, g in graphs.items()}
+        tables = {s: g.all_pairs_tables() for s, g in graphs.items()}
+        self.shortest_distances = {s: t[0] for s, t in tables.items()}
+        self.shortest_paths = {s: t[1] for s, t in tables.items()}
         self.angle_table = all_point_angle_features(angle_feat_size)
         self._cand_cache: Dict[str, list] = {}
 

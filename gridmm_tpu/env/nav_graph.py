@@ -173,39 +173,36 @@ class NavGraph:
             shape=(n, n))
         return vps, idx, mat
 
-    def all_pairs_distances(self) -> Mapping:
-        """All-pairs shortest distances as a lazy matrix-backed table.
+    def all_pairs_tables(self) -> Tuple[Mapping, Mapping]:
+        """(distances, paths) from ONE vectorized Dijkstra sweep.
 
         The reference pays an eager per-scan networkx dict-of-dicts at
         startup (map_nav_src/r2r/env.py:465-481, O(n^2) dict entries); here
-        one vectorized scipy Dijkstra sweep fills an (n, n) matrix and reads
-        stay dict-shaped (measured ~28x faster per-scan startup at n=300:
-        23ms vs 655ms for both tables, and two flat matrices instead of n^2
-        dict/list objects). Falls back to the eager pure-python sweep
-        without scipy."""
+        one scipy sweep fills (dist, predecessor) matrices shared by both
+        lazy tables and reads stay dict-shaped (measured ~28x faster
+        per-scan startup at n=300: 23ms vs 655ms for both tables, and flat
+        matrices instead of n^2 dict/list objects). Falls back to the eager
+        pure-python sweep without scipy."""
         try:
             from scipy.sparse.csgraph import dijkstra
         except ImportError:
-            return {vp: self.dijkstra(vp)[0] for vp in self.adj}
+            return ({vp: self.dijkstra(vp)[0] for vp in self.adj},
+                    self._all_pairs_paths_py())
         if not self.adj:
-            return {}
-        vps, _, mat = self._csgraph()
-        return DistanceTable(vps, dijkstra(mat, directed=True))
-
-    def all_pairs_paths(self) -> Mapping:
-        """All-pairs shortest paths as a lazy predecessor-backed table; each
-        path is reconstructed on first lookup (ties may resolve differently
-        from the python heap order — any shortest path is a valid teacher,
-        matching the reference's unspecified networkx tie-breaking)."""
-        try:
-            from scipy.sparse.csgraph import dijkstra
-        except ImportError:
-            return self._all_pairs_paths_py()
-        if not self.adj:
-            return {}
+            return {}, {}
         vps, _, mat = self._csgraph()
         dist, pred = dijkstra(mat, directed=True, return_predecessors=True)
-        return PathTable(vps, dist, pred)
+        return DistanceTable(vps, dist), PathTable(vps, dist, pred)
+
+    def all_pairs_distances(self) -> Mapping:
+        return self.all_pairs_tables()[0]
+
+    def all_pairs_paths(self) -> Mapping:
+        """Lazy predecessor-backed paths; each path is reconstructed on
+        first lookup (ties may resolve differently from the python heap
+        order — any shortest path is a valid teacher, matching the
+        reference's unspecified networkx tie-breaking)."""
+        return self.all_pairs_tables()[1]
 
     def _all_pairs_paths_py(self) -> Dict[str, Dict[str, List[str]]]:
         out: Dict[str, Dict[str, List[str]]] = {}

@@ -496,12 +496,12 @@ class NavAgent:
         return avg, pred_list
 
     @staticmethod
-    def write_submission(preds, path: str) -> None:
+    def write_submission(preds, path: str, objects: bool = False) -> None:
         """Leaderboard-format JSON: [{instr_id, trajectory: [[vp, 0, 0], ...]}]
-        (main_nav.py:246-260 submit format). Object-grounding datasets
-        (REVERIE/SOON) additionally carry the predicted object under the
-        reference's submission key `pred_objid`
-        (reverie/agent_base.py:30, reverie/env.py:719)."""
+        (main_nav.py:246-260 submit format). objects=True (REVERIE/SOON
+        runs) always writes the reference's submission key `pred_objid`
+        (reverie/agent_base.py:30) — null when the agent never grounded an
+        object, so strict evaluators that index the key don't KeyError."""
         import json
 
         out = []
@@ -509,8 +509,9 @@ class NavAgent:
             flat = [vp for seg in item["trajectory"] for vp in seg]
             rec = {"instr_id": item["instr_id"],
                    "trajectory": [[vp, 0.0, 0.0] for vp in flat]}
-            if item.get("pred_obj_id") is not None:
-                rec["pred_objid"] = str(item["pred_obj_id"])
+            if objects or item.get("pred_obj_id") is not None:
+                oid = item.get("pred_obj_id")
+                rec["pred_objid"] = None if oid is None else str(oid)
             if item.get("details"):
                 rec["details"] = item["details"]
             out.append(rec)

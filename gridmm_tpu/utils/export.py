@@ -154,6 +154,7 @@ def export_navigator_serving_sharded(model, cfg, params, mesh, batch: int,
     txt_mask = jnp.zeros((batch, t), bool)
     carry = init_carry(cfg, batch)
     x = zero_step_inputs(cfg, batch)
+    data_sharding = NamedSharding(mesh, P(data_axis))
 
     lang_fn = jax.jit(
         lambda p, ids, mask: model.apply(
@@ -162,13 +163,11 @@ def export_navigator_serving_sharded(model, cfg, params, mesh, batch: int,
     step_fn = jax.jit(
         lambda p, txt, mask, c, xx: nav_device_step(
             model, cfg, p, txt, mask, c, xx),
-        in_shardings=(pshard, bshard(jnp.zeros((batch, t, 1))),
+        in_shardings=(pshard, data_sharding,
                       bshard(txt_mask), bshard(carry), bshard(x)))
 
-    params = jax.device_put(params, pshard)
-    txt_ids, txt_mask, carry, x = (
-        jax.device_put(v, bshard(v)) for v in (txt_ids, txt_mask, carry, x))
-    txt_embeds = lang_fn(params, txt_ids, txt_mask)
+    # export only traces: abstract avals suffice, nothing runs on device
+    txt_embeds = jax.eval_shape(lang_fn, params, txt_ids, txt_mask)
 
     kw = {"platforms": tuple(platforms)} if platforms else {}
     exp_lang = jax.export.export(lang_fn, **kw)(params, txt_ids, txt_mask)

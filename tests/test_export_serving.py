@@ -171,6 +171,40 @@ def test_sharded_export_matches_single_device(setup, tmp_path):
                                   np.asarray(carry_ref.point_state.count))
 
 
+def test_zero_step_inputs_matches_live_builder_schema():
+    """zero_step_inputs (the exported calling convention) must stay in sync
+    with the agent's live StepInputs builder — a drift would silently break
+    serving hosts that mirror the agent's input assembly."""
+    from gridmm_tpu.env.discrete import DiscreteNavEnv, synthetic_episodes
+    from gridmm_tpu.env.world import SyntheticWorld
+    from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
+    from gridmm_tpu.train.agent import EpisodeBook, NavAgent
+
+    cfg = tiny_config()
+    world = SyntheticWorld(num_scans=1, nodes_per_scan=8, feat_dim=768,
+                           seed=0)
+    episodes = synthetic_episodes(world, num=4, seed=0, max_len=3)
+    env = DiscreteNavEnv(world, world.graphs, episodes,
+                         batch_size=cfg.train.batch_size, seed=0)
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    agent = NavAgent(model, cfg, env, params)
+    obs = env.reset()
+    agent._update_caches(obs)
+    books = [EpisodeBook(ob["viewpoint"], cfg.shapes.max_gmap_len)
+             for ob in obs]
+    for i, ob in enumerate(obs):
+        books[i].topo.update(
+            ob["viewpoint"], ob["position"],
+            [(c["viewpointId"], c["position"]) for c in ob["candidate"]])
+    live, _, _ = agent.build_step_inputs(obs, books)
+    zero = zero_step_inputs(cfg, len(obs))
+    assert type(live)._fields == type(zero)._fields
+    for name, lv, zv in zip(type(live)._fields, live, zero):
+        assert tuple(lv.shape) == tuple(zv.shape), name
+        assert np.dtype(lv.dtype) == np.dtype(zv.dtype), name
+
+
 def test_export_cli_smoke(tmp_path):
     from gridmm_tpu.cli.export_serving import main
 

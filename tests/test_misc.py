@@ -132,14 +132,18 @@ def test_submission_writer(tmp_path):
 
 
 def test_submission_writer_object_grounding(tmp_path):
-    """REVERIE/SOON submissions carry pred_objid (reverie/agent_base.py:30)."""
+    """REVERIE/SOON submissions carry pred_objid (reverie/agent_base.py:30);
+    with objects=True the key is ALWAYS present (null when ungrounded), so
+    strict evaluators indexing it don't KeyError."""
     from gridmm_tpu.train.agent import NavAgent
 
-    preds = [{"instr_id": "2_1", "trajectory": [["a"]], "pred_obj_id": 17}]
+    preds = [{"instr_id": "2_1", "trajectory": [["a"]], "pred_obj_id": 17},
+             {"instr_id": "2_2", "trajectory": [["b"]], "pred_obj_id": None}]
     path = tmp_path / "submit_obj.json"
-    NavAgent.write_submission(preds, str(path))
+    NavAgent.write_submission(preds, str(path), objects=True)
     data = json.loads(path.read_text())
     assert data[0]["pred_objid"] == "17"
+    assert data[1]["pred_objid"] is None
 
 
 def test_aug_view_wrapper():
