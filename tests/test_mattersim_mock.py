@@ -76,11 +76,15 @@ class _FakeSim:
 
 def _with_fake_mattersim(fn):
     fake_module = types.SimpleNamespace(Simulator=_FakeSim)
+    prior = sys.modules.get("MatterSim")
     sys.modules["MatterSim"] = fake_module
     try:
         return fn()
     finally:
-        del sys.modules["MatterSim"]
+        if prior is None:
+            del sys.modules["MatterSim"]
+        else:
+            sys.modules["MatterSim"] = prior
 
 
 def test_mattersim_renderer_sweep_contract():
