@@ -285,9 +285,14 @@ class CETrainer:
         share the checkpoint dir."""
         if jax.process_index() != 0:
             return
-        from gridmm_tpu.utils.checkpoint import save_checkpoint
+        from gridmm_tpu.utils.checkpoint import AsyncSaver
 
-        save_checkpoint(os.path.abspath(path), {
+        if not hasattr(self, "_saver"):
+            # per-epoch writes overlap the next epoch's episodes; orbax
+            # commits by atomic rename, so a polling evaluator (run_ce
+            # --run-type eval) never sees a half-written ckpt.{N}
+            self._saver = AsyncSaver()
+        self._saver.save(os.path.abspath(path), {
             "params": self.agent.nav_params,
             "opt_state": self.opt_state,
             "epoch": np.asarray(self._epoch, np.int32)})
@@ -298,6 +303,9 @@ class CETrainer:
         base_il_trainer.py:147-150). Restoring into the current (possibly
         mesh-sharded) params/opt_state keeps their shardings."""
         from gridmm_tpu.utils.checkpoint import restore_checkpoint
+
+        if hasattr(self, "_saver"):
+            self._saver.wait()  # a just-written ckpt must be committed
 
         state = restore_checkpoint(os.path.abspath(path), {
             "params": self.agent.nav_params,

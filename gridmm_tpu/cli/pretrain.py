@@ -430,9 +430,9 @@ def main(argv=None):
     state = create_train_state(cfg, params, tx)
     import os
 
-    from gridmm_tpu.utils.checkpoint import (pretrain_params_to_navigator,
-                                             restore_checkpoint,
-                                             save_checkpoint)
+    from gridmm_tpu.utils.checkpoint import (AsyncSaver,
+                                             pretrain_params_to_navigator,
+                                             restore_checkpoint)
 
     if args.resume:
         state = restore_checkpoint(os.path.abspath(args.resume), state)
@@ -440,9 +440,12 @@ def main(argv=None):
 
     ckpt_root = os.path.abspath(os.path.join(args.output_dir, "ckpts"))
     nav_template: list = []  # built lazily on first save (one init trace)
+    # async cadence saves overlap the next training window (donation-safe:
+    # the host copy happens inside save() before the step jits reuse state)
+    saver = AsyncSaver()
 
     def _save(state, tag: str, nav: bool = True) -> None:
-        save_checkpoint(os.path.join(ckpt_root, tag), state)
+        saver.save(os.path.join(ckpt_root, tag), state)
         if not nav:
             return
         # fine-tune handoff flavor: main_nav --resume <dir>/navigator_latest.
@@ -454,7 +457,7 @@ def main(argv=None):
             nav_template.append(init_navigator(
                 GridMMNavigator(cfg.model), cfg.shapes,
                 jax.random.PRNGKey(0)))
-        save_checkpoint(
+        saver.save(
             os.path.join(ckpt_root, "navigator_latest"),
             pretrain_params_to_navigator(state.params, nav_template[0]))
 
@@ -533,10 +536,12 @@ def main(argv=None):
                           flush=True)
                 else:
                     _save(state, "latest")
+                saver.close()  # durable before exiting
             except Exception as save_err:  # don't mask the original error
                 print(f"interrupt-save failed: {save_err!r}", flush=True)
         raise
     _save(state, "latest")
+    saver.close()
     return state
 
 

@@ -93,14 +93,19 @@ def train_navigator(
     best_spl, best_iter = -1.0, -1
     final_metrics: Dict[str, float] = {}
 
+    # async cadence saves: the write overlaps the next training interval
+    # (AsyncSaver host-copies before returning, so the step jits may donate
+    # state.params immediately)
+    from gridmm_tpu.utils.checkpoint import AsyncSaver
+
+    saver = AsyncSaver()
+
     def _save_latest():
         # checkpoint writes are rank-0-only: hosts share the output dir and
         # concurrent orbax writers would corrupt it
         if ckpt_dir and jax.process_index() == 0:
-            from gridmm_tpu.utils.checkpoint import save_checkpoint
-
-            save_checkpoint(os.path.join(os.path.abspath(ckpt_dir), "latest"),
-                            state.params)
+            saver.save(os.path.join(os.path.abspath(ckpt_dir), "latest"),
+                       state.params)
 
     def _bucket(s: int) -> int:
         """Smallest configured bucket covering s (else max_action_len).
@@ -201,9 +206,7 @@ def train_navigator(
                 if avg["spl"] > best_spl:
                     best_spl, best_iter = avg["spl"], it
                     if ckpt_dir and jax.process_index() == 0:
-                        from gridmm_tpu.utils.checkpoint import save_checkpoint
-
-                        save_checkpoint(
+                        saver.save(
                             os.path.join(os.path.abspath(ckpt_dir), "best_spl"),
                             state.params)
     except BaseException:
@@ -222,9 +225,11 @@ def train_navigator(
                       "resume from the last cadence checkpoint", flush=True)
             else:
                 _save_latest()
+            saver.close()  # make the interrupt save durable before exiting
         except Exception as save_err:
             print(f"interrupt-save failed: {save_err!r}", flush=True)
         raise
+    saver.close()
     agent.params = state.params
     logger.log(iters, timer.summary(), prefix="time/")
     return TrainerResult(best_spl, best_iter, final_metrics)

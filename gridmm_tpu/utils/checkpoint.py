@@ -42,6 +42,50 @@ def save_checkpoint(path: str, state) -> None:
         ckptr.save(path, state, force=True)
 
 
+class AsyncSaver:
+    """Background checkpoint writes overlapping training compute.
+
+    orbax's AsyncCheckpointer copies device arrays to host synchronously
+    inside save() and serializes/writes in a background thread, committing
+    via an atomic rename — so the caller may immediately donate/overwrite
+    the state arrays in the next training step while the multi-GB write
+    proceeds off the critical path (the reference's torch.save blocks the
+    step loop, agent_base.py:213-228). wait() makes the last save durable
+    (interrupt paths); close() at shutdown. Checkpoints are readable by the
+    same restore_checkpoint as the synchronous writer's.
+    """
+
+    def __init__(self):
+        self._ckptr = None
+
+    def save(self, path: str, state) -> None:
+        import orbax.checkpoint as ocp
+
+        if self._ckptr is None:
+            self._ckptr = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+        # one outstanding write: a cadence save overlaps the NEXT training
+        # interval, not a pile-up of writers on one directory tree
+        self._ckptr.wait_until_finished()
+        self._ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+
+    def wait(self) -> None:
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
+            self._ckptr.close()
+            self._ckptr = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def restore_checkpoint(path: str, template):
     import orbax.checkpoint as ocp
 
