@@ -31,6 +31,10 @@ def parse_args(argv=None):
                    help="static serving batch of the exported step graph")
     p.add_argument("--max_action_len", type=int, default=None,
                    help="episode-length cap; sizes the exported point buffer")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 MXU trunk matmuls in the exported graphs "
+                        "(weight-streaming serving; validate accuracy "
+                        "per-checkpoint)")
     p.add_argument("--mesh", choices=["auto"], default=None,
                    help="export the graphs pjit-ed over the device mesh "
                         "(multi-chip serving; records shardings + device "
@@ -62,6 +66,9 @@ def main(argv=None):
     cfg = C.tiny_config() if args.tiny else {
         "r2r": C.r2r_config, "reverie": C.reverie_config,
         "soon": C.soon_config, "rxr": C.rxr_config}[args.config]()
+    if args.int8:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, int8_matmuls=True))
     if args.max_action_len:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(
@@ -112,6 +119,7 @@ def main(argv=None):
         exports, args.out_dir, cfg=cfg,
         extra_manifest={"batch": args.batch,
                         "config": "tiny" if args.tiny else args.config,
+                        "int8": bool(args.int8),
                         **mesh_manifest})
     import json
     print(json.dumps(manifest))

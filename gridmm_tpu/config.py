@@ -63,6 +63,11 @@ class ModelConfig:
     compute_dtype: str = "float32"  # "bfloat16" on real TPU runs
     use_pallas_attention: bool = False
     use_pallas_grid_pool: bool = False
+    # serving-only: int8 MXU projections/FFN in the transformer trunk (same
+    # param layout — checkpoints load unchanged); at small serving batch the
+    # step is weight-streaming-bound, int8 quarters the weight traffic.
+    # Accuracy is per-checkpoint: validate cosine/argmax before enabling.
+    int8_matmuls: bool = False
 
     @property
     def head_dim(self) -> int:

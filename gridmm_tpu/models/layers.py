@@ -50,7 +50,29 @@ class LayerNorm(nn.Module):
         return y.astype(dtype)
 
 
-def _dense(features: int, name: str, dtype=jnp.float32):
+class Int8Dense(nn.Module):
+    """nn.Dense-compatible (identical param layout + init) dense layer that
+    runs the matmul on the int8 MXU path (ops/quant.py). Serving-only: at
+    small batch the per-step graph is weight-streaming-bound (161M params of
+    f32 per action), so int8 weights quarter the HBM traffic; accuracy is
+    flag-gated and must be validated per-checkpoint (cosine tests in
+    tests/test_int8_nav.py)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.normal(stddev=0.02),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        from gridmm_tpu.ops.quant import int8_dense
+
+        return int8_dense(x, kernel, bias)
+
+
+def _dense(features: int, name: str, dtype=jnp.float32, int8: bool = False):
+    if int8:
+        return Int8Dense(features, name=name)
     return nn.Dense(
         features,
         name=name,
@@ -80,9 +102,11 @@ class MultiHeadAttention(nn.Module):
             b, l, _ = x.shape
             return x.reshape(b, l, h, hd)
 
-        q = split(_dense(c.hidden_size, "query", dtype)(q_in))
-        k = split(_dense(c.hidden_size, "key", dtype)(kv_in))
-        v = split(_dense(c.hidden_size, "value", dtype)(kv_in))
+        q = split(_dense(c.hidden_size, "query", dtype,
+                         c.int8_matmuls)(q_in))
+        k = split(_dense(c.hidden_size, "key", dtype, c.int8_matmuls)(kv_in))
+        v = split(_dense(c.hidden_size, "value", dtype,
+                         c.int8_matmuls)(kv_in))
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(hd)
@@ -107,7 +131,7 @@ class AttentionOutput(nn.Module):
     @nn.compact
     def __call__(self, x, residual, deterministic=True):
         c = self.cfg
-        x = _dense(c.hidden_size, "dense", c.dtype)(x)
+        x = _dense(c.hidden_size, "dense", c.dtype, c.int8_matmuls)(x)
         x = nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
         return LayerNorm(c.layer_norm_eps, name="LayerNorm")(x + residual)
 
@@ -142,9 +166,10 @@ class BertFFN(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True):
         c = self.cfg
-        h = _dense(c.intermediate_size, "intermediate_dense", c.dtype)(x)
+        h = _dense(c.intermediate_size, "intermediate_dense", c.dtype,
+                   c.int8_matmuls)(x)
         h = ACT2FN[c.hidden_act](h)
-        h = _dense(c.hidden_size, "output_dense", c.dtype)(h)
+        h = _dense(c.hidden_size, "output_dense", c.dtype, c.int8_matmuls)(h)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
         return LayerNorm(c.layer_norm_eps, name="output_LayerNorm")(h + x)
 
@@ -258,13 +283,14 @@ class PreNormEncoderLayer(nn.Module):
         c = self.cfg
         h = LayerNorm(c.layer_norm_eps, name="norm1")(x)
         h = MultiHeadAttention(c, name="self_attn")(h, h, bias, deterministic)
-        h = _dense(c.hidden_size, "attn_out", c.dtype)(h)
+        h = _dense(c.hidden_size, "attn_out", c.dtype, c.int8_matmuls)(h)
         x = x + nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
         h = LayerNorm(c.layer_norm_eps, name="norm2")(x)
-        h = _dense(c.intermediate_size, "linear1", c.dtype)(h)
+        h = _dense(c.intermediate_size, "linear1", c.dtype,
+                   c.int8_matmuls)(h)
         h = ACT2FN[c.hidden_act](h)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
-        h = _dense(c.hidden_size, "linear2", c.dtype)(h)
+        h = _dense(c.hidden_size, "linear2", c.dtype, c.int8_matmuls)(h)
         x = x + nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
         return x
 

@@ -28,6 +28,11 @@ def main():
     import dataclasses
     cfg = dataclasses.replace(
         cfg, shapes=dataclasses.replace(cfg.shapes, max_txt_len=80))
+    if "--int8" in sys.argv:
+        # serving quantization: int8 trunk matmuls (see ModelConfig)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, int8_matmuls=True))
+        print("int8 trunk matmuls ON")
     model = GridMMNavigator(cfg.model)
     params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
 
