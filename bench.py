@@ -24,6 +24,11 @@ import numpy as np
 
 def main():
     from gridmm_tpu.utils.compile_cache import enable_persistent_cache
+    from gridmm_tpu.utils.tpu_probe import ensure_live_backend
+    # the tunneled dev chip can be down for hours, and a dead tunnel hangs
+    # backend init forever — probe in a bounded subprocess and degrade to
+    # CPU so an unattended bench run always emits its JSON line
+    ensure_live_backend()
     enable_persistent_cache()
     from gridmm_tpu.config import r2r_config
     from gridmm_tpu.models.clip_vit import ClipVisionTransformer, clip_b32
@@ -128,12 +133,18 @@ def main():
 
     views_per_sec = B * V * iters / elapsed
     target = 5000.0
-    print(json.dumps({
+    record = {
         "metric": "panorama_views_per_sec_per_chip",
         "value": round(views_per_sec, 2),
         "unit": "views/s",
         "vs_baseline": round(views_per_sec / target, 4),
-    }))
+    }
+    if not on_tpu:
+        # distinguish a degraded run (dead tunnel -> CPU fallback, tiny
+        # 2-layer config) from a genuine TPU regression
+        record["backend"] = backend
+        record["note"] = "accelerator unreachable; CPU fallback, not the TPU figure"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
