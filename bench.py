@@ -139,10 +139,11 @@ def main():
         "unit": "views/s",
         "vs_baseline": round(views_per_sec / target, 4),
     }
-    if not on_tpu:
+    record["backend"] = backend
+    if backend == "cpu":
         # distinguish a degraded run (dead tunnel -> CPU fallback, tiny
-        # 2-layer config) from a genuine TPU regression
-        record["backend"] = backend
+        # 2-layer config) from a genuine TPU regression; a GPU backend is a
+        # healthy accelerator taking the XLA fallback path, not a dead tunnel
         record["note"] = "accelerator unreachable; CPU fallback, not the TPU figure"
     print(json.dumps(record))
 

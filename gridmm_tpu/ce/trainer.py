@@ -77,7 +77,26 @@ class CETrainer:
         # donate params + opt state: updated in place, the pre-update
         # values are never read again (train_epoch re-reads agent.nav_params
         # each batch)
-        self._jit_update = jax.jit(update, donate_argnums=(0, 1))
+        if mesh is not None:
+            # commit the optimizer count scalar and pin output shardings to
+            # the inputs' so every update after the first reuses one
+            # executable (GSPMD otherwise re-shards replicated leaves and
+            # the second call silently recompiles)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from gridmm_tpu.parallel.mesh import commit_state
+
+            self.opt_state = commit_state(self.opt_state, mesh)
+            out_sh = (
+                jax.tree_util.tree_map(lambda x: x.sharding,
+                                       agent.nav_params),
+                jax.tree_util.tree_map(lambda x: x.sharding, self.opt_state),
+                NamedSharding(mesh, P()),
+            )
+            self._jit_update = jax.jit(update, donate_argnums=(0, 1),
+                                       out_shardings=out_sh)
+        else:
+            self._jit_update = jax.jit(update, donate_argnums=(0, 1))
 
     def ss_ratio(self, epoch: int) -> float:
         return self.schedule_ratio ** (epoch // self.epochs_per_ratio + 1)

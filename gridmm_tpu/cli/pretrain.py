@@ -462,14 +462,28 @@ def main(argv=None):
             pretrain_params_to_navigator(state.params, nav_template[0]))
 
     accum = max(args.accum_steps, 1)
+    out_sh = None
+    if mesh is not None:
+        # commit the fresh step/opt-count scalars and pin each task step's
+        # output-state shardings to the inputs' — otherwise the SECOND window
+        # of every task silently recompiles its whole executable (GSPMD
+        # re-shards some replicated leaves on the way out)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gridmm_tpu.parallel.mesh import commit_state
+
+        state = commit_state(state, mesh)
+        out_sh = (jax.tree_util.tree_map(lambda x: x.sharding, state),
+                  NamedSharding(mesh, P()))
     if accum > 1:
         from gridmm_tpu.train.pretrain import make_pretrain_accum_step
 
         steps = {t: make_pretrain_accum_step(model, cfg, t, tx, accum,
-                                             donate=True)
+                                             donate=True, out_shardings=out_sh)
                  for t in tasks}
     else:
-        steps = {t: make_pretrain_step(model, cfg, t, tx, donate=True)
+        steps = {t: make_pretrain_step(model, cfg, t, tx, donate=True,
+                                       out_shardings=out_sh)
                  for t in tasks}
     mux = iter(TaskMultiplexer(tasks, mix, seed=args.seed,
                                accum_steps=accum))

@@ -84,9 +84,22 @@ def train_navigator(
     # donate the TrainState: params + adam slots update in place (the old
     # state is never read again — agents re-alias state.params each
     # iteration), halving their peak HBM footprint
-    train_step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
-    dagger_step = (jax.jit(make_dagger_step(model, cfg), donate_argnums=(0,))
-                   if dagger_sum else None)
+    if mesh is not None:
+        # pin output-state shardings to the inputs' so every step after the
+        # first reuses one executable (GSPMD otherwise re-shards some
+        # replicated leaves, forcing a full second compile)
+        from gridmm_tpu.parallel.mesh import prepare_train_step
+
+        train_step, state = prepare_train_step(make_train_step(model, cfg),
+                                               state, mesh)
+        dagger_step = (prepare_train_step(make_dagger_step(model, cfg),
+                                          state, mesh)[0]
+                       if dagger_sum else None)
+    else:
+        train_step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
+        dagger_step = (jax.jit(make_dagger_step(model, cfg),
+                               donate_argnums=(0,))
+                       if dagger_sum else None)
     rng = jax.random.PRNGKey(seed)
     np_rng = np.random.default_rng(seed)
 

@@ -119,7 +119,7 @@ def task_loss(model: GridMMPretrain, params, batch: PretrainBatch, task: str,
 
 
 def make_pretrain_step(model: GridMMPretrain, cfg: GridMMConfig, task: str,
-                       tx=None, donate: bool = False):
+                       tx=None, donate: bool = False, out_shardings=None):
     """Jitted update for one task (tasks have different graphs, so one compiled
     step per task — the reference similarly dispatches per task).
 
@@ -138,12 +138,15 @@ def make_pretrain_step(model: GridMMPretrain, cfg: GridMMConfig, task: str,
         return TrainState(params, opt_state, state.step + 1), {
             f"loss_{task}": loss, "grad_norm": optax.global_norm(grads)}
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    # out_shardings pins the output state to the input shardings on a mesh so
+    # every window after the first reuses the task's one executable
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   out_shardings=out_shardings)
 
 
 def make_pretrain_accum_step(model: GridMMPretrain, cfg: GridMMConfig,
                              task: str, tx=None, accum: int = 2,
-                             donate: bool = False):
+                             donate: bool = False, out_shardings=None):
     """Jitted update over `accum` stacked microbatches of ONE task.
 
     Replicates the reference accumulation window (train_r2r.py:251-296): the
@@ -173,7 +176,8 @@ def make_pretrain_accum_step(model: GridMMPretrain, cfg: GridMMConfig,
             f"loss_{task}": losses.mean(),
             "grad_norm": optax.global_norm(grads)}
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   out_shardings=out_shardings)
 
 
 class TaskMultiplexer:

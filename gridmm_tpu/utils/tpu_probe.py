@@ -20,31 +20,47 @@ import os
 import subprocess
 import sys
 
-_PROBE = ("import jax; d = jax.devices(); "
-          "print(d[0].platform if d else 'none')")
+# print the resolved backend name — the exact token jax_platforms accepts
+# (device.platform can differ from the registered plugin platform name)
+_PROBE = ("import jax; jax.devices(); print(jax.default_backend())")
 
 
-def ensure_live_backend(timeout_s: float = 90.0) -> str:
+def ensure_live_backend(timeout_s: float | None = None) -> str:
     """Return the platform that is safe to use, forcing CPU on a dead tunnel.
 
-    Runs ``jax.devices()`` in a child process bounded by ``timeout_s``. On
-    timeout or error, calls ``jax.config.update("jax_platforms", "cpu")`` in
-    THIS process (which must not have initialized a backend yet) and returns
-    ``"cpu"``. On success returns the probed platform name. Set
+    Runs ``jax.devices()`` in a child process bounded by ``timeout_s``
+    (default 90, overridable via GRIDMM_TPU_PROBE_TIMEOUT for slow-tunnel
+    days). On ANY probe failure — timeout, spawn error, crash — calls
+    ``jax.config.update("jax_platforms", "cpu")`` in THIS process (which must
+    not have initialized a backend yet) and returns ``"cpu"``, so unattended
+    runs always degrade instead of hanging or crashing. On success, pins the
+    probed platform via jax.config (narrowing the probe-then-use race to the
+    platform the probe actually saw) and returns its name. Set
     GRIDMM_SKIP_TPU_PROBE=1 to skip (e.g. in tests that already force CPU).
     """
     if os.environ.get("GRIDMM_SKIP_TPU_PROBE") == "1":
         return "unprobed"
+    if timeout_s is None:
+        try:
+            timeout_s = float(os.environ.get("GRIDMM_TPU_PROBE_TIMEOUT", 90))
+        except ValueError:
+            timeout_s = 90.0
+    import jax
+
     try:
         out = subprocess.run(
             [sys.executable, "-c", _PROBE], capture_output=True,
             timeout=timeout_s, text=True, cwd=os.getcwd())
         if out.returncode == 0 and out.stdout.strip():
-            return out.stdout.strip().splitlines()[-1]
-    except subprocess.TimeoutExpired:
+            platform = out.stdout.strip().splitlines()[-1]
+            if platform != "none":
+                try:
+                    jax.config.update("jax_platforms", platform)
+                except Exception:
+                    pass  # unknown alias for this process; leave defaults
+                return platform
+    except Exception:  # TimeoutExpired, OSError spawning the child, ...
         pass
-    import jax
-
     jax.config.update("jax_platforms", "cpu")
     print("[tpu_probe] accelerator backend unreachable "
           f"(probe exceeded {timeout_s:.0f}s or errored); "

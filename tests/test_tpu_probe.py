@@ -30,3 +30,35 @@ def test_errored_probe_falls_back_to_cpu(monkeypatch):
     monkeypatch.delenv("GRIDMM_SKIP_TPU_PROBE", raising=False)
     monkeypatch.setattr(tpu_probe, "_PROBE", "raise RuntimeError('boom')")
     assert tpu_probe.ensure_live_backend(timeout_s=30.0) == "cpu"
+
+
+def test_spawn_failure_falls_back_to_cpu(monkeypatch):
+    """An OSError spawning the child (not just a timeout) must also take the
+    CPU fallback, never propagate into the unattended bench run."""
+    monkeypatch.delenv("GRIDMM_SKIP_TPU_PROBE", raising=False)
+
+    def boom(*a, **k):
+        raise OSError("spawn failed")
+
+    monkeypatch.setattr(tpu_probe.subprocess, "run", boom)
+    assert tpu_probe.ensure_live_backend(timeout_s=30.0) == "cpu"
+
+
+def test_timeout_env_override(monkeypatch):
+    """GRIDMM_TPU_PROBE_TIMEOUT bounds the probe when no timeout is passed."""
+    monkeypatch.delenv("GRIDMM_SKIP_TPU_PROBE", raising=False)
+    monkeypatch.setenv("GRIDMM_TPU_PROBE_TIMEOUT", "1")
+    monkeypatch.setattr(tpu_probe, "_PROBE",
+                        "import time; time.sleep(60); print('tpu')")
+    assert tpu_probe.ensure_live_backend() == "cpu"
+
+
+def test_successful_probe_pins_platform(monkeypatch):
+    """On success the probed platform is pinned in this process, narrowing
+    the probe-then-use race to the platform the probe actually saw."""
+    import jax as _jax
+
+    monkeypatch.delenv("GRIDMM_SKIP_TPU_PROBE", raising=False)
+    monkeypatch.setattr(tpu_probe, "_PROBE", "print('cpu')")
+    assert tpu_probe.ensure_live_backend(timeout_s=30.0) == "cpu"
+    assert _jax.config.jax_platforms == "cpu"

@@ -90,6 +90,52 @@ def test_dryrun_multichip_8():
     dryrun_multichip(8)
 
 
+def test_prepare_train_step_single_executable():
+    """prepare_train_step pins output-state shardings to the inputs' so every
+    call after the first reuses ONE executable. Without the pin, GSPMD
+    re-shards some replicated leaves (e.g. biases of TP-sharded projections)
+    on the way out and the second call silently recompiles — measured +95s
+    per run on the 8-device 1-core virtual mesh."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gridmm_tpu.config import MeshConfig
+    from gridmm_tpu.parallel.mesh import make_mesh, prepare_train_step
+    from gridmm_tpu.train.step import TrainState
+
+    mesh = make_mesh(MeshConfig(mp_size=2), jax.devices())
+    params = {
+        "kernel": jax.device_put(jnp.ones((8, 8)),
+                                 NamedSharding(mesh, P(None, "model"))),
+        "bias": jax.device_put(jnp.zeros((8,)), NamedSharding(mesh, P())),
+    }
+    tx = optax.adam(1e-2)
+    # fresh scalars intentionally uncommitted (like create_train_state)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    def step(state, batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: jnp.sum((batch @ p["kernel"] + p["bias"]) ** 2)
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, opt_state, state.step + 1), {
+            "loss": loss}
+
+    jitted, state = prepare_train_step(step, state, mesh)
+    # commit_state committed every leaf to the mesh
+    for leaf in jax.tree_util.tree_leaves(state):
+        assert isinstance(leaf.sharding, NamedSharding)
+    batch = jax.device_put(jnp.ones((4, 8)),
+                           NamedSharding(mesh, P("data", None)))
+    state, m1 = jitted(state, batch)
+    state, m2 = jitted(state, batch)
+    state, m3 = jitted(state, batch)
+    assert jitted._cache_size() == 1, jitted._cache_size()
+    assert float(m3["loss"]) < float(m1["loss"])
+    assert int(state.step) == 3
+
+
 @pytest.mark.slow
 def test_dagger_step_sums_losses():
     """make_dagger_step = one update over teacher(ml_weight) + sample(1.0)
