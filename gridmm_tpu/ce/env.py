@@ -57,16 +57,25 @@ class ContinuousEnv(Protocol):
 
 
 class SyntheticContinuousEnv:
-    """Free-space 8x8 m arena; deterministic pseudo-renders."""
+    """Free-space 8x8 m arena; deterministic pseudo-renders.
+
+    num_episodes=None draws an unbounded stream of unique episodes; an int
+    makes the env a finite "split" whose episode iterator CYCLES (habitat's
+    behavior when a split is exhausted), each episode identical on every
+    revisit — this is what lets full-split eval detect wraparound.
+    """
 
     def __init__(self, num_envs: int = 2, episode_len: int = 6, seed: int = 0,
-                 image_size: int = 224, depth_size: int = 256):
+                 image_size: int = 224, depth_size: int = 256,
+                 num_episodes: Optional[int] = None):
         self.num_envs = num_envs
         self.image_size = image_size
         self.depth_size = depth_size
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._episode_counter = 0
         self.episode_len = episode_len
+        self.num_episodes = num_episodes
         self.pos = np.zeros((num_envs, 2), np.float64)
         self.heading = np.zeros((num_envs,), np.float64)
         self.goal = np.zeros((num_envs, 2), np.float64)
@@ -98,21 +107,28 @@ class SyntheticContinuousEnv:
     def reset(self) -> List[CEStepObs]:
         for i in range(self.num_envs):
             self._episode_counter += 1
-            self.eid[i] = f"ep{self._episode_counter:05d}"
-            start = self._rng.uniform(-4, 4, 2)
-            goal = self._rng.uniform(-4, 4, 2)
+            if self.num_episodes is None:
+                idx, rng = self._episode_counter, self._rng
+            else:
+                # cycling split: episode `idx` is regenerated bit-identically
+                # from (seed, idx) on every revisit
+                idx = (self._episode_counter - 1) % self.num_episodes + 1
+                rng = np.random.default_rng((self._seed, idx))
+            self.eid[i] = f"ep{idx:05d}"
+            start = rng.uniform(-4, 4, 2)
+            goal = rng.uniform(-4, 4, 2)
             while np.linalg.norm(goal - start) < 3.0:
-                goal = self._rng.uniform(-4, 4, 2)
+                goal = rng.uniform(-4, 4, 2)
             n = self.episode_len
             ts = np.linspace(0, 1, n)[:, None]
-            wiggle = self._rng.normal(0, 0.3, (n, 2))
+            wiggle = rng.normal(0, 0.3, (n, 2))
             wiggle[0] = wiggle[-1] = 0
             self.gt_paths[i] = start[None] + ts * (goal - start)[None] + wiggle
             self.pos[i] = start
             self.goal[i] = goal
-            self.heading[i] = self._rng.uniform(-math.pi, math.pi)
+            self.heading[i] = rng.uniform(-math.pi, math.pi)
             self.instr[i] = np.asarray(
-                [101] + list(self._rng.integers(1000, 20000, 12)) + [102],
+                [101] + list(rng.integers(1000, 20000, 12)) + [102],
                 np.int32)
             self.paths[i] = [start.copy()]
         return self.observations()
@@ -163,5 +179,8 @@ def ce_episode_metrics(path: Sequence[np.ndarray], gt_path: np.ndarray,
     ndtw = float(np.exp(-dtw[n, m] / (success_dist * m)))
     oracle = float(min(np.linalg.norm(path - gt_path[-1][None], axis=1)) <
                    success_dist)
+    # steps_taken mirrors habitat_extensions/measures.py StepsTaken (one per
+    # executed env action; reset position is step 0)
     return {"sr": sr, "spl": spl, "ne": ne, "tl": tl, "nDTW": ndtw,
-            "oracle_sr": oracle, "sdtw": sr * ndtw}
+            "oracle_sr": oracle, "sdtw": sr * ndtw,
+            "steps_taken": float(len(path) - 1)}

@@ -231,8 +231,8 @@ class CETrainer:
         self._epoch = epoch
         return {"loss": float(np.mean(losses)), "ss_ratio": ratio}
 
-    def evaluate(self, env: ContinuousEnv, batches: int = 2,
-                 max_steps: int = 6, results_dir: Optional[str] = None,
+    def evaluate(self, env: ContinuousEnv, batches: int = 0,
+                 max_steps: int = 20, results_dir: Optional[str] = None,
                  checkpoint_index: int = 0, split: str = "val_unseen",
                  video_dir: Optional[str] = None) -> Dict[str, float]:
         """Greedy eval; optionally persists the reference's observability
@@ -242,12 +242,28 @@ class CETrainer:
                          (per-episode metric dicts) and, on rank 0, the
                          aggregated stats_ckpt_{i}_{split}.json
           video_dir   -> one animated GIF of the first camera per episode
+
+        batches=0 (the default) evaluates the FULL episode split: rollouts
+        continue until the env's episode iterator wraps around (a rollout
+        yields no unseen episode id), and every episode scores exactly once —
+        the reference evaluates entire splits with repeats dropped
+        (base_il_trainer.py:336,666 — loop `while len(stats_episodes) <
+        episodes_to_eval`, pausing envs whose `next_episodes[i].episode_id
+        in stats_episodes`).
+        max_steps defaults to the reference's episode cap IL.max_traj_len=20
+        (run_GridMap.yaml:23, enforced as MAX_EPISODE_STEPS at
+        ss_trainer_GridMap.py:503).
         """
         import os
 
         all_m: List[dict] = []
         ep_stats: Dict[str, dict] = {}
-        for _ in range(batches):
+        # full-split mode can stop as soon as every episode is seen when the
+        # env advertises its split size (finite SyntheticContinuousEnv does)
+        total = getattr(env, "num_episodes", None)
+        rollouts = 0
+        while batches == 0 or rollouts < batches:
+            rollouts += 1
             frames: Dict[int, list] = {}
             hook = None
             if video_dir:
@@ -258,9 +274,15 @@ class CETrainer:
             ms = self.agent.rollout(env, max_steps=max_steps,
                                     feedback="argmax", on_step=hook)
             obs = env.observations()
+            fresh = 0
             for i, m in enumerate(ms):
-                eid = getattr(obs[i], "episode_id", str(len(ep_stats)))
-                ep_stats.setdefault(eid, {k: float(v) for k, v in m.items()})
+                eid = getattr(obs[i], "episode_id", "") or \
+                    f"anon{rollouts}_{i}"
+                if eid in ep_stats:
+                    continue  # wraparound repeat: each episode counts once
+                fresh += 1
+                ep_stats[eid] = {k: float(v) for k, v in m.items()}
+                all_m.append(m)
                 if video_dir and i in frames:
                     from gridmm_tpu.utils.visualize import save_episode_video
 
@@ -269,7 +291,15 @@ class CETrainer:
                         os.path.join(video_dir,
                                      f"ep_{eid}_ckpt_{checkpoint_index}"),
                         frames[i])
-            all_m += ms
+            if batches == 0:
+                if fresh == 0 or (total and len(ep_stats) >= total):
+                    break
+                if rollouts >= 10000:
+                    raise RuntimeError(
+                        "full-split eval (batches=0) saw 10000 rollouts "
+                        "without the episode iterator wrapping — this env "
+                        "has no finite episode set; pass batches=N or give "
+                        "the env a num_episodes")
         keys = all_m[0].keys()
         avg = {k: float(np.mean([m[k] for m in all_m])) for k in keys}
         if results_dir:
@@ -337,10 +367,14 @@ class CETrainer:
 
     # ------------------------------------------------------------- inference
     def inference(self, env: ContinuousEnv, predictions_file: str,
-                  fmt: str = "r2r", batches: int = 1,
-                  max_steps: int = 6) -> int:
+                  fmt: str = "r2r", batches: int = 0,
+                  max_steps: int = 20) -> int:
         """Greedy rollouts -> leaderboard predictions file
         (base_il_trainer.inference, :915+/1336-1367).
+
+        batches=0 (default) predicts the FULL episode split exactly once
+        (same wraparound detection as evaluate); max_steps defaults to the
+        reference's IL.max_traj_len=20 cap (run_GridMap.yaml:23).
 
         fmt='r2r': JSON {episode_id: [{"position": [x, y], "stop": bool}]}
         fmt='rxr': jsonlines of {"instruction_id", "path"} with consecutive
@@ -348,16 +382,29 @@ class CETrainer:
         import json
 
         episode_predictions: Dict[str, list] = {}
-        for _ in range(batches):
+        total = getattr(env, "num_episodes", None)
+        rollouts = 0
+        while batches == 0 or rollouts < batches:
+            rollouts += 1
             self.agent.rollout(env, max_steps=max_steps, feedback="argmax")
             obs = env.observations()
+            fresh = 0
             for i, ob in enumerate(obs):
                 if ob.episode_id in episode_predictions:
                     continue
+                fresh += 1
                 path = [[float(c) for c in p] for p in env.paths[i]]
                 episode_predictions[ob.episode_id] = [
                     {"position": p, "stop": j == len(path) - 1}
                     for j, p in enumerate(path)]
+            if batches == 0:
+                done = total and len(episode_predictions) >= total
+                if fresh == 0 or done:
+                    break
+                if rollouts >= 10000:
+                    raise RuntimeError(
+                        "full-split inference (batches=0) never wrapped — "
+                        "pass batches=N or give the env a num_episodes")
         # rxr instruction ids: real numeric episode ids when ALL are numeric
         # (the released data's case); otherwise a collision-free enumeration
         if all(e.isdigit() for e in episode_predictions):
@@ -422,8 +469,8 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 
 def evaluate_checkpoints_polling(trainer: CETrainer, env: ContinuousEnv,
-                                 ckpt_dir: str, batches: int = 1,
-                                 max_steps: int = 6,
+                                 ckpt_dir: str, batches: int = 0,
+                                 max_steps: int = 20,
                                  poll_seconds: float = 2.0,
                                  timeout_seconds: float = 0.0,
                                  results_dir: Optional[str] = None,

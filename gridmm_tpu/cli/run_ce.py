@@ -23,7 +23,18 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--batches_per_epoch", type=int, default=2)
     p.add_argument("--num_envs", type=int, default=2)
-    p.add_argument("--max_steps", type=int, default=4)
+    p.add_argument("--max_steps", type=int, default=20,
+                   help="episode step cap — default matches the reference's "
+                        "IL.max_traj_len=20 (run_GridMap.yaml:23, enforced "
+                        "as MAX_EPISODE_STEPS, ss_trainer_GridMap.py:503)")
+    p.add_argument("--eval_batches", type=int, default=0,
+                   help="eval/inference rollout batches; 0 (default) covers "
+                        "the FULL episode split exactly once (dedup until "
+                        "the episode iterator wraps, like the reference's "
+                        "stats_episodes loop, base_il_trainer.py:336,666)")
+    p.add_argument("--num_episodes", type=int, default=16,
+                   help="synthetic env: size of the finite cycling episode "
+                        "split (habitat envs define their own splits)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output_dir", default="runs/ce")
     p.add_argument("--predictions_file", default=None,
@@ -133,7 +144,8 @@ def main(argv=None):
         # full-scale ResNet50/ViT agent, 56 for the tiny smoke agent)
         env = SyntheticContinuousEnv(num_envs=args.num_envs,
                                      image_size=224 if args.full else 56,
-                                     depth_size=256, seed=args.seed)
+                                     depth_size=256, seed=args.seed,
+                                     num_episodes=args.num_episodes or None)
     mesh = None
     if args.mesh == "auto":
         from gridmm_tpu.config import MeshConfig
@@ -150,7 +162,7 @@ def main(argv=None):
         path = args.predictions_file or os.path.join(
             args.output_dir, f"predictions_{args.predictions_format}.json")
         n = trainer.inference(env, path, fmt=args.predictions_format,
-                              batches=args.batches_per_epoch,
+                              batches=args.eval_batches,
                               max_steps=args.max_steps)
         print(json.dumps({"predictions": n, "file": path}))
         return {"predictions": n, "file": path}
@@ -183,13 +195,14 @@ def main(argv=None):
         from gridmm_tpu.ce.trainer import evaluate_checkpoints_polling
 
         results = evaluate_checkpoints_polling(
-            trainer, env, args.poll_ckpt_dir, batches=1,
+            trainer, env, args.poll_ckpt_dir, batches=args.eval_batches,
             max_steps=args.max_steps, timeout_seconds=args.poll_timeout,
             results_dir=args.results_dir, split=args.eval_split,
             video_dir=args.video_dir)
         print(json.dumps({"polled": results}))
         return results[-1] if results else {}
-    metrics = trainer.evaluate(env, batches=1, max_steps=args.max_steps,
+    metrics = trainer.evaluate(env, batches=args.eval_batches,
+                               max_steps=args.max_steps,
                                results_dir=args.results_dir,
                                checkpoint_index=args.checkpoint_index,
                                split=args.eval_split,

@@ -58,14 +58,15 @@ def test_ce_inference_writer(tmp_path):
     from gridmm_tpu.ce.trainer import CETrainer
 
     cfg, agent = build_ce_agent()
+    # finite 3-episode split: inference defaults to batches=0 = full split
     env = SyntheticContinuousEnv(num_envs=2, image_size=56, depth_size=256,
-                                 seed=0)
+                                 seed=0, num_episodes=3)
     trainer = CETrainer(cfg, agent)
 
     r2r = tmp_path / "preds_r2r.json"
     n = trainer.inference(env, str(r2r), fmt="r2r", max_steps=3)
     data = json.loads(r2r.read_text())
-    assert n == len(data) >= 2
+    assert n == len(data) == 3  # every split episode predicted exactly once
     for eid, infos in data.items():
         assert infos[-1]["stop"] is True
         assert all(len(rec["position"]) >= 2 for rec in infos)
@@ -107,6 +108,53 @@ def test_ce_ckpt_polling(tmp_path):
                                            batches=1, max_steps=2)
     assert len(results) == 2
     assert all("sr" in r and "checkpoint" in r for r in results)
+
+
+def test_full_split_eval_every_episode_once(tmp_path):
+    """batches=0 (the CLI eval default) covers the finite episode split
+    exactly once: rollouts continue until the env's cycling episode iterator
+    wraps, repeats are dropped (the reference's stats_episodes dedup,
+    base_il_trainer.py:336,666), and every episode runs to agent stop or the
+    reference's IL.max_traj_len=20 step cap (run_GridMap.yaml:23,
+    ss_trainer_GridMap.py:503)."""
+    import json
+
+    from gridmm_tpu.ce.trainer import CETrainer
+
+    cfg, agent = build_ce_agent()
+    # 3 episodes over 2 envs: the second rollout serves ep3 + a repeat of
+    # ep1, exercising the wraparound dedup
+    env = SyntheticContinuousEnv(num_envs=2, image_size=56, depth_size=256,
+                                 seed=2, num_episodes=3)
+    trainer = CETrainer(cfg, agent)
+    avg = trainer.evaluate(env, results_dir=str(tmp_path))  # all defaults
+
+    stats = json.loads(
+        (tmp_path / "stats_ep_ckpt_0_val_unseen_r0_w1.json").read_text())
+    assert sorted(stats) == ["ep00001", "ep00002", "ep00003"]
+    for m in stats.values():  # ran to agent stop or the 20-step reference
+        assert 0 <= m["steps_taken"] <= 20  # cap (0 = stopped at once)
+    assert np.isclose(avg["steps_taken"],
+                      np.mean([m["steps_taken"] for m in stats.values()]))
+
+
+def test_synthetic_env_split_cycles_identically():
+    """A finite split regenerates each episode bit-identically on revisit —
+    the property full-split wraparound detection rests on."""
+    env = SyntheticContinuousEnv(num_envs=2, image_size=56, depth_size=64,
+                                 seed=9, num_episodes=3)
+    seen = {}
+    for _ in range(3):  # 6 episodes over a 3-episode split: one full wrap
+        for ob in env.reset():
+            if ob.episode_id in seen:
+                prev = seen[ob.episode_id]
+                np.testing.assert_array_equal(prev[0], ob.gt_path)
+                np.testing.assert_array_equal(prev[1], ob.instruction_ids)
+                assert prev[2] == ob.heading
+            else:
+                seen[ob.episode_id] = (ob.gt_path.copy(),
+                                       ob.instruction_ids.copy(), ob.heading)
+    assert sorted(seen) == ["ep00001", "ep00002", "ep00003"]
 
 
 @pytest.mark.slow

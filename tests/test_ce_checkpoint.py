@@ -42,7 +42,7 @@ def test_run_ce_cli_ckpt_and_resume(tmp_path, capsys):
     from gridmm_tpu.cli import run_ce
 
     common = ["--run-type", "train", "--batches_per_epoch", "1",
-              "--num_envs", "2", "--max_steps", "2",
+              "--num_envs", "2", "--max_steps", "2", "--num_episodes", "4",
               "--output_dir", str(tmp_path)]
     run_ce.main(common + ["--epochs", "2"])
     ckpts = sorted(p.name for p in (tmp_path / "checkpoints").iterdir())

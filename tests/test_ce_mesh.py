@@ -64,5 +64,6 @@ def test_run_ce_cli_mesh_auto(tmp_path):
 
     run_ce.main(["--run-type", "train", "--epochs", "1",
                  "--batches_per_epoch", "1", "--num_envs", "4",
-                 "--max_steps", "2", "--mesh", "auto", "--mp_size", "2",
+                 "--max_steps", "2", "--num_episodes", "4",
+                 "--mesh", "auto", "--mp_size", "2",
                  "--output_dir", str(tmp_path)])

@@ -35,7 +35,7 @@ def test_run_ce_cli(tmp_path):
 
     metrics = main(["--run-type", "train", "--epochs", "1",
                     "--batches_per_epoch", "1", "--max_steps", "2",
-                    "--output_dir", str(tmp_path)])
+                    "--num_episodes", "4", "--output_dir", str(tmp_path)])
     assert 0.0 <= metrics["sr"] <= 1.0
 
 
@@ -75,7 +75,8 @@ def test_run_ce_cli_waypoint_ckpt(tmp_path):
     path = tmp_path / "waypoint.pth"
     torch.save(ckpt, path)
     metrics = main(["--run-type", "eval", "--batches_per_epoch", "1",
-                    "--max_steps", "2", "--output_dir", str(tmp_path),
+                    "--max_steps", "2", "--num_episodes", "4",
+                    "--output_dir", str(tmp_path),
                     "--waypoint_ckpt", str(path)])
     assert 0.0 <= metrics["sr"] <= 1.0
 
