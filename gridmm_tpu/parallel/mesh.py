@@ -48,6 +48,16 @@ _PARAM_RULES = [
     (r"linear2.*kernel$", P("model", None)),
     (r"(query|key|value).*kernel$", P(None, "model")),
     (r"attn_out.*kernel$", P("model", None)),
+    # BERT-style attention out-projections (attention/output/dense,
+    # visn_self_att/output/dense, visual_attention/output/dense): input comes
+    # from the model-sharded heads -> row-parallel, one psum after (the
+    # FFN out-proj spells its name output_dense, matched above)
+    (r"output/dense/kernel$", P("model", None)),
+    # column-parallel biases live on the sharded out-feature dim; biases of
+    # row-parallel projections stay replicated (added after the psum)
+    (r"(query|key|value)/bias$", P("model")),
+    (r"intermediate_dense.*bias$", P("model")),
+    (r"linear1.*bias$", P("model")),
     (r"word_embeddings.*embedding$", P("model", None)),
 ]
 

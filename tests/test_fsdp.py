@@ -73,3 +73,39 @@ def test_train_navigator_with_mesh():
     # params ended up sharded over the mesh
     leaf = jax.tree_util.tree_leaves(agent.params)[0]
     assert leaf.sharding.mesh.shape["data"] == 4
+
+
+def test_param_rules_cover_bert_attention_projections():
+    """TP rule coverage on real navigator param paths: every attention
+    out-projection (BERT spelling .../output/dense) is row-parallel, qkv /
+    FFN-up biases follow their column-parallel kernels onto the model axis,
+    and row-parallel biases stay replicated (added after the psum)."""
+    from jax.sharding import PartitionSpec as P
+
+    from gridmm_tpu.parallel.mesh import param_spec
+
+    assert param_spec("lang_encoder/layer_0/attention/output/dense/kernel") \
+        == P("model", None)
+    assert param_spec("x_layers_0/visn_self_att/output/dense/kernel") \
+        == P("model", None)
+    # FFN out-proj (output_dense) is a distinct spelling, also row-parallel
+    assert param_spec("x_layers_0/lang_inter/output_dense/kernel") \
+        == P("model", None)
+    assert param_spec("attention/self/query/bias") == P("model")
+    assert param_spec("intermediate/intermediate_dense/bias") == P("model")
+    # row-parallel biases replicate
+    assert param_spec("attention/output/dense/bias") == P()
+    assert param_spec("lang_inter/output_dense/bias") == P()
+
+    # the regexes are live on the real model: every 2-D attention
+    # output/dense kernel in the flagship tree matches the row-parallel rule
+    cfg = tiny_cfg()
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    from gridmm_tpu.parallel.mesh import _path_str
+    paths = [_path_str(p) for p, _ in
+             jax.tree_util.tree_leaves_with_path(params)]
+    out_dense = [p for p in paths if p.endswith("output/dense/kernel")]
+    assert out_dense, "no attention out-projections found — naming drifted?"
+    for p in out_dense:
+        assert param_spec(p) == P("model", None), p
