@@ -33,10 +33,16 @@ def ensure_live_backend(timeout_s: float | None = None) -> str:
     days). On ANY probe failure — timeout, spawn error, crash — calls
     ``jax.config.update("jax_platforms", "cpu")`` in THIS process (which must
     not have initialized a backend yet) and returns ``"cpu"``, so unattended
-    runs always degrade instead of hanging or crashing. On success, pins the
-    probed platform via jax.config (narrowing the probe-then-use race to the
-    platform the probe actually saw) and returns its name. Set
-    GRIDMM_SKIP_TPU_PROBE=1 to skip (e.g. in tests that already force CPU).
+    runs always degrade instead of hanging or crashing.
+
+    On success the platform is NOT pinned (except the trivially safe "cpu"):
+    pinning the reported name is unsafe with the hosted plugin — the probe's
+    ``jax.default_backend()`` reports "tpu", but ``jax_platforms=tpu``
+    routes initialization to the local libtpu path instead of the tunnel
+    plugin and fails with "No jellyfish device found" (measured on this
+    image). The probe-then-use race therefore stays open by design; it only
+    costs a hang when the tunnel dies within the probe-to-init window.
+    Set GRIDMM_SKIP_TPU_PROBE=1 to skip (e.g. in tests that force CPU).
     """
     if os.environ.get("GRIDMM_SKIP_TPU_PROBE") == "1":
         return "unprobed"
@@ -53,11 +59,9 @@ def ensure_live_backend(timeout_s: float | None = None) -> str:
             timeout=timeout_s, text=True, cwd=os.getcwd())
         if out.returncode == 0 and out.stdout.strip():
             platform = out.stdout.strip().splitlines()[-1]
+            if platform == "cpu":
+                jax.config.update("jax_platforms", "cpu")
             if platform != "none":
-                try:
-                    jax.config.update("jax_platforms", platform)
-                except Exception:
-                    pass  # unknown alias for this process; leave defaults
                 return platform
     except Exception:  # TimeoutExpired, OSError spawning the child, ...
         pass

@@ -53,12 +53,17 @@ def test_timeout_env_override(monkeypatch):
     assert tpu_probe.ensure_live_backend() == "cpu"
 
 
-def test_successful_probe_pins_platform(monkeypatch):
-    """On success the probed platform is pinned in this process, narrowing
-    the probe-then-use race to the platform the probe actually saw."""
+def test_successful_probe_pins_only_cpu(monkeypatch):
+    """A cpu-probed platform is pinned (trivially safe); an accelerator name
+    is returned UNPINNED — jax_platforms=tpu routes init to local libtpu
+    instead of the tunnel plugin and fails (measured; see module docstring)."""
     import jax as _jax
 
     monkeypatch.delenv("GRIDMM_SKIP_TPU_PROBE", raising=False)
     monkeypatch.setattr(tpu_probe, "_PROBE", "print('cpu')")
     assert tpu_probe.ensure_live_backend(timeout_s=30.0) == "cpu"
+    assert _jax.config.jax_platforms == "cpu"
+    monkeypatch.setattr(tpu_probe, "_PROBE", "print('tpu')")
+    assert tpu_probe.ensure_live_backend(timeout_s=30.0) == "tpu"
+    # conftest pinned cpu for the suite; the probe must not have re-pinned it
     assert _jax.config.jax_platforms == "cpu"
