@@ -36,6 +36,13 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--world", choices=["synthetic", "r2r", "reverie", "soon",
                                        "rxr"], default="r2r")
+    p.add_argument("--synthetic_preset", choices=["r2r", "reverie", "soon",
+                                                  "rxr"], default="r2r",
+                   help="--world synthetic only: shape the tiny dry-run like "
+                        "this released artifact family (reverie/soon: object "
+                        "tokens + og head, has_obj import rules; rxr: "
+                        "xlm-roberta-sized word embeddings) so each family's "
+                        "import -> eval path is rehearsed without assets")
     p.add_argument("--root_dir", default=None,
                    help="dataset root (ROOT/{DATASET}/{features,connectivity,"
                         "annotations})")
@@ -58,6 +65,27 @@ def parse_args(argv=None):
     p.add_argument("--submit", default=None,
                    help="also write leaderboard predictions JSON here")
     return p.parse_args(argv)
+
+
+def synthetic_config(preset: str):
+    """Tiny dry-run config shaped like one released artifact family."""
+    import dataclasses
+
+    from gridmm_tpu.config import tiny_config
+
+    cfg = tiny_config()
+    if preset in ("reverie", "soon"):
+        # object tokens on: og_head/obj projections exist and the import
+        # runs the has_obj rule set (reverie_config at real scale)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, obj_feat_size=cfg.model.image_feat_size))
+    elif preset == "rxr":
+        # xlm-roberta-shaped vocab stand-in: larger than BERT's, still tiny
+        # in params (250002 at real scale); synthetic instruction ids reach
+        # 29000 so the table must cover them
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, vocab_size=40000))
+    return cfg
 
 
 def load_navigator_params(ckpt_path, params, cfg, flavor: str):
@@ -99,6 +127,16 @@ def build_val_env(args, cfg):
 
         world = SyntheticWorld(num_scans=2, nodes_per_scan=10, seed=args.seed)
         eps = synthetic_episodes(world, num=12, seed=args.seed + 1)
+        if args.synthetic_preset in ("reverie", "soon"):
+            # REVERIE/SOON episodes carry a gt object at the goal viewpoint
+            # (reverie/data_utils.py obj2vps); keep goals that expose one so
+            # det metrics share sr's support (tests/test_reverie.py shape)
+            eps = [ep for ep in eps if world.objects(ep["scan"],
+                                                     ep["path"][-1])]
+            for ep in eps:
+                ep["gt_obj_id"] = world.objects(
+                    ep["scan"], ep["path"][-1])[0]["obj_id"]
+                ep["gt_end_vps"] = [ep["path"][-1]]
         return DiscreteNavEnv(world, world.graphs, eps,
                               batch_size=args.batch_size, seed=args.seed,
                               name=args.split)
@@ -154,13 +192,15 @@ def main(argv=None):
     import jax
 
     from gridmm_tpu.config import (r2r_config, reverie_config, rxr_config,
-                                   soon_config, tiny_config)
+                                   soon_config)
     from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
     from gridmm_tpu.train.agent import NavAgent
 
-    cfg = {"reverie": reverie_config, "soon": soon_config,
-           "rxr": rxr_config, "synthetic": tiny_config}.get(
-               args.world, r2r_config)()
+    if args.world == "synthetic":
+        cfg = synthetic_config(args.synthetic_preset)
+    else:
+        cfg = {"reverie": reverie_config, "soon": soon_config,
+               "rxr": rxr_config}.get(args.world, r2r_config)()
 
     env = build_val_env(args, cfg)
     model = GridMMNavigator(cfg.model)
