@@ -23,6 +23,7 @@ stay device-resident end to end.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -155,8 +156,15 @@ class CEAgent:
         # greedy rollouts run perception + candidate extraction + step
         # assembly + navigation as ONE dispatch (ce/device_step.py); the
         # host path stays for teacher feedback (oracle RPC between
-        # candidate extraction and action) and train-time sampling
-        self.fused_rollout = True
+        # candidate extraction and action) and train-time sampling.
+        # "auto" fuses single-env rollouts only: at B>1 through the tunneled
+        # dev chip the fused step's one stacked observation upload is
+        # bandwidth-bound and measured slower than the legacy path's
+        # overlapped per-env uploads (PARITY.md round-4 p50s: 312 vs 362 ms
+        # at B=1, 1707 vs 950 ms at B=4); GRIDMM_CE_FUSED=1/0 forces either
+        # path (a locally attached chip wins fused at any B by dispatch
+        # count). True/False assignments keep forcing too (tests, bench).
+        self.fused_rollout = os.environ.get("GRIDMM_CE_FUSED", "auto")
         self._jit_full_step = jax.jit(self._full_step_impl)
 
     # ------------------------------------------------------------- device fns
@@ -313,7 +321,9 @@ class CEAgent:
         # depth patch centers (Policy:728-730): 19 + 36*i over 256px maps
         centers = np.asarray([19 + 36 * i for i in range(7)])
 
-        if feedback == "argmax" and self.fused_rollout:
+        fuse = self.fused_rollout
+        if feedback == "argmax" and (
+                fuse in (True, "1") or (fuse == "auto" and b == 1)):
             return self._rollout_fused(env, obs, txt_embeds, txt_mask, carry,
                                        max_steps, on_step, sec)
 

@@ -227,3 +227,27 @@ def test_device_build_step_zero_candidates():
     for f in StepInputs._fields:
         a_h, a_d = np.asarray(getattr(x_host, f)), np.asarray(getattr(x_dev, f))
         np.testing.assert_allclose(a_d, a_h, atol=1e-4, err_msg=f)
+
+
+def test_fused_auto_selection_by_batch():
+    """fused_rollout="auto" (the default) fuses single-env greedy rollouts
+    and takes the legacy overlapped-upload path at B>1 — the round-4
+    tunnel measurement (PARITY.md): fused wins at B=1 (312 vs 362 ms p50)
+    and loses at B=4 (1707 vs 950 ms, observation-upload-bound). The paths
+    are action-equivalent (test above); this pins which one runs."""
+    from gridmm_tpu.utils.logging import SectionTimer
+
+    _, agent = _tiny_agent()
+    assert agent.fused_rollout == "auto"
+
+    def sections(num_envs):
+        env = SyntheticContinuousEnv(num_envs=num_envs, image_size=56,
+                                     depth_size=256, seed=3)
+        timer = SectionTimer()
+        agent.rollout(env, max_steps=2, feedback="argmax", timer=timer)
+        return set(timer.totals)
+
+    one = sections(1)
+    assert "fused_step" in one and "perception" not in one
+    two = sections(2)
+    assert "perception" in two and "fused_step" not in two
