@@ -19,3 +19,17 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Dedupe identical compiles across tests: fixtures rebuild models/agents with
+# fresh jax.jit closures, so the in-memory jit cache never hits across tests —
+# the on-disk cache is keyed by HLO hash and does (intra-run on a cold box,
+# across runs locally). Entries are host-local (~/.cache), so the
+# machine-pinned-AOT concern from CLAUDE.md does not apply; set
+# GRIDMM_COMPILE_CACHE=0 to measure true cold-compile times.
+import sys  # noqa: E402
+from pathlib import Path  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from gridmm_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(min_compile_time_secs=2.0)

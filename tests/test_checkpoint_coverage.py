@@ -15,11 +15,20 @@ from gridmm_tpu.utils import checkpoint as CK  # noqa: E402
 
 
 def test_navigator_rules_cover_all_leaves():
+    # Coverage is a property of the KEY SPACE: rule families are emitted per
+    # layer index, so the flagship layer counts (9L/4X/2P) must stay — but
+    # widths only scale array sizes, never which leaves exist. Shrunk widths
+    # take init from 161M params to ~2M with the identical leaf set.
     import dataclasses
     cfg = r2r_config()
     cfg = dataclasses.replace(
-        cfg, shapes=dataclasses.replace(cfg.shapes, max_points=1176,
-                                        max_txt_len=16))
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, hidden_size=64, num_attention_heads=4,
+            intermediate_size=128, image_feat_size=64, vocab_size=512,
+            max_position_embeddings=32),
+        shapes=dataclasses.replace(cfg.shapes, max_points=1176,
+                                   max_txt_len=16))
     model = GridMMNavigator(cfg.model)
     params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
 

@@ -18,7 +18,13 @@ from gridmm_tpu.train.step import create_train_state  # noqa: E402
 from gridmm_tpu.train.synthetic import synthetic_pretrain_batch  # noqa: E402
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def setup_all():
+    # memoized: jax arrays are immutable and every caller treats the params
+    # as a read-only template, so one init serves the whole module
     import dataclasses
     cfg = tiny_cfg()
     cfg = dataclasses.replace(
