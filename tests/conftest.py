@@ -10,9 +10,16 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# Tests compile hundreds of small graphs and run each a handful of times, so
+# XLA:CPU codegen effort is pure overhead here: dropping backend/LLVM effort
+# cut the train-step compile 43s -> 22s on this 1-core box with bit-identical
+# results (no fast-math involved; FP semantics are preserved at -O0).
+# Production/bench paths never see these flags — this is test config only.
+if "xla_backend_optimization_level" not in flags:
+    flags += (" --xla_backend_optimization_level=0"
+              " --xla_llvm_disable_expensive_passes=true")
+os.environ["XLA_FLAGS"] = flags.strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # The hosted TPU plugin ignores JAX_PLATFORMS; force CPU through jax.config too.

@@ -33,7 +33,9 @@ def test_ce_rollout_runs():
 
 def test_ce_teacher_beats_or_matches_random():
     cfg, agent = build_ce_agent()
-    env_t = SyntheticContinuousEnv(num_envs=3, image_size=56, depth_size=256,
+    # num_envs=2 matches the batch shape every other CE test compiles, so the
+    # persistent compile cache serves this rollout's graphs intra-run
+    env_t = SyntheticContinuousEnv(num_envs=2, image_size=56, depth_size=256,
                                    seed=7)
     m_teacher = agent.rollout(env_t, max_steps=6, feedback="teacher")
     ne_teacher = np.mean([m["ne"] for m in m_teacher])

@@ -102,10 +102,15 @@ def test_bf16_compute_path():
     from gridmm_tpu.models.navigator import (GridMMNavigator, dummy_batches,
                                              init_navigator)
 
+    # dtype routing is per-layer-family, not per-layer: 1L/1X and one step of
+    # points exercise every cast site at a fraction of the eager dispatch
     base = tiny_cfg()
     cfg = dataclasses.replace(
-        base, model=dataclasses.replace(base.model,
-                                        compute_dtype="bfloat16"))
+        base,
+        model=dataclasses.replace(base.model, compute_dtype="bfloat16",
+                                  num_l_layers=1, num_x_layers=1),
+        grid=dataclasses.replace(base.grid, max_steps=1),
+        shapes=dataclasses.replace(base.shapes, max_points=588))
     model = GridMMNavigator(cfg.model)
     params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
     txt_ids, txt_mask, _, nav_batch = dummy_batches(cfg.shapes, cfg.model, 2)

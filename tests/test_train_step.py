@@ -68,10 +68,20 @@ def test_bf16_train_step_gradients_finite():
 
 
 def test_loss_decreases_under_training():
+    # learning-signal check only: the smallest model that still descends.
+    # Width/depth don't change the train-step code path (the _tiny_config
+    # dims are covered by the grad tests above); they only inflate the XLA
+    # compile, which dominates this test's wall clock on one core.
     import dataclasses
-    cfg = _tiny_config()
+    cfg = _tiny_config(max_points=2 * 588)
     cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, lr=2e-4))
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, hidden_size=64, num_attention_heads=2,
+            intermediate_size=128, num_l_layers=1, num_x_layers=1,
+            image_feat_size=64),
+        grid=dataclasses.replace(cfg.grid, feature_dim=64),
+        train=dataclasses.replace(cfg.train, lr=2e-4))
     model = GridMMNavigator(cfg.model)
     params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
     state = create_train_state(cfg, params)
