@@ -346,6 +346,15 @@ class CETrainer:
             "opt_state": self.opt_state,
             "epoch": np.asarray(self._epoch, np.int32)})
 
+    def flush(self) -> None:
+        """Block until any in-flight async checkpoint write is COMMITTED
+        (atomic rename done). A polling evaluator in another process only
+        ever lists committed paths, but an in-process reader that was handed
+        a just-saved path (tests, same-process eval) must flush first or the
+        read races the background writer."""
+        if hasattr(self, "_saver"):
+            self._saver.wait()
+
     def restore(self, path: str) -> int:
         """Restore full training state saved by `save`; returns the stored
         epoch (the reference's IL.is_requeue restore,
@@ -443,6 +452,11 @@ def _numbered_checkpoints(ckpt_dir: str) -> List[str]:
     entries = []
     for name in os.listdir(ckpt_dir):
         if name.endswith((".tmp", ".log")) or name.startswith((".", "tmp")):
+            continue
+        # an AsyncSaver write in flight is visible as
+        # '<ckpt>.orbax-checkpoint-tmp-<digits>' until the atomic commit
+        # rename; its trailing digits must not read as a checkpoint number
+        if "orbax-checkpoint-tmp" in name:
             continue
         m = re.search(r"(\d+)(?!.*\d)", name)
         if m is None:

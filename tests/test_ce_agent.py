@@ -102,6 +102,11 @@ def test_ce_ckpt_polling(tmp_path):
     second = poll_checkpoint_dir(str(ckpt_dir), 0)
     assert first.endswith("ckpt.0") and second.endswith("ckpt.1")
     assert poll_checkpoint_dir(str(ckpt_dir), 1) is None
+    # an AsyncSaver write in flight ('<name>.orbax-checkpoint-tmp-<digits>',
+    # pre-rename) must never be listed as a restorable checkpoint even
+    # though its name ends in digits
+    (ckpt_dir / "ckpt.2.orbax-checkpoint-tmp-1755598123").mkdir()
+    assert poll_checkpoint_dir(str(ckpt_dir), 1) is None
 
     env = SyntheticContinuousEnv(num_envs=2, image_size=56, depth_size=256,
                                  seed=1)

@@ -23,6 +23,7 @@ def test_ce_trainer_save_restore_roundtrip(tmp_path):
     trainer = CETrainer(cfg, agent)
     trainer.train_epoch(env, 0, batches=1, max_steps=2, seed=0)
     trainer.save(str(tmp_path / "ckpt.0"))
+    trainer.flush()  # cross-instance read below; commit the async write
     trained = jax.tree_util.tree_map(np.asarray, agent.nav_params)
 
     cfg2, agent2 = build_ce_agent(tiny=True, seed=1)  # different init
@@ -71,6 +72,7 @@ def test_params_only_subtree_restore(tmp_path):
     trainer = CETrainer(cfg, agent)
     trainer.train_epoch(env, 0, batches=1, max_steps=2, seed=0)
     trainer.save(str(tmp_path / "ckpt.0"))
+    trainer.flush()  # module-level reader below doesn't wait on the saver
     trained = jax.tree_util.tree_map(np.asarray, agent.nav_params)
 
     _cfg2, agent2 = build_ce_agent(tiny=True, seed=1)
