@@ -75,7 +75,9 @@ class SyntheticContinuousEnv:
         self._rng = np.random.default_rng(seed)
         self._episode_counter = 0
         self.episode_len = episode_len
-        self.num_episodes = num_episodes
+        # 0 means unbounded, matching run_ce --num_episodes 0 (a literal 0
+        # would hit `% num_episodes` at reset)
+        self.num_episodes = num_episodes or None
         self.pos = np.zeros((num_envs, 2), np.float64)
         self.heading = np.zeros((num_envs,), np.float64)
         self.goal = np.zeros((num_envs, 2), np.float64)

@@ -80,19 +80,11 @@ class CETrainer:
         if mesh is not None:
             # commit the optimizer count scalar and pin output shardings to
             # the inputs' so every update after the first reuses one
-            # executable (GSPMD otherwise re-shards replicated leaves and
-            # the second call silently recompiles)
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            # executable
+            from gridmm_tpu.parallel.mesh import commit_and_pin
 
-            from gridmm_tpu.parallel.mesh import commit_state
-
-            self.opt_state = commit_state(self.opt_state, mesh)
-            out_sh = (
-                jax.tree_util.tree_map(lambda x: x.sharding,
-                                       agent.nav_params),
-                jax.tree_util.tree_map(lambda x: x.sharding, self.opt_state),
-                NamedSharding(mesh, P()),
-            )
+            (agent.nav_params, self.opt_state), out_sh = commit_and_pin(
+                mesh, agent.nav_params, self.opt_state)
             self._jit_update = jax.jit(update, donate_argnums=(0, 1),
                                        out_shardings=out_sh)
         else:
@@ -260,7 +252,7 @@ class CETrainer:
         ep_stats: Dict[str, dict] = {}
         # full-split mode can stop as soon as every episode is seen when the
         # env advertises its split size (finite SyntheticContinuousEnv does)
-        total = getattr(env, "num_episodes", None)
+        total = _full_split_total(env, batches, "eval")
         rollouts = 0
         while batches == 0 or rollouts < batches:
             rollouts += 1
@@ -355,6 +347,12 @@ class CETrainer:
         if hasattr(self, "_saver"):
             self._saver.wait()
 
+    def close(self) -> None:
+        """flush() plus release the async writer (end of training)."""
+        if hasattr(self, "_saver"):
+            self._saver.close()
+            del self._saver
+
     def restore(self, path: str) -> int:
         """Restore full training state saved by `save`; returns the stored
         epoch (the reference's IL.is_requeue restore,
@@ -391,7 +389,7 @@ class CETrainer:
         import json
 
         episode_predictions: Dict[str, list] = {}
-        total = getattr(env, "num_episodes", None)
+        total = _full_split_total(env, batches, "inference")
         rollouts = 0
         while batches == 0 or rollouts < batches:
             rollouts += 1
@@ -464,6 +462,25 @@ def _numbered_checkpoints(ckpt_dir: str) -> List[str]:
         entries.append((int(m.group(1)), name))
     entries.sort()
     return [os.path.join(ckpt_dir, name) for _, name in entries]
+
+
+def _full_split_total(env: ContinuousEnv, batches: int,
+                      what: str) -> Optional[int]:
+    """Split size for batches=0 full-split sweeps, or None when unknown.
+
+    An env that DECLARES itself unbounded (num_episodes attribute present
+    and None, SyntheticContinuousEnv's default) can never wrap, so a full-
+    split sweep would grind through the 10000-rollout backstop before
+    erroring — fail fast instead. An env without the attribute (habitat
+    iterators cycle without advertising a size) keeps the wraparound+backstop
+    path."""
+    total = getattr(env, "num_episodes", "absent")
+    if batches == 0 and total is None:
+        raise ValueError(
+            f"full-split {what} (batches=0) needs a finite episode split, "
+            f"but this env declares an unbounded stream (num_episodes="
+            f"None). Pass batches=N or construct the env with num_episodes.")
+    return None if total == "absent" else total
 
 
 def poll_checkpoint_dir(ckpt_dir: str, prev_index: int) -> Optional[str]:

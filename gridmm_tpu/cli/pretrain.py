@@ -466,15 +466,10 @@ def main(argv=None):
     if mesh is not None:
         # commit the fresh step/opt-count scalars and pin each task step's
         # output-state shardings to the inputs' — otherwise the SECOND window
-        # of every task silently recompiles its whole executable (GSPMD
-        # re-shards some replicated leaves on the way out)
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        # of every task silently recompiles its whole executable
+        from gridmm_tpu.parallel.mesh import commit_and_pin
 
-        from gridmm_tpu.parallel.mesh import commit_state
-
-        state = commit_state(state, mesh)
-        out_sh = (jax.tree_util.tree_map(lambda x: x.sharding, state),
-                  NamedSharding(mesh, P()))
+        (state,), out_sh = commit_and_pin(mesh, state)
     if accum > 1:
         from gridmm_tpu.train.pretrain import make_pretrain_accum_step
 

@@ -189,8 +189,7 @@ def main(argv=None):
             if ckpt_dir and (ep % args.save_every == 0
                              or ep == args.epochs - 1):
                 trainer.save(os.path.join(ckpt_dir, f"ckpt.{ep}"))
-        if hasattr(trainer, "_saver"):
-            trainer._saver.close()  # drain the async writer before eval
+        trainer.close()  # drain the async writer before eval
     if args.run_type == "eval" and args.poll_ckpt_dir:
         from gridmm_tpu.ce.trainer import evaluate_checkpoints_polling
 

@@ -313,6 +313,12 @@ def synthetic_episodes(world, num: int, seed: int = 0,
             if objs:
                 obj = rng.choice(objs)
                 item["objId"] = obj["obj_id"]
+                # eval-side keys (env/discrete.py _eval_item reads gt_obj_id/
+                # gt_end_vps; objId is the pretrain-trajectory spelling) —
+                # the same object, so det metrics grade against the label
+                # the episode actually carries
+                item["gt_obj_id"] = obj["obj_id"]
+                item["gt_end_vps"] = [path[-1]]
                 if soon_bboxes:
                     h, e = obj.get("heading", 0.0), obj.get("elevation", 0.0)
                     dh, de = 0.25, 0.18

@@ -145,19 +145,29 @@ def commit_state(state: Any, mesh: Mesh):
     return jax.tree_util.tree_map(commit, state)
 
 
+def commit_and_pin(mesh: Mesh, *trees):
+    """commit_state every tree, and build the out_shardings for a step that
+    returns (updated *trees, metrics): each tree's shardings pinned to its
+    committed input's, metrics replicated scalars.
+
+    Pinning matters because GSPMD's sharding propagation may otherwise
+    return e.g. biases of TP-sharded projections re-sharded over `model` —
+    different input shardings on the next call, which silently recompiles
+    the whole executable (measured +95s per training run on the 8-device
+    1-core virtual mesh). One place for the workaround; every mesh training
+    path (finetune, pretrain, CE) uses it."""
+    committed = tuple(commit_state(t, mesh) for t in trees)
+    out_sh = tuple(jax.tree_util.tree_map(lambda x: x.sharding, t)
+                   for t in committed) + (NamedSharding(mesh, P()),)
+    return committed, out_sh
+
+
 def prepare_train_step(step_fn, state, mesh: Mesh, donate: bool = True):
     """jit a ``(state, ...) -> (state, metrics)`` step for stable reuse.
 
-    Returns ``(jitted_step, committed_state)``. The output-state shardings
-    are pinned to the (committed) input state's, because GSPMD's sharding
-    propagation may otherwise return e.g. biases of TP-sharded projections
-    re-sharded over `model` — different input shardings on the next call,
-    which silently recompiles the whole executable. Pinning makes every call
-    after the first a guaranteed cache hit (one executable per shape bucket).
-    Metrics are replicated scalars."""
-    state = commit_state(state, mesh)
-    out_sh = (jax.tree_util.tree_map(lambda x: x.sharding, state),
-              NamedSharding(mesh, P()))
+    Returns ``(jitted_step, committed_state)``; every call after the first
+    is a guaranteed executable reuse (see commit_and_pin)."""
+    (state,), out_sh = commit_and_pin(mesh, state)
     jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else (),
                      out_shardings=out_sh)
     return jitted, state

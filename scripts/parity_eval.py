@@ -126,17 +126,13 @@ def build_val_env(args, cfg):
         from gridmm_tpu.env.world import SyntheticWorld
 
         world = SyntheticWorld(num_scans=2, nodes_per_scan=10, seed=args.seed)
-        eps = synthetic_episodes(world, num=12, seed=args.seed + 1)
-        if args.synthetic_preset in ("reverie", "soon"):
-            # REVERIE/SOON episodes carry a gt object at the goal viewpoint
-            # (reverie/data_utils.py obj2vps); keep goals that expose one so
-            # det metrics share sr's support (tests/test_reverie.py shape)
-            eps = [ep for ep in eps if world.objects(ep["scan"],
-                                                     ep["path"][-1])]
-            for ep in eps:
-                ep["gt_obj_id"] = world.objects(
-                    ep["scan"], ep["path"][-1])[0]["obj_id"]
-                ep["gt_end_vps"] = [ep["path"][-1]]
+        # REVERIE/SOON episodes carry a gt object at the goal viewpoint
+        # (reverie/data_utils.py obj2vps); with_objects RESAMPLES until every
+        # goal exposes one (det metrics share sr's support, full 12-episode
+        # split kept) and attaches objId + gt_obj_id/gt_end_vps
+        eps = synthetic_episodes(
+            world, num=12, seed=args.seed + 1,
+            with_objects=args.synthetic_preset in ("reverie", "soon"))
         return DiscreteNavEnv(world, world.graphs, eps,
                               batch_size=args.batch_size, seed=args.seed,
                               name=args.split)

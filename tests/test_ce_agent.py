@@ -117,6 +117,27 @@ def test_ce_ckpt_polling(tmp_path):
     assert all("sr" in r and "checkpoint" in r for r in results)
 
 
+def test_full_split_eval_rejects_unbounded_env():
+    """batches=0 on an env that DECLARES an unbounded episode stream must
+    fail fast instead of grinding through the 10000-rollout backstop; and
+    num_episodes=0 normalizes to unbounded (run_ce's 0 convention) instead
+    of a ZeroDivisionError at reset."""
+    import pytest
+
+    from gridmm_tpu.ce.factory import build_ce_agent
+    from gridmm_tpu.ce.trainer import CETrainer
+
+    cfg, agent = build_ce_agent(tiny=True)
+    trainer = CETrainer(cfg, agent)
+    env = SyntheticContinuousEnv(num_envs=2, image_size=56, depth_size=256,
+                                 num_episodes=0)
+    assert env.num_episodes is None
+    with pytest.raises(ValueError, match="unbounded"):
+        trainer.evaluate(env, batches=0, max_steps=2)
+    with pytest.raises(ValueError, match="unbounded"):
+        trainer.inference(env, "/dev/null", batches=0, max_steps=2)
+
+
 def test_full_split_eval_every_episode_once(tmp_path):
     """batches=0 (the CLI eval default) covers the finite episode split
     exactly once: rollouts continue until the env's cycling episode iterator

@@ -26,16 +26,11 @@ def build_reverie(seed=0):
         base, model=dataclasses.replace(base.model, obj_feat_size=128))
     world = SyntheticWorld(num_scans=1, nodes_per_scan=10, feat_dim=768,
                            seed=seed)
-    episodes = synthetic_episodes(world, num=10, seed=seed, max_len=4)
-    # attach a gt object reachable at the goal viewpoint; REVERIE episodes
-    # always have one, so keep only goals that expose objects (mixing
-    # object-less episodes would give det_sr a different support than sr)
-    episodes = [ep for ep in episodes
-                if world.objects(ep["scan"], ep["path"][-1])]
-    assert len(episodes) >= 3
-    for ep in episodes:
-        ep["gt_obj_id"] = world.objects(ep["scan"], ep["path"][-1])[0]["obj_id"]
-        ep["gt_end_vps"] = [ep["path"][-1]]
+    # REVERIE episodes always carry a gt object at the goal viewpoint:
+    # with_objects resamples until every goal exposes one (det_sr shares
+    # sr's support) and attaches objId + gt_obj_id/gt_end_vps
+    episodes = synthetic_episodes(world, num=10, seed=seed, max_len=4,
+                                  with_objects=True)
     env = DiscreteNavEnv(world, world.graphs, episodes, batch_size=3,
                          seed=seed)
     model = GridMMNavigator(cfg.model)

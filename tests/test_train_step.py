@@ -97,7 +97,16 @@ def test_loss_decreases_under_training():
 
 @pytest.mark.slow
 def test_dryrun_multichip_8():
-    dryrun_multichip(8)
+    # the driver gate must never depend on the compile cache (CLAUDE.md) —
+    # exercise it cache-free even though conftest enables the cache
+    # suite-wide, so a cold-compile-time regression of the gate graph can't
+    # hide behind warm ~/.cache entries
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        dryrun_multichip(8)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
 
 
 def test_prepare_train_step_single_executable():
