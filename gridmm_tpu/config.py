@@ -59,6 +59,14 @@ class ModelConfig:
     fix_pano_embedding: bool = False
     fix_local_branch: bool = False
 
+    # The reference's instruction-relevance max runs over the PADDED text
+    # length (vilmodel.py:793-798 applies no mask before .max) — pad-position
+    # BERT outputs participate, and released checkpoints were trained under
+    # that function. False (default) reproduces it everywhere (rollout,
+    # replay training, pretrain, CE, serving); True excludes pad tokens —
+    # cleaner semantics, but NOT checkpoint-compatible with released weights.
+    mask_txt_relevance: bool = False
+
     # TPU-native knobs (no reference equivalent)
     compute_dtype: str = "float32"  # "bfloat16" on real TPU runs
     use_pallas_attention: bool = False

@@ -168,7 +168,10 @@ class GridMMPretrain(nn.Module):
             self.bert.vp_pos_dense(vp_pos_fts))
 
         grid_embeds, cell_mask = self.bert.encode_grid(
-            txt_embeds, grid_fts, grid_cells, gridmap_pos_fts, txt_mask)
+            txt_embeds, grid_fts, grid_cells, gridmap_pos_fts,
+            # default None = the reference pretrain model's max over PADDED
+            # text (pretrain_src/model/vilmodel.py:688-692 applies no mask)
+            txt_mask if self.cfg.mask_txt_relevance else None)
         return (txt_embeds, gmap_embeds, vp_embeds, vp_mask, grid_embeds,
                 cell_mask)
 

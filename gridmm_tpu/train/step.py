@@ -138,7 +138,10 @@ def _nav_inputs(cfg, txt_embeds, txt_mask, gmap_img_embeds, x, pano_embeds,
         "fused_add_idx": x.fused_add_idx,
         "cand_backtrack_mask": x.cand_backtrack_mask,
         "vp_obj_mask": x.vp_obj_mask if cfg.model.obj_feat_size > 0 else None,
-        "txt_relevance_mask": txt_mask,
+        # default None = the reference's max over PADDED text
+        # (ModelConfig.mask_txt_relevance)
+        "txt_relevance_mask":
+            txt_mask if cfg.model.mask_txt_relevance else None,
     }
 
 
@@ -194,7 +197,8 @@ def nav_device_step(
     # vilmodel.py:793-807 — redundant; see PointCloudState docstring)
     proj_new, w_new = apply("project_grid", {
         "txt_embeds": txt_embeds, "patch_fts": x.patch_fts,
-        "txt_relevance_mask": txt_mask})
+        "txt_relevance_mask":
+            txt_mask if cfg.model.mask_txt_relevance else None})
     point_state = G.append_panorama(
         carry.point_state, x.depth, proj_new, x.pos_xy, cfg.grid, w_new,
         headings=x.heading)
@@ -275,7 +279,8 @@ def _trajectory_loss_stacked(
         b, s * ppstep, x.patch_fts.shape[-1])
     proj_all, w_all = apply("project_grid", {
         "txt_embeds": txt_embeds, "patch_fts": patch_all,
-        "txt_relevance_mask": batch.txt_mask})
+        "txt_relevance_mask":
+            batch.txt_mask if cfg.model.mask_txt_relevance else None})
     stacked = G.stacked_point_state(x.depth, proj_all, w_all, x.pos_xy,
                                     x.heading, cfg.grid)
 

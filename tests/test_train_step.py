@@ -95,6 +95,58 @@ def test_loss_decreases_under_training():
     assert losses[-1] < losses[0], losses
 
 
+def test_relevance_max_over_padded_text_by_default():
+    """The device step's instruction-relevance max runs over PADDED text by
+    default — the reference applies no mask before .max (vilmodel.py:793-798)
+    and released checkpoints were trained under that function; the opt-in
+    mask_txt_relevance=True must exclude pad rows. Observable through the
+    point buffer's cached relevance logits."""
+    import dataclasses
+
+    from gridmm_tpu.train.step import init_carry, nav_device_step
+
+    cfg = _tiny_config(max_points=2 * 588)
+    cfg = dataclasses.replace(
+        cfg, grid=dataclasses.replace(cfg.grid, max_steps=2))
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    batch = synthetic_trajectory_batch(cfg, batch=2, num_steps=1)
+    x = jax.tree_util.tree_map(lambda a: a[0], batch.steps)
+
+    txt_mask = np.zeros((2, cfg.shapes.max_txt_len), bool)
+    txt_mask[:, :4] = True  # positions 4+ are padding
+    # a dominating PAD-position row: included -> it wins every point's max
+    txt = np.random.default_rng(0).standard_normal(
+        (2, cfg.shapes.max_txt_len, cfg.model.hidden_size)).astype(np.float32)
+    txt[:, 5, :] = 50.0
+    txt, txt_mask = jnp.asarray(txt), jnp.asarray(txt_mask)
+
+    def weights_for(model_cfg):
+        m = GridMMNavigator(model_cfg)
+        carry, _ = nav_device_step(m, dataclasses.replace(cfg, model=model_cfg),
+                                   params, txt, txt_mask,
+                                   init_carry(cfg, 2), x)
+        w = np.asarray(carry.point_state.weights[:, :cfg.grid.points_per_step])
+        return m, w
+
+    _, w_ref = weights_for(cfg.model)
+    m, w_masked = weights_for(
+        dataclasses.replace(cfg.model, mask_txt_relevance=True))
+
+    # oracle: scores over ALL text rows (reference) vs real rows only
+    tp = params["params"]["text_proj"]
+    proj = txt.astype(jnp.float32) @ tp["kernel"] + tp["bias"]
+    scores = np.asarray(jnp.einsum(
+        "bnd,btd->bnt", x.patch_fts.astype(jnp.float32), proj))
+    np.testing.assert_allclose(w_ref, scores.max(-1), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        w_masked,
+        np.where(np.asarray(txt_mask)[:, None, :], scores, -np.inf).max(-1),
+        rtol=1e-4, atol=1e-4)
+    # and the dominating pad row makes the two semantics actually differ
+    assert (w_ref > w_masked + 1.0).any()
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_8():
     # the driver gate must never depend on the compile cache (CLAUDE.md) —
