@@ -407,7 +407,12 @@ def main(argv=None):
     sched = warmup_linear_schedule(
         cfg.train.lr, min(cfg.train.warmup_steps, max(args.steps // 10, 1)),
         max(cfg.train.num_train_steps, args.steps))
-    tx = build_optimizer("adamw", cfg.train, sched)
+    # the pretrain driver's AdamW constants differ from the finetune ones:
+    # betas (0.9, 0.98) (parser.py:69, *_pretrain.json) and the vendored
+    # optim/adamw.py eps default 1e-6
+    tcfg = dataclasses.replace(cfg.train, betas=cfg.train.pretrain_betas,
+                               adam_eps=cfg.train.pretrain_adam_eps)
+    tx = build_optimizer("adamw", tcfg, sched)
 
     mesh = None
     batch_sh = None

@@ -185,7 +185,15 @@ class TrainConfig:
     lr: float = 1e-5
     weight_decay: float = 0.0
     optim: str = "adamw"
-    betas: Tuple[float, float] = (0.9, 0.98)
+    # finetune optimizers are built with torch defaults — agent_base.py:135
+    # passes ONLY lr, so betas/eps are torch.optim.AdamW's (0.9, 0.999)/1e-8
+    betas: Tuple[float, float] = (0.9, 0.999)
+    adam_eps: float = 1e-8
+    # the pretrain driver overrides both: parser.py:69 betas (0.9, 0.98) and
+    # the vendored optim/adamw.py eps default 1e-6 (cli/pretrain.py applies
+    # these when building its optimizer)
+    pretrain_betas: Tuple[float, float] = (0.9, 0.98)
+    pretrain_adam_eps: float = 1e-6
     grad_norm_clip: float = 40.0   # agent_base.py:205
     ml_weight: float = 0.2
     feedback: str = "sample"

@@ -88,11 +88,12 @@ def build_optimizer(name: str, cfg: TrainConfig,
                     schedule=None) -> optax.GradientTransformation:
     lr = schedule if schedule is not None else cfg.lr
     b1, b2 = cfg.betas
+    eps = getattr(cfg, "adam_eps", 1e-8)
     opts = {
-        "adamw": lambda: optax.adamw(lr, b1=b1, b2=b2,
+        "adamw": lambda: optax.adamw(lr, b1=b1, b2=b2, eps=eps,
                                      weight_decay=cfg.weight_decay,
                                      mask=decay_mask),
-        "adam": lambda: optax.adam(lr, b1=b1, b2=b2),
+        "adam": lambda: optax.adam(lr, b1=b1, b2=b2, eps=eps),
         "rms": lambda: optax.rmsprop(lr),
         "sgd": lambda: optax.sgd(lr),
         "radam": lambda: optax.radam(lr, b1=b1, b2=b2),

@@ -81,6 +81,7 @@ def make_optimizer(cfg: GridMMConfig) -> optax.GradientTransformation:
             cfg.train.lr,
             b1=cfg.train.betas[0],
             b2=cfg.train.betas[1],
+            eps=cfg.train.adam_eps,
             weight_decay=cfg.train.weight_decay,
         ),
     )
