@@ -50,17 +50,24 @@ def random_word_masking(tokens: np.ndarray, rng: random.Random,
                         vocab_range=(1996, 29611), mask_id=103,
                         mlm_prob=0.15):
     """BERT MLM corruption: 15% of tokens -> 80% [MASK] / 10% random / 10% keep
-    (pretrain_src/data/common.py random_word semantics)."""
+    (pretrain_src/data/tasks.py:11-51 random_word semantics: the loop runs
+    over EVERY position — [CLS]/[SEP] are maskable too — the random token is
+    drawn from range(*vocab_range) with the upper bound EXCLUSIVE, and an
+    all-unmasked draw falls back to masking position 0 so every example
+    carries at least one MLM label)."""
     ids = tokens.copy()
     labels = np.full_like(ids, -1)
-    for i in range(1, len(ids) - 1):  # keep [CLS]/[SEP]
+    for i in range(len(ids)):
         if rng.random() < mlm_prob:
             labels[i] = ids[i]
             r = rng.random()
             if r < 0.8:
                 ids[i] = mask_id
             elif r < 0.9:
-                ids[i] = rng.randint(*vocab_range)
+                ids[i] = rng.randrange(*vocab_range)
+    if (labels == -1).all():
+        labels[0] = ids[0]
+        ids[0] = mask_id
     return ids, labels
 
 
@@ -400,14 +407,20 @@ class TextPathDataset:
             for i, it in enumerate(items):
                 last = int(it["traj_step_mask"].sum()) - 1
                 ntok = int(it["traj_token_mask"][last].sum())
+                eligible = []
                 for k in range(ntok):
                     # only view tokens carry image-class soft labels; object
                     # tokens (nav_type 2) are masked by the separate obj-MRC
                     # variant in the reference (tasks.py:164-227)
                     if it["traj_nav_types"][last, k] == 2:
                         continue
+                    eligible.append(k)
                     if self.rng.random() < mrc_prob:
                         view_mrc_masks[i, k] = True
+                if eligible and not view_mrc_masks[i].any():
+                    # _get_img_mask guarantees at least one masked view
+                    # (tasks.py:145-151) so every MRC example carries signal
+                    view_mrc_masks[i, self.rng.choice(eligible)] = True
                 # soft labels from the provider's per-view class probs
                 # (the reference view-feature files append prob columns);
                 # uniform only when the provider has none
