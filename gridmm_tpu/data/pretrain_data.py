@@ -375,9 +375,12 @@ class TextPathDataset:
 
         cfg = self.cfg
         sh, mc = cfg.shapes, cfg.model
-        # og always ends at the goal (OGDataset, tasks.py:381); sap mixes
-        end_type = "pos" if task != "sap" else self._sap_end_type()
-        items = [self.get_input(i, end_type) for i in indices]
+        # og always ends at the goal (OGDataset, tasks.py:381); sap mixes —
+        # sampled PER EXAMPLE like SapDataset.__getitem__ (tasks.py:294-301),
+        # so one batch carries a mix of pos/neg trajectories
+        items = [self.get_input(
+            i, self._sap_end_type() if task == "sap" else "pos")
+            for i in indices]
         b = len(items)
         t_len = sh.max_txt_len
         s = items[0]["traj_view_fts"].shape[0]
