@@ -90,7 +90,72 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations/matmuls (params, head logits "
                         "and losses stay f32)")
-    return p.parse_args(argv)
+    # model init (train_r2r.py:105-141)
+    p.add_argument("--init_checkpoint", default=None,
+                   help="torch pretrain checkpoint (ModelSaver "
+                        "model_step_N.pt key space) to continue from "
+                        "(train_r2r.py --checkpoint)")
+    p.add_argument("--init_pretrained", default="none",
+                   choices=["none", "bert", "lxmert"],
+                   help="initialize from released language-model weights "
+                        "(train_r2r.py:109-141); needs --init_weights")
+    p.add_argument("--init_weights", default=None,
+                   help="torch state-dict file for --init_pretrained "
+                        "(bert-base pytorch_model.bin / model_LXRT.pth)")
+    p.add_argument("--init_fill_lang_encoder", action="store_true",
+                   help="with --init_pretrained bert: also map "
+                        "encoder.layer.i onto the language trunk — the "
+                        "reference init drops those keys silently "
+                        "(see utils/checkpoint.remap_hf_bert_init)")
+    args = p.parse_args(argv)
+    # fail fast, before dataset/param init (train_r2r.py:105-141 semantics)
+    if args.init_checkpoint and args.init_pretrained != "none":
+        p.error("--init_checkpoint and --init_pretrained are mutually "
+                "exclusive (a checkpoint supersedes the language-model init)")
+    if args.init_pretrained != "none" and not args.init_weights:
+        p.error("--init_pretrained needs --init_weights (a local torch "
+                "state-dict file; this image has no egress)")
+    return args
+
+
+def _apply_init_weights(args, cfg, params):
+    """Model init from torch weights (train_r2r.py:105-141): a pretrain
+    checkpoint supersedes the language-model init; bert fills only the
+    embedding stack (faithfully), lxmert fills embeddings + lang layers +
+    local x-layers + MLM head."""
+    if not (args.init_checkpoint or args.init_pretrained != "none"):
+        return params
+    path = args.init_checkpoint or args.init_weights
+    import torch
+
+    from gridmm_tpu.utils import checkpoint as ckpt_lib
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model"):
+        if isinstance(sd, dict) and isinstance(sd.get(key), dict):
+            sd = sd[key]
+    m = cfg.model
+    kw = dict(num_l_layers=m.num_l_layers, num_x_layers=m.num_x_layers,
+              num_pano_layers=m.num_pano_layers, has_obj=m.obj_feat_size > 0)
+    if args.init_checkpoint:
+        params, report = ckpt_lib.import_torch_pretrain(sd, params, **kw)
+    elif args.init_pretrained == "bert":
+        params, report = ckpt_lib.import_hf_bert_pretrain(
+            sd, params, fill_lang_encoder=args.init_fill_lang_encoder, **kw)
+    else:
+        params, report = ckpt_lib.import_lxmert_pretrain(sd, params, **kw)
+    n_leaves = len(ckpt_lib._leaf_paths(params.get("params", params)))
+    filled = n_leaves - len(report["unfilled_flax_leaves"])
+    if filled == 0:
+        raise ValueError(
+            f"init weights at {path} matched ZERO parameters — wrong key "
+            f"space? unused keys (first few): "
+            f"{report['unused_torch_keys'][:8]}")
+    print(json.dumps({"init_filled_leaves": filled,
+                      "init_total_leaves": n_leaves,
+                      "init_unused_torch_keys":
+                          len(report["unused_torch_keys"])}))
+    return params
 
 
 def _resolve_config(args):
@@ -399,6 +464,7 @@ def main(argv=None):
 
     params = init_pretrain_params(model, cfg, jax.random.PRNGKey(args.seed),
                                   init_batch)
+    params = _apply_init_weights(args, cfg, params)
     # warmup + linear decay, the reference pretraining schedule
     # (pretrain_src/optim/sched.py warmup_linear)
     from gridmm_tpu.train.optimizers import (build_optimizer,

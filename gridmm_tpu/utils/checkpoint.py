@@ -556,6 +556,200 @@ def import_torch_navigator(
     return _apply_rules(sd, rules, template_params, strict)
 
 
+# ------------------------------------------------------- pretrain-model init
+# heads the PreTraining wrapper owns directly (pretrain_cmt.py:44-63) — their
+# torch keys carry NO 'bert.' prefix even though our tree scopes them inside
+# the navigator (models/navigator.py keeps all heads on the trunk)
+_WRAPPER_HEAD_PREFIXES = ("global_sap_head.", "local_sap_head.",
+                          "grid_sap_head.", "sap_fuse_linear.", "og_head.")
+
+
+def pretrain_rules(num_l_layers=9, num_x_layers=4, num_pano_layers=2,
+                   has_obj=False) -> List[Tuple[str, str, str]]:
+    """Key map for GlocalTextPathCMTPreTraining -> GridMMPretrain.
+
+    The trunk is the navigator map under the 'bert.' torch scope
+    (pretrain_cmt.py:41 `self.bert = GlocalTextPathCMT(config)`), except the
+    SAP/OG heads which the wrapper owns at top level (pretrain_cmt.py:44-63).
+    The MLM decoder weight is tied to the word embeddings in both stacks
+    (vilmodel.py:274-306 / models/pretrain.py MLMHead) so only the
+    transform + output bias carry independent state; RegionClassification is
+    net.{0 Linear, 2 LayerNorm, 3 Linear} (pretrain_cmt.py:12-22)."""
+    r: List[Tuple[str, str, str]] = []
+    for src, dst, tf in navigator_rules(num_l_layers, num_x_layers,
+                                        num_pano_layers, has_obj):
+        if not src.startswith(_WRAPPER_HEAD_PREFIXES):
+            src = "bert." + src
+        r.append((src, "bert/" + dst, tf))
+    r += [
+        ("mlm_head.predictions.transform.dense.weight",
+         "mlm_head/transform_dense/kernel", "T"),
+        ("mlm_head.predictions.transform.dense.bias",
+         "mlm_head/transform_dense/bias", ""),
+        ("mlm_head.predictions.transform.LayerNorm.weight",
+         "mlm_head/transform_LayerNorm/ln/scale", ""),
+        ("mlm_head.predictions.transform.LayerNorm.bias",
+         "mlm_head/transform_LayerNorm/ln/bias", ""),
+        ("mlm_head.predictions.bias", "mlm_head/bias", ""),
+    ]
+    for head in ("image_classifier", "obj_classifier"):
+        r += [
+            (f"{head}.net.0.weight", f"{head}/net_0/kernel", "T"),
+            (f"{head}.net.0.bias", f"{head}/net_0/bias", ""),
+            (f"{head}.net.2.weight", f"{head}/net_2/ln/scale", ""),
+            (f"{head}.net.2.bias", f"{head}/net_2/ln/bias", ""),
+            (f"{head}.net.3.weight", f"{head}/net_3/kernel", "T"),
+            (f"{head}.net.3.bias", f"{head}/net_3/bias", ""),
+        ]
+    return r
+
+
+def import_torch_pretrain(
+    state_dict: Dict[str, Any],
+    template_params: dict,
+    num_l_layers=9, num_x_layers=4, num_pano_layers=2, has_obj=False,
+    strict: bool = False,
+) -> Tuple[dict, Dict[str, List[str]]]:
+    """Reference pretrain checkpoint (ModelSaver model_step_N.pt, consumed by
+    train_r2r.py:106-108 `--checkpoint`) -> GridMMPretrain params, for
+    CONTINUING pretraining (the finetune handoff is
+    remap_pretrain_to_navigator + import_torch_navigator)."""
+    sd = _strip_prefixes(state_dict)
+    rules = pretrain_rules(num_l_layers, num_x_layers, num_pano_layers,
+                           has_obj)
+    return _apply_rules(sd, rules, template_params, strict)
+
+
+def remap_hf_bert_init(state_dict: Dict[str, Any],
+                       double_token_type: bool = False) -> Dict[str, Any]:
+    """HF `AutoModel('bert-base')` named_parameters -> pretrain key space.
+
+    Replicates what the reference's `--init_pretrained bert` ACTUALLY loads
+    (train_r2r.py:109-118 feeding `from_pretrained(state_dict=...)`): HF
+    prepends the 'bert.' base-model prefix, after which only 'embeddings.*'
+    matches a GlocalTextPathCMT attribute path — 'encoder.layer.*' does not
+    exist there (the language trunk is 'lang_encoder.layer.*',
+    vilmodel.py:645) and 'pooler.*' is absent, so both are dropped as
+    unexpected keys. The reference BERT init therefore fills ONLY the text
+    embedding stack; `import_hf_bert_pretrain(fill_lang_encoder=True)` is
+    the beyond-reference opt-in that also reaches the encoder layers.
+
+    ``double_token_type`` replicates the xlm-roberta-base branch
+    (train_r2r.py:112-116): the 1-row token-type table is concatenated with
+    itself so row 1 can serve image embeddings."""
+    out: Dict[str, Any] = {}
+    for k, v in state_dict.items():
+        if k.startswith("bert."):  # full BertModel/BertForMaskedLM dumps
+            k = k[len("bert."):]
+        if not k.startswith("embeddings."):
+            continue
+        arr = _t(v)
+        if double_token_type and k == "embeddings.token_type_embeddings.weight":
+            arr = np.concatenate([arr, arr], axis=0)
+        out["bert." + k] = arr
+    return out
+
+
+def import_hf_bert_pretrain(
+    state_dict: Dict[str, Any],
+    template_params: dict,
+    double_token_type: bool = None,
+    fill_lang_encoder: bool = False,
+    num_l_layers=9, num_x_layers=4, num_pano_layers=2, has_obj=False,
+) -> Tuple[dict, Dict[str, List[str]]]:
+    """`--init_pretrained bert` (train_r2r.py:109-118): start pretraining
+    from a released BERT/XLM-R language model.
+
+    ``double_token_type=None`` auto-detects the xlm-roberta case: the source
+    table is doubled exactly when its row count is half the template's (the
+    reference keys the same branch off lang_bert_name == 'xlm-roberta-base').
+    ``fill_lang_encoder=True`` additionally maps encoder.layer.{i} onto
+    lang_encoder.layer.{i} for the first num_l_layers — what the reference
+    init plainly intends but never achieves (see remap_hf_bert_init)."""
+    sd_raw = _strip_prefixes(state_dict)
+    if double_token_type is None:
+        src_tt = next((v for k, v in sd_raw.items()
+                       if k.endswith("embeddings.token_type_embeddings.weight")),
+                      None)
+        inner = template_params.get("params", template_params)
+        tpl_tt = get_from_tree(inner, "bert/token_type_embeddings/embedding")
+        double_token_type = (src_tt is not None
+                             and 2 * int(np.shape(src_tt)[0])
+                             == int(np.shape(tpl_tt)[0]))
+    sd = remap_hf_bert_init(sd_raw, double_token_type)
+    mapped = set()
+    for k in sd_raw:
+        base = k[len("bert."):] if k.startswith("bert.") else k
+        if base.startswith("embeddings."):
+            mapped.add(k)
+    if fill_lang_encoder:
+        for k, v in sd_raw.items():
+            base = k[len("bert."):] if k.startswith("bert.") else k
+            if base.startswith("encoder.layer."):
+                sd["bert.lang_encoder.layer."
+                   + base[len("encoder.layer."):]] = _t(v)
+                mapped.add(k)
+    rules = pretrain_rules(num_l_layers, num_x_layers, num_pano_layers,
+                           has_obj)
+    params, report = _apply_rules(sd, rules, template_params)
+    # surface the keys from_pretrained would drop silently (encoder.layer.*,
+    # pooler.*) so the import report is diagnosable
+    report["unused_torch_keys"] = sorted(
+        set(report["unused_torch_keys"]) | (set(sd_raw) - mapped))
+    return params, report
+
+
+def remap_lxmert_init(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """LXMERT `model_LXRT.pth` -> pretrain key space, transcribing
+    train_r2r.py:120-141 exactly — including its two silent no-ops:
+
+      - 'module.' stripped; bert.encoder.layer.* -> bert.lang_encoder.layer.*
+        (LXMERT's 9 language layers line up with num_l_layers=9);
+      - bert.encoder.x_layers.* fanned out to three targets, of which only
+        'bert.local_encoder.encoder.x_layers.*' is a real attribute path:
+        the pretrain GlobalMapEncoder has no '.encoder'
+        (pretrain_src vilmodel.py:566-576) and grid_txt_encoder is a bare
+        CrossmodalEncoder whose layers live at '.x_layers', not
+        '.encoder.x_layers' (vilmodel.py:439-445,656) — both extra copies
+        are dropped as unexpected keys by from_pretrained, so LXMERT
+        x-layers initialize ONLY the local branch. We emit the same dead
+        keys and let no rule consume them.
+      - cls.predictions.* -> mlm_head.predictions.* (decoder.weight stays
+        tied to the word embeddings, as HF tie_weights re-asserts);
+      - everything else verbatim (bert.embeddings.* lands on the trunk;
+        LXMERT-only keys like visn_fc / pooler are dropped)."""
+    out: Dict[str, Any] = {}
+    for k, v in state_dict.items():
+        k = k.replace("module.", "")
+        if "bert.encoder.layer" in k:
+            out[k.replace("bert.encoder.layer", "bert.lang_encoder.layer")] = v
+        elif "bert.encoder.x_layers" in k:
+            for tgt in ("bert.local_encoder.encoder.x_layers",
+                        "bert.global_encoder.encoder.x_layers",
+                        "bert.grid_txt_encoder.encoder.x_layers"):
+                out[k.replace("bert.encoder.x_layers", tgt)] = v
+        elif "cls.predictions" in k:
+            out[k.replace("cls.predictions", "mlm_head.predictions")] = v
+        else:
+            out[k] = v
+    return out
+
+
+def import_lxmert_pretrain(
+    state_dict: Dict[str, Any],
+    template_params: dict,
+    num_l_layers=9, num_x_layers=4, num_pano_layers=2, has_obj=False,
+) -> Tuple[dict, Dict[str, List[str]]]:
+    """`--init_pretrained lxmert` (train_r2r.py:120-141): start pretraining
+    from a released LXMERT checkpoint. Fills embeddings, the 9 language
+    layers, the first num_x_layers local cross-layers (LXMERT ships 5; the
+    5th is dropped like the reference model drops it) and the MLM head."""
+    sd = remap_lxmert_init(state_dict)
+    rules = pretrain_rules(num_l_layers, num_x_layers, num_pano_layers,
+                           has_obj)
+    return _apply_rules(sd, rules, template_params)
+
+
 def waypoint_rules(num_layers: int = 2,
                    use_rgb: bool = True) -> List[Tuple[str, str, str]]:
     """Key map for the frozen waypoint-predictor checkpoints
