@@ -108,22 +108,30 @@ def evaluate_reverie_trajectory(
     pred_path, gt_path, gt_end_vps, pred_obj_id, gt_obj_id,
     error_margin: float = ERROR_MARGIN,
 ) -> Dict[str, float]:
-    """REVERIE-style scores: success = stopping AT one of the GT endpoints
-    (multi-endpoint, reverie/env.py eval) and det success additionally
-    requires grounding the right object."""
+    """REVERIE scores (reverie/env.py:685-709): navigation success is
+    stopping AT any viewpoint where the GT object is visible (obj2vps /
+    gt_end_vps), oracle success is PASSING THROUGH one (membership, not a
+    distance margin), and RGS is the unconditional object-id match — the
+    reference compares str(pred) == str(gt) without requiring success (a
+    correct grounding is only offered at goal viewpoints in real data, so
+    rgs <= sr there without being enforced by the formula).
+    nav_error/nDTW/CLS are framework extras graded against the GT path end;
+    the reference does not report them for REVERIE."""
     scores = evaluate_trajectory(shortest, pred_path, gt_path, error_margin)
     path = [vp for seg in pred_path for vp in seg]
-    reached = path[-1] in set(gt_end_vps)
-    scores["success"] = float(reached)
+    goal_vps = set(gt_end_vps)
+    scores["success"] = float(path[-1] in goal_vps)
+    scores["oracle_success"] = float(any(vp in goal_vps for vp in path))
     gt_lengths = float(np.sum(
         [shortest[a][b] for a, b in zip(gt_path[:-1], gt_path[1:])]))
-    scores["spl"] = scores["success"] * gt_lengths / max(
-        scores["trajectory_lengths"], gt_lengths, 0.01)
-    det = float(reached and pred_obj_id is not None and
-                pred_obj_id == gt_obj_id)
-    scores["det_success"] = det
-    scores["det_spl"] = det * gt_lengths / max(
-        scores["trajectory_lengths"], gt_lengths, 0.01)
+    denom = max(scores["trajectory_lengths"], gt_lengths, 0.01)
+    scores["spl"] = scores["success"] * gt_lengths / denom
+    rgs = float(str(pred_obj_id) == str(gt_obj_id))
+    scores["rgs"] = rgs
+    scores["rgspl"] = rgs * gt_lengths / denom
+    # aliases kept for this framework's earlier score dicts
+    scores["det_success"] = rgs
+    scores["det_spl"] = scores["rgspl"]
     return scores
 
 
@@ -207,6 +215,9 @@ def aggregate_metrics(per_traj: List[Dict[str, float]]) -> Dict[str, float]:
     if "det_success" in acc:
         out["det_sr"] = float(np.mean(acc["det_success"])) * 100
         out["det_spl"] = float(np.mean(acc["det_spl"])) * 100
+    if "rgs" in acc:  # REVERIE aggregate names (reverie/env.py:727-736)
+        out["rgs"] = float(np.mean(acc["rgs"])) * 100
+        out["rgspl"] = float(np.mean(acc["rgspl"])) * 100
     if "goal_progress" in acc:
         out["goal_progress"] = float(np.mean(acc["goal_progress"]))
     return out

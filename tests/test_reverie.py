@@ -63,6 +63,33 @@ def test_reverie_training_step_with_og_loss():
     assert np.isfinite(float(metrics["grad_norm"]))
 
 
+def test_reverie_eval_reference_semantics():
+    """reverie/env.py:685-709: success = stop AT an object-visible vp,
+    oracle = pass THROUGH one (membership, not distance), rgs = unconditional
+    str(pred)==str(gt)."""
+    from gridmm_tpu.env.metrics import (aggregate_metrics,
+                                        evaluate_reverie_trajectory)
+
+    vps = ["a", "b", "c", "d"]  # collinear, 2 m apart
+    shortest = {u: {v: abs(i - j) * 2.0 for j, v in enumerate(vps)}
+                for i, u in enumerate(vps)}
+    # object visible at {b, c}; agent passes b, stops at d, grounds the gt id
+    s = evaluate_reverie_trajectory(
+        shortest, [["a"], ["b"], ["d"]], ["a", "b", "c"], ["b", "c"],
+        "obj1", "obj1")
+    assert s["success"] == 0.0
+    assert s["oracle_success"] == 1.0
+    assert s["rgs"] == 1.0 and s["rgspl"] > 0.0  # not gated on success
+    # stop at goal but ground nothing: str(None) != "obj1"
+    s2 = evaluate_reverie_trajectory(
+        shortest, [["a"], ["b"], ["c"]], ["a", "b", "c"], ["b", "c"],
+        None, "obj1")
+    assert s2["success"] == 1.0 and s2["rgs"] == 0.0 and s2["rgspl"] == 0.0
+    avg = aggregate_metrics([s, s2])
+    assert avg["rgs"] == 50.0 and "rgspl" in avg
+    assert avg["oracle_sr"] == 100.0
+
+
 def test_point_in_polygon():
     square = [(0, 0), (2, 0), (2, 2), (0, 2)]
     assert point_in_polygon(1, 1, square)
