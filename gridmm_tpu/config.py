@@ -155,7 +155,10 @@ class NavigatorShapes:
     graph serves every step.
     """
 
-    max_txt_len: int = 80       # r2r/parser.py max_instr_len (rxr: 250)
+    max_txt_len: int = 200      # run_r2r.sh/run_reverie.sh --max_instr_len
+                                # 200 (the shipped training recipe; the
+                                # parser default 80 is never used); soon 100,
+                                # rxr 250 — presets below set each
     max_gmap_len: int = 64      # [stop] + visited + frontier nodes
     max_vp_len: int = 40        # [stop] + <=36 views (+ objects)
     max_obj_len: int = 0
@@ -217,6 +220,10 @@ class TrainConfig:
     # False = incremental (the same per-step graph the rollout uses)
     stacked_replay: bool = True
     loss_head: str = "fused"       # CE trains on 'local' ([stop]+candidates)
+    # RxR's agent adds a second CE over the examples whose teacher action is
+    # [stop] — stop decisions weighted twice (rxr/agent.py:367-373); absent
+    # from r2r/reverie/soon
+    stop_extra_ce: bool = False
     dagger_sum: bool = False       # True = sum teacher+sample losses per iter
                                    # (reference agent_base.py:164-196 shape)
     # pretrain (pretrain_src/config/r2r_pretrain.json)
@@ -258,8 +265,8 @@ def soon_config() -> GridMMConfig:
     base = reverie_config()
     return dataclasses.replace(
         base,
-        shapes=dataclasses.replace(base.shapes, max_txt_len=256),
-    )
+        shapes=dataclasses.replace(base.shapes, max_txt_len=100),
+    )  # run_soon.sh --max_instr_len 100
 
 
 def rxr_config() -> GridMMConfig:
@@ -268,7 +275,10 @@ def rxr_config() -> GridMMConfig:
     return dataclasses.replace(
         base,
         model=dataclasses.replace(base.model, vocab_size=250002, max_position_embeddings=512),
-        shapes=dataclasses.replace(base.shapes, max_txt_len=256),
+        # run_rxr.sh --max_instr_len 250 (the agent's extra [:500] clamp,
+        # rxr/agent.py:47-49, never binds)
+        shapes=dataclasses.replace(base.shapes, max_txt_len=250),
+        train=dataclasses.replace(base.train, stop_extra_ce=True),
     )
 
 

@@ -216,7 +216,9 @@ def train_navigator(
                     avg = weighted_mean_scalars(avg, float(len(preds)))
                 logger.log(it, avg, prefix="val/")
                 final_metrics = avg
-                if avg["spl"] > best_spl:
+                # >= so equal-SPL ties keep the LATEST checkpoint, matching
+                # main_nav.py:199 / main_rxr.py:199 / main_nav_obj.py:205
+                if avg["spl"] >= best_spl:
                     best_spl, best_iter = avg["spl"], it
                     if ckpt_dir and jax.process_index() == 0:
                         saver.save(

@@ -321,9 +321,16 @@ def _trajectory_loss_stacked(
             cfg, txt_embeds, batch.txt_mask, gmap_emb_t, x_t, pano_t,
             stacked.features, cells, stacked.weights, grid_pos_fts),
             step_rngs=step_rngs)
+        head_logits = getattr(out, f"{cfg.train.loss_head}_logits")
         step_loss = cross_entropy_ignore(
-            getattr(out, f"{cfg.train.loss_head}_logits"), x_t.target,
-            cfg.train.ignoreid, "sum")
+            head_logits, x_t.target, cfg.train.ignoreid, "sum")
+        if getattr(cfg.train, "stop_extra_ce", False):
+            # RxR doubles the CE on stop decisions (rxr/agent.py:367-373):
+            # restrict targets to the [stop]-labelled examples and add
+            step_loss = step_loss + cross_entropy_ignore(
+                head_logits,
+                jnp.where(x_t.target == 0, 0, cfg.train.ignoreid),
+                cfg.train.ignoreid, "sum")
         if out.obj_logits is not None:
             step_loss = step_loss + cross_entropy_ignore(
                 out.obj_logits, x_t.obj_target, cfg.train.ignoreid, "sum")
@@ -392,6 +399,12 @@ def trajectory_loss(
         head_logits = getattr(out, f"{cfg.train.loss_head}_logits")
         step_loss = cross_entropy_ignore(
             head_logits, x.target, cfg.train.ignoreid, "sum")
+        if getattr(cfg.train, "stop_extra_ce", False):
+            # RxR doubles the CE on stop decisions (rxr/agent.py:367-373)
+            step_loss = step_loss + cross_entropy_ignore(
+                head_logits,
+                jnp.where(x.target == 0, 0, cfg.train.ignoreid),
+                cfg.train.ignoreid, "sum")
         if out.obj_logits is not None:
             # object-grounding CE (REVERIE agent_obj.py og_loss)
             step_loss = step_loss + cross_entropy_ignore(

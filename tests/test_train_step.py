@@ -285,6 +285,47 @@ def test_stacked_replay_matches_incremental():
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_rxr_stop_extra_ce_doubles_stop_steps():
+    """RxR adds a second CE over stop-labelled examples (rxr/agent.py:367-373)
+    — when every valid target IS [stop], the flag exactly doubles the loss;
+    checked on both replay formulations."""
+    import dataclasses
+
+    cfg = _tiny_config()
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    batch = synthetic_trajectory_batch(cfg, batch=2, num_steps=2)
+    # all teacher actions = [stop] (slot 0 is always a valid gmap slot)
+    batch = batch._replace(steps=batch.steps._replace(
+        target=np.zeros_like(np.asarray(batch.steps.target)),
+        obj_target=np.full_like(np.asarray(batch.steps.obj_target),
+                                cfg.train.ignoreid)))
+    for stacked in (True, False):
+        cfg_off = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, stacked_replay=stacked, stop_extra_ce=False))
+        cfg_on = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, stacked_replay=stacked, stop_extra_ce=True))
+        l_off = float(trajectory_loss(model, cfg_off, params, batch))
+        l_on = float(trajectory_loss(model, cfg_on, params, batch))
+        assert l_off > 0
+        np.testing.assert_allclose(l_on, 2 * l_off, rtol=1e-6)
+
+    # mixed targets: the extra term is the stop-subset CE only. The last
+    # VALID gmap slot is the always-unvisited finite-logit teacher slot
+    # (train/synthetic.py:141-143,164); arbitrary slots could be -inf.
+    t = np.asarray(batch.steps.target).copy()
+    t[0, :] = np.asarray(batch.steps.gmap_mask[0]).sum(-1) - 1  # navigate
+    t[1, :] = 0                                                 # then stop
+    batch2 = batch._replace(steps=batch.steps._replace(target=t))
+    cfg_off = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, stop_extra_ce=False))
+    cfg_on = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, stop_extra_ce=True))
+    l_off = float(trajectory_loss(model, cfg_off, params, batch2))
+    l_on = float(trajectory_loss(model, cfg_on, params, batch2))
+    assert l_off < l_on < 2 * l_off
+
+
 import pytest
 
 

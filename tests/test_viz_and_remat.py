@@ -58,7 +58,7 @@ def test_soon_preset():
 
     cfg = soon_config()
     assert cfg.model.obj_feat_size > 0
-    assert cfg.shapes.max_txt_len == 256
+    assert cfg.shapes.max_txt_len == 100  # run_soon.sh --max_instr_len
 
 
 def test_top_down_trajectory_image(tmp_path):
