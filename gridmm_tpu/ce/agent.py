@@ -293,6 +293,16 @@ class CEAgent:
         import contextlib
 
         cfg = self.cfg
+        # the point buffer caps episode length: appends past capacity would
+        # silently overwrite the tail window (dynamic_update_slice clamps its
+        # start index). Clamp LOUDLY instead — full-scale CE presets carry a
+        # 20-step buffer matching IL.max_traj_len (run_GridMap.yaml:23)
+        cap = cfg.shapes.max_points // cfg.grid.points_per_step
+        if max_steps > cap:
+            print(f"[ce] max_steps {max_steps} exceeds the {cap}-step point "
+                  f"buffer; clamping (raise NavigatorShapes.max_points for "
+                  f"longer episodes)", flush=True)
+            max_steps = cap
         rng = rng or np.random.default_rng(0)
         sec = (timer.section if timer is not None
                else (lambda name: contextlib.nullcontext()))

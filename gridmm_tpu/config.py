@@ -209,9 +209,11 @@ class TrainConfig:
     # (None = single max_action_len graph)
     scan_buckets: Optional[Tuple[int, ...]] = None
     ignoreid: int = -100
-    iters: int = 100000
-    log_every: int = 1000
-    batch_size: int = 8
+    # the R2R recipe (run_r2r.sh): 20k iters, eval every 500, global batch
+    # 4 x 4 GPUs = 16; other flavors' presets override below
+    iters: int = 20000
+    log_every: int = 500
+    batch_size: int = 16
     seed: int = 0
     feat_dropout: float = 0.4      # models/model.py:18
     remat_steps: bool = True       # jax.checkpoint per scan step (memory/flops)
@@ -256,6 +258,8 @@ def reverie_config() -> GridMMConfig:
         base,
         model=dataclasses.replace(base.model, obj_feat_size=768, obj_prob_size=0),
         shapes=dataclasses.replace(base.shapes, max_vp_len=60, max_obj_len=20),
+        # run_reverie.sh: 100k iters, global batch 2 x 1 GPU
+        train=dataclasses.replace(base.train, iters=100000, batch_size=2),
     )
 
 
@@ -265,8 +269,16 @@ def soon_config() -> GridMMConfig:
     base = reverie_config()
     return dataclasses.replace(
         base,
-        shapes=dataclasses.replace(base.shapes, max_txt_len=100),
-    )  # run_soon.sh --max_instr_len 100
+        # 20-step episodes need a 20x588-point buffer (11760 -> 11776 x128)
+        shapes=dataclasses.replace(base.shapes, max_txt_len=100,
+                                   max_points=11776),
+        grid=dataclasses.replace(base.grid, max_steps=20),
+        # run_soon.sh: lr 5e-5, 10k iters, eval every 100, global batch
+        # 1 x 2 GPUs, 20-step episodes, --max_instr_len 100
+        train=dataclasses.replace(base.train, lr=5e-5, iters=10000,
+                                  log_every=100, batch_size=2,
+                                  max_action_len=20),
+    )
 
 
 def rxr_config() -> GridMMConfig:
@@ -276,9 +288,16 @@ def rxr_config() -> GridMMConfig:
         base,
         model=dataclasses.replace(base.model, vocab_size=250002, max_position_embeddings=512),
         # run_rxr.sh --max_instr_len 250 (the agent's extra [:500] clamp,
-        # rxr/agent.py:47-49, never binds)
-        shapes=dataclasses.replace(base.shapes, max_txt_len=250),
-        train=dataclasses.replace(base.train, stop_extra_ce=True),
+        # rxr/agent.py:47-49, never binds); 20-step episodes need a
+        # 20x588-point buffer (11760 -> 11776 x128)
+        shapes=dataclasses.replace(base.shapes, max_txt_len=250,
+                                   max_points=11776),
+        grid=dataclasses.replace(base.grid, max_steps=20),
+        # run_rxr.sh: 100k iters, eval every 4000, global batch 2 x 3 GPUs,
+        # 20-step episodes; + the stop-CE doubling (rxr/agent.py:367-373)
+        train=dataclasses.replace(base.train, stop_extra_ce=True,
+                                  iters=100000, log_every=4000,
+                                  batch_size=6, max_action_len=20),
     )
 
 
@@ -302,8 +321,15 @@ def r2r_ce_config() -> GridMMConfig:
     base = GridMMConfig()
     return dataclasses.replace(
         base,
+        # CE episodes run to IL.max_traj_len = 20 (run_GridMap.yaml:23,
+        # ss_trainer_GridMap.py:54): the point buffer must hold 20x588
+        # (dynamic_update_slice clamps, so an undersized buffer silently
+        # overwrites the tail window instead of erroring)
+        shapes=dataclasses.replace(base.shapes, max_points=11776),
+        train=dataclasses.replace(base.train, max_action_len=20),
         grid=dataclasses.replace(
             base.grid,
+            max_steps=20,
             tan_half_hfov=1.0,           # tan(pi/4), HFOV=90
             patches_per_view=49,
             depth_scale=1.0,             # habitat depth already metres
