@@ -629,13 +629,15 @@ class CEAgent:
             if ended[i]:
                 continue
             cur_d = env.dist_to_goal(i)
-            if cur_d < 3.0:
+            # the reference stops inside 1.5 m — its comment says "def as
+            # 3.0" but the code tests < 1.5 (ss_trainer_GridMap.py:305-308)
+            if cur_d < 1.5:
                 a[i] = 0
                 continue
-            best, best_d = 0, cur_d
-            for j, (heading_c, dist_c, _s) in enumerate(cand_lists[i]):
-                d = env.cand_dist_to_goal(i, heading_c, dist_c)
-                if d < best_d:
-                    best_d, best = d, j + 1
-            a[i] = best
+            # otherwise argmin over candidate end-distances UNCONDITIONALLY
+            # (ss_trainer_GridMap.py:310): the oracle moves to the least-bad
+            # candidate even when none improves on the current distance
+            dists = [env.cand_dist_to_goal(i, heading_c, dist_c)
+                     for heading_c, dist_c, _s in cand_lists[i]]
+            a[i] = 1 + int(np.argmin(dists)) if dists else 0
         return a

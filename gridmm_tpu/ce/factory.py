@@ -42,7 +42,7 @@ def build_ce_agent(img: int = 56, depth_sz: int = 256, tiny: bool = True,
             grid=dataclasses.replace(base.grid, feature_dim=64, max_steps=4),
             shapes=NavigatorShapes(max_txt_len=16, max_gmap_len=16,
                                    max_vp_len=20, max_points=4 * 588),
-            train=TrainConfig(max_action_len=4),
+            train=TrainConfig(max_action_len=4, loss_norm="actions"),
         )
         wp_cfg = WaypointConfig(hidden_dim=64, num_heads=4, num_layers=1,
                                 rgb_feat_dim=2048 * 7 * 7 // 49,

@@ -27,7 +27,7 @@ from gridmm_tpu.utils.logging import MetricLogger
 
 class CETrainer:
     def __init__(self, cfg: GridMMConfig, agent: CEAgent,
-                 schedule_ratio: float = 0.75,
+                 schedule_ratio: float = 0.5,
                  epochs_per_ratio: int = 1, mesh=None):
         import dataclasses
 
@@ -35,8 +35,11 @@ class CETrainer:
         # (Policy:620-627); loss accumulates over the WHOLE episode and
         # updates once, like the reference ss_trainer — per-step updates would
         # invalidate the project-at-insertion point cache mid-episode.
+        # CE loss contract: local head, il_loss = ml_loss / total actions
+        # (ss_trainer_GridMap.py:284,328,493 — no ml_weight factor)
         self.cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, loss_head="local"))
+            cfg, train=dataclasses.replace(cfg.train, loss_head="local",
+                                           loss_norm="actions"))
         self.agent = agent
         self.schedule_ratio = schedule_ratio
         self.epochs_per_ratio = epochs_per_ratio

@@ -12,6 +12,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
+
+
+def epochs_per_ratio(epochs: int, decay_time: int) -> int:
+    """num_epoches_per_ratio = ceil(IL.epochs / IL.decay_time)
+    (ss_trainer_GridMap.py:570); the ratio then decays as
+    schedule_ratio^(epoch // num_epoches_per_ratio + 1) (:619)."""
+    return max(1, math.ceil(epochs / decay_time))
 
 
 def parse_args(argv=None):
@@ -21,6 +29,13 @@ def parse_args(argv=None):
     p.add_argument("--env", choices=["synthetic", "habitat"],
                    default="synthetic")
     p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--schedule_ratio", type=float, default=0.5,
+                   help="schedule-sampling base (IL.schedule_ratio=0.50, "
+                        "run_GridMap.yaml:21)")
+    p.add_argument("--decay_time", type=int, default=20,
+                   help="ratio decays as ratio^(epoch//ceil(epochs/"
+                        "decay_time)+1) (IL.decay_time=20, "
+                        "ss_trainer_GridMap.py:570,619)")
     p.add_argument("--batches_per_epoch", type=int, default=2)
     p.add_argument("--num_envs", type=int, default=2)
     p.add_argument("--max_steps", type=int, default=20,
@@ -153,7 +168,9 @@ def main(argv=None):
 
         mesh = make_mesh(MeshConfig(mp_size=args.mp_size))
         print(f"mesh: data={mesh.shape['data']} model={args.mp_size}")
-    trainer = CETrainer(cfg, agent, mesh=mesh)
+    trainer = CETrainer(
+        cfg, agent, mesh=mesh, schedule_ratio=args.schedule_ratio,
+        epochs_per_ratio=epochs_per_ratio(args.epochs, args.decay_time))
     logger = MetricLogger(args.output_dir)
 
     if args.run_type == "inference":

@@ -222,6 +222,10 @@ class TrainConfig:
     # False = incremental (the same per-step graph the rollout uses)
     stacked_replay: bool = True
     loss_head: str = "fused"       # CE trains on 'local' ([stop]+candidates)
+    # replay-loss scaling: 'batch' = ml_weight/batch_size (discrete agent.py
+    # :447); 'actions' = 1/total-action-count, no ml_weight (VLN-CE
+    # ss_trainer_GridMap.py:284,493) — the CE presets set 'actions'
+    loss_norm: str = "batch"
     # RxR's agent adds a second CE over the examples whose teacher action is
     # [stop] — stop decisions weighted twice (rxr/agent.py:367-373); absent
     # from r2r/reverie/soon
@@ -326,7 +330,8 @@ def r2r_ce_config() -> GridMMConfig:
         # (dynamic_update_slice clamps, so an undersized buffer silently
         # overwrites the tail window instead of erroring)
         shapes=dataclasses.replace(base.shapes, max_points=11776),
-        train=dataclasses.replace(base.train, max_action_len=20),
+        train=dataclasses.replace(base.train, max_action_len=20,
+                                  loss_norm="actions", loss_head="local"),
         grid=dataclasses.replace(
             base.grid,
             max_steps=20,

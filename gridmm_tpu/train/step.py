@@ -347,8 +347,7 @@ def _trajectory_loss_stacked(
     total, _ = jax.lax.scan(
         step_fn, jnp.float32(0.0),
         (x, gmap_embeds_all, pano_embeds, jnp.arange(s)))
-    w = cfg.train.ml_weight if ml_weight is None else ml_weight
-    return total * w / b
+    return _scale_trajectory_loss(cfg, batch, total, b, ml_weight)
 
 
 def trajectory_loss(
@@ -419,9 +418,20 @@ def trajectory_loss(
     (_, total), _ = jax.lax.scan(
         step_fn, (init_carry(cfg, b, g), jnp.float32(0.0)),
         (batch.steps, jnp.arange(s)))
+    return _scale_trajectory_loss(cfg, batch, total, b, ml_weight)
 
-    # reference scales by ml_weight / batch_size (agent.py:447); the DAgger
-    # student-sampled pass uses weight 1.0 (agent_base.py:164-196)
+
+def _scale_trajectory_loss(cfg, batch, total, b, ml_weight):
+    """Discrete fine-tune scales by ml_weight / batch_size (agent.py:447;
+    the DAgger student-sampled pass uses weight 1.0, agent_base.py:164-196).
+    VLN-CE instead divides by the TOTAL ACTION COUNT — il_loss = ml_loss /
+    total_weight, where total_weight accumulates the still-active env count
+    each step (ss_trainer_GridMap.py:284,493) == the number of non-ignored
+    targets — with no ml_weight factor (cfg.train.loss_norm='actions')."""
+    if getattr(cfg.train, "loss_norm", "batch") == "actions":
+        denom = jnp.maximum(
+            jnp.sum(batch.steps.target != cfg.train.ignoreid), 1)
+        return total / denom
     w = cfg.train.ml_weight if ml_weight is None else ml_weight
     return total * w / b
 

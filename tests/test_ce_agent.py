@@ -236,6 +236,69 @@ def test_ce_eval_stats_and_video_artifacts(tmp_path):
     assert all(v.endswith((".gif", ".png")) for v in vids)
 
 
+def test_ce_teacher_oracle_semantics():
+    """Oracle contract (ss_trainer_GridMap.py:288-310): stop iff the current
+    geodesic distance is < 1.5 m; otherwise argmin over candidate
+    end-distances UNCONDITIONALLY — the teacher moves to the least-bad
+    candidate even when every candidate is worse than standing still."""
+    from types import SimpleNamespace
+
+    from gridmm_tpu.ce.agent import CEAgent
+    from gridmm_tpu.config import GridMMConfig
+
+    cfg = GridMMConfig()
+
+    class _OracleEnv:
+        def __init__(self, cur, cand):
+            self.cur, self.cand = cur, cand
+
+        def dist_to_goal(self, i):
+            return self.cur[i]
+
+        def cand_dist_to_goal(self, i, heading, distance):
+            # headings encode the candidate index for the lookup
+            return self.cand[i][int(heading)]
+
+    cur = [1.4, 1.6, 2.0, 9.9]
+    cand = [
+        [0.1],            # env0: improving candidate — but cur < 1.5: stop
+        [5.0, 4.0, 6.0],  # env1: ALL worse than cur=1.6 — still argmin
+        [1.9, 0.5],       # env2: ordinary improving argmin
+        [0.0],            # env3: ended — ignored entirely
+    ]
+    cand_lists = [[(float(j), 1.0, 0.0) for j in range(len(c))]
+                  for c in cand]
+    env = _OracleEnv(cur, cand)
+    obs = [None] * 4
+    ended = [False, False, False, True]
+    a = CEAgent._teacher(SimpleNamespace(cfg=cfg), env, obs, cand_lists,
+                         ended)
+    # slot 0 = [stop]; candidate j maps to action j+1
+    assert a[0] == 0                          # < 1.5 m: stop
+    assert a[1] == 2                          # least-bad (4.0) at index 1
+    assert a[2] == 2                          # best (0.5) at index 1
+    assert a[3] == cfg.train.ignoreid         # ended env untouched
+
+
+def test_ce_schedule_decay_matches_reference():
+    """ratio = schedule_ratio^(epoch // ceil(epochs/decay_time) + 1)
+    (ss_trainer_GridMap.py:570,619) with the run_GridMap.yaml defaults
+    schedule_ratio=0.50, decay_time=20."""
+    from gridmm_tpu.ce.trainer import CETrainer
+    from gridmm_tpu.cli.run_ce import epochs_per_ratio, parse_args
+
+    args = parse_args([])
+    assert args.schedule_ratio == 0.5 and args.decay_time == 20
+    assert epochs_per_ratio(50, 20) == 3   # ceil(50/20)
+    assert epochs_per_ratio(1, 20) == 1    # never 0 (division guard)
+
+    t = CETrainer.__new__(CETrainer)  # formula only; no model build
+    t.schedule_ratio, t.epochs_per_ratio = 0.5, 3
+    # reference: epochs 0-2 -> 0.5^1, 3-5 -> 0.5^2, ...
+    assert [t.ss_ratio(e) for e in (0, 2, 3, 5, 6)] == [
+        0.5, 0.5, 0.25, 0.25, 0.125]
+
+
 def test_rxr_ce_preset_normalizers():
     """RxR-CE preset: MAX_DIST 40 / MAX_STEP 30 + xlm vocab (Policy:280-286)."""
     from gridmm_tpu.config import rxr_ce_config

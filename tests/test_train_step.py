@@ -95,6 +95,48 @@ def test_loss_decreases_under_training():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.parametrize("stacked", [True, False])
+def test_loss_norm_actions_scaling(stacked):
+    """loss_norm='actions' (the CE presets) divides the summed episode CE by
+    the count of non-ignored targets — il_loss = ml_loss / total_weight,
+    where total_weight accumulates the active env count per step
+    (ss_trainer_GridMap.py:284,493) — with NO ml_weight factor, while the
+    discrete default scales by ml_weight/batch (agent.py:447). Holds
+    identically on the stacked and incremental replay paths."""
+    import dataclasses
+
+    cfg = _tiny_config(max_points=2 * 588)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, hidden_size=64, num_attention_heads=2,
+            intermediate_size=128, num_l_layers=1, num_x_layers=1,
+            image_feat_size=64),
+        grid=dataclasses.replace(cfg.grid, feature_dim=64))
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    batch = synthetic_trajectory_batch(cfg, batch=2, num_steps=2)
+    # the synthetic episode ends every env after step 0; supervise one env's
+    # step-1 [stop] so the action count differs from both S*B and B
+    tgt = np.asarray(batch.steps.target).copy()
+    tgt[1, 0] = 0
+    batch = batch._replace(steps=batch.steps._replace(target=jnp.asarray(tgt)))
+    n_actions = int(np.sum(tgt != cfg.train.ignoreid))
+    # the denominator must differ from both S*B and B for the test to
+    # distinguish the three scalings
+    assert 0 < n_actions < tgt.size and n_actions != tgt.shape[1]
+
+    cfg_b = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, stacked_replay=stacked, loss_norm="batch"))
+    cfg_a = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, stacked_replay=stacked, loss_norm="actions"))
+    l_batch = float(trajectory_loss(model, cfg_b, params, batch))
+    l_actions = float(trajectory_loss(model, cfg_a, params, batch))
+    b = tgt.shape[1]
+    total = l_batch * b / cfg.train.ml_weight  # undo the discrete scaling
+    assert np.isclose(l_actions, total / n_actions, rtol=1e-5)
+
+
 def test_relevance_max_over_padded_text_by_default():
     """The device step's instruction-relevance max runs over PADDED text by
     default — the reference applies no mask before .max (vilmodel.py:793-798)
