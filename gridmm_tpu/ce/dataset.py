@@ -172,3 +172,59 @@ def strided_trajectory_split(gt_data: Dict[str, dict], rank: int,
     """Per-rank eval allocation: keys[rank::world_size]
     (base_il_trainer.py:787)."""
     return list(gt_data.keys())[rank::world_size]
+
+
+def allocate_episodes_by_scene(episodes: List[VLNCEEpisode],
+                               world_size: int) -> List[List]:
+    """Scene-balanced per-rank TRAIN episode allocation
+    (ss_trainer_GridMap.py:77-139 allocate_allowed_episode_by_scene).
+
+    Greedy bin-packing: the single largest scene (ties: last in data order)
+    is held back as filler; every other scene goes — whole, largest first,
+    ties in reverse data order — to the currently lightest rank (first rank
+    on ties); then each rank is topped up from the filler scene until it
+    holds exactly len(episodes)//world_size episodes. Rank groups therefore
+    hold (mostly) whole scenes — each habitat worker keeps a small resident
+    scene set — and equal episode counts. Filler episodes beyond
+    world_size*average are dropped, as in the reference.
+
+    Returns world_size lists of episode ids (pass list[rank] as
+    episodes_allowed).
+    """
+    if world_size < 1:
+        raise ValueError(f"world_size must be >= 1, got {world_size}")
+    if not episodes:
+        return [[] for _ in range(world_size)]
+    average_length = len(episodes) // world_size
+
+    by_scene: Dict[str, List] = {}
+    for ep in episodes:
+        by_scene.setdefault(ep.scene, []).append(ep.episode_id)
+
+    # size -> scenes with that size, in insertion order; assignment pops
+    # from the END (the reference's values_to_scenes[v].pop())
+    values_to_scenes: Dict[int, List[str]] = {}
+    values: List[int] = []
+    for scene, eps in by_scene.items():
+        values.append(len(eps))
+        values_to_scenes.setdefault(len(eps), []).append(scene)
+    values.sort(reverse=True)
+
+    filler = list(by_scene[values_to_scenes[values[0]].pop()])
+    values = values[1:]
+
+    load_totals = [0] * world_size
+    groups: List[List] = [[] for _ in range(world_size)]
+    for v in values:
+        idx = load_totals.index(min(load_totals))  # np.argmin: first min
+        load_totals[idx] += v
+        groups[idx] += by_scene[values_to_scenes[v].pop()]
+
+    for grp in groups:
+        add_number = average_length - len(grp)
+        # replicated verbatim: a group already larger than average keeps its
+        # overflow AND takes all-but-|add_number| filler (negative slice) —
+        # unreachable with realistic scene distributions
+        grp += filler[:add_number]
+        filler = filler[add_number:]
+    return groups

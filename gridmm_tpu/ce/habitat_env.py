@@ -32,12 +32,19 @@ class HabitatContinuousEnv:
     """ContinuousEnv over a habitat-sim instance (one env per slot)."""
 
     def __init__(self, config_path: str, num_envs: int = 1,
-                 step_size: float = 0.25, eval_mode: bool = False):
+                 step_size: float = 0.25, eval_mode: bool = False,
+                 episodes_allowed=None):
         """eval_mode records every 0.25 m sub-step position + collision flag
         (MoveHighToLowEval/Infer semantics, habitat_extensions/nav.py:27-172)
         so path_length/nDTW and the inference writer see the true walked
         path; train mode records one point per macro step like
-        MoveHighToLow."""
+        MoveHighToLow.
+
+        episodes_allowed: episode-id whitelist threaded into the dataset
+        config's EPISODES_ALLOWED purge filter (construct_envs,
+        env_utils.py:59-61; habitat_extensions/task.py:97-106) — the hook
+        the scene-balanced per-rank train allocation
+        (ce.dataset.allocate_episodes_by_scene) plugs into."""
         if not HABITAT_AVAILABLE:
             raise ImportError(
                 "habitat-sim is not installed; use SyntheticContinuousEnv or "
@@ -48,6 +55,15 @@ class HabitatContinuousEnv:
         self.step_size = step_size
         self.eval_mode = eval_mode
         cfg = habitat.get_config(config_path)
+        if episodes_allowed is not None:
+            ids = [str(i) for i in episodes_allowed]
+            if hasattr(cfg, "defrost"):  # yacs config (real habitat)
+                cfg.defrost()
+                cfg.TASK_CONFIG.DATASET.EPISODES_ALLOWED = ids
+                cfg.freeze()
+            else:  # mapping-shaped test doubles
+                cfg["EPISODES_ALLOWED"] = ids
+        self.episodes_allowed = episodes_allowed
         self._envs = [habitat.Env(cfg) for _ in range(num_envs)]
         self.paths: List[List[np.ndarray]] = [[] for _ in range(num_envs)]
         self.collisions: List[List[bool]] = [[] for _ in range(num_envs)]

@@ -63,6 +63,14 @@ def parse_args(argv=None):
                    help="stop after this many seconds without a new ckpt")
     p.add_argument("--habitat_config", default=None,
                    help="habitat task yaml for --env habitat")
+    p.add_argument("--data_path", default=None,
+                   help="VLN-CE {split}.json.gz episode file; with --env "
+                        "habitat --run-type train under multihost, episodes "
+                        "are scene-balance-allocated across processes and "
+                        "passed as the env's EPISODES_ALLOWED whitelist "
+                        "(allocate_allowed_episode_by_scene, "
+                        "ss_trainer_GridMap.py:77-139)")
+    p.add_argument("--train_split", default="train")
     p.add_argument("--full", action="store_true",
                    help="full-scale agent (r2r_ce preset, ResNet50/ddppo "
                         "towers, ViT-B/32 grid CLIP) instead of the tiny "
@@ -151,9 +159,28 @@ def main(argv=None):
 
         if not args.habitat_config:
             raise SystemExit("--env habitat needs --habitat_config")
+        episodes_allowed = None
+        if args.data_path and args.run_type == "train":
+            # scene-balanced per-process train allocation
+            # (ss_trainer_GridMap.py:77-139): whole scenes go to the
+            # lightest rank; the largest scene tops every rank up to equal
+            # episode counts
+            import jax
+
+            from gridmm_tpu.ce.dataset import (allocate_episodes_by_scene,
+                                               load_vlnce_dataset)
+
+            eps, _ = load_vlnce_dataset(args.data_path, args.train_split,
+                                        shuffle_seed=None)
+            groups = allocate_episodes_by_scene(eps, jax.process_count())
+            episodes_allowed = groups[jax.process_index()]
+            print(f"scene-balanced allocation: rank "
+                  f"{jax.process_index()}/{jax.process_count()} gets "
+                  f"{len(episodes_allowed)}/{len(eps)} episodes")
         env = HabitatContinuousEnv(
             args.habitat_config, num_envs=args.num_envs,
-            eval_mode=args.run_type in ("eval", "inference"))
+            eval_mode=args.run_type in ("eval", "inference"),
+            episodes_allowed=episodes_allowed)
     else:
         # observation size must match the agent's towers (224 for the
         # full-scale ResNet50/ViT agent, 56 for the tiny smoke agent)

@@ -105,6 +105,54 @@ def test_gt_trajectories_and_strided_split(tmp_path):
     assert abs(len(parts[0]) - len(parts[2])) <= 1
 
 
+def _eps_for_scenes(sizes):
+    """[(scene, n), ...] -> VLNCEEpisode list with ids '<scene><k>'."""
+    out = []
+    for scene, n in sizes:
+        for k in range(1, n + 1):
+            raw = _episode(f"{scene.lower()}{k}", scene)
+            out.append(VLNCEEpisode(**{k2: v for k2, v in raw.items()
+                                       if k2 != "info"}, info=raw["info"]))
+    return out
+
+
+def test_allocate_episodes_by_scene_hand_checked():
+    """Greedy scene bin-packing (allocate_allowed_episode_by_scene,
+    ss_trainer_GridMap.py:77-139), traced by hand: scenes A(4) B(3) C(3)
+    D(2), world=2, average=6. A (largest) is held back as filler; C (last
+    3-sized) goes to rank0, B to rank1, D to rank0 (first-min tie), then A
+    tops rank0 up by 1 and rank1 by 3."""
+    from gridmm_tpu.ce.dataset import allocate_episodes_by_scene
+
+    eps = _eps_for_scenes([("A", 4), ("B", 3), ("C", 3), ("D", 2)])
+    groups = allocate_episodes_by_scene(eps, 2)
+    assert groups[0] == ["c1", "c2", "c3", "d1", "d2", "a1"]
+    assert groups[1] == ["b1", "b2", "b3", "a2", "a3", "a4"]
+
+
+def test_allocate_episodes_by_scene_properties():
+    """world_size*average episodes exactly, disjoint ranks, equal counts,
+    and every non-filler scene lands whole on one rank."""
+    from gridmm_tpu.ce.dataset import allocate_episodes_by_scene
+
+    sizes = [("S%02d" % i, n) for i, n in enumerate(
+        [17, 3, 9, 9, 4, 12, 1, 6, 5, 2])]  # 68 episodes
+    eps = allocate_episodes_by_scene(_eps_for_scenes(sizes), 4)
+    assert len(eps) == 4
+    assert all(len(g) == 68 // 4 for g in eps)
+    flat = [e for g in eps for e in g]
+    assert len(flat) == len(set(flat)) == 68  # 68 divisible: nothing dropped
+    for scene, n in sizes:
+        if scene == "S00":
+            continue  # S00 is the largest scene -> the filler, may split
+        ids = {f"{scene.lower()}{k}" for k in range(1, n + 1)}
+        homes = [i for i, g in enumerate(eps) if ids & set(g)]
+        assert len(homes) == 1, f"scene {scene} split across ranks {homes}"
+    # single-scene and world_size=1 degenerate cases round-trip everything
+    one = allocate_episodes_by_scene(_eps_for_scenes([("Z", 5)]), 1)
+    assert one == [["z1", "z2", "z3", "z4", "z5"]]
+
+
 def test_center_crop_golden():
     img = np.arange(6 * 8 * 1).reshape(6, 8, 1)
     out = center_crop(img, (4, 4))

@@ -138,7 +138,7 @@ def _restore_module():
     importlib.reload(he)
 
 
-def _build_env(monkeypatch, num_envs=1, eval_mode=False):
+def _build_env(monkeypatch, num_envs=1, eval_mode=False, **kwargs):
     q = _fake_quaternion_module()
     habitat = types.ModuleType("habitat")
     habitat.get_config = lambda path: {"path": path}
@@ -150,8 +150,33 @@ def _build_env(monkeypatch, num_envs=1, eval_mode=False):
     importlib.reload(he)
     assert he.HABITAT_AVAILABLE
     env = he.HabitatContinuousEnv("dummy.yaml", num_envs=num_envs,
-                                   eval_mode=eval_mode)
+                                   eval_mode=eval_mode, **kwargs)
     return he, env
+
+
+def test_episodes_allowed_reaches_config(monkeypatch):
+    """episodes_allowed lands in the env config as a stringified
+    EPISODES_ALLOWED whitelist before Env construction (construct_envs,
+    env_utils.py:59-61) — the hook the scene-balanced per-rank train
+    allocation plugs into."""
+    captured = {}
+    q = _fake_quaternion_module()
+    habitat = types.ModuleType("habitat")
+    habitat.get_config = lambda path: {"path": path}
+
+    def fake_env(cfg):
+        captured.setdefault("cfg", cfg)
+        return _FakeEnv(cfg, q)
+
+    habitat.Env = fake_env
+    monkeypatch.setitem(sys.modules, "habitat", habitat)
+    monkeypatch.setitem(sys.modules, "quaternion", q)
+    import gridmm_tpu.ce.habitat_env as he
+
+    importlib.reload(he)
+    env = he.HabitatContinuousEnv("dummy.yaml", episodes_allowed=[3, "7"])
+    assert captured["cfg"]["EPISODES_ALLOWED"] == ["3", "7"]
+    assert env.episodes_allowed == [3, "7"]
 
 
 def test_reset_and_sensor_order(monkeypatch):
