@@ -325,6 +325,10 @@ class CEAgent:
 
         carry = init_carry(cfg, b)
         ended = np.zeros((b,), bool)
+        # ended on the agent's own STOP (success requires it, base_il_trainer
+        # :598) + per-macro-step distance-to-goal series (Position measure)
+        stopped = np.zeros((b,), bool)
+        dist_hist = [[env.dist_to_goal(i)] for i in range(b)]
         next_slot = np.full((b,), 1, np.int32)  # stable slots; 0 = [stop]
         ce_losses = []
 
@@ -393,16 +397,21 @@ class CEAgent:
                     if ended[i]:
                         continue
                     if a_t[i] == 0 or t == max_steps - 1:
+                        stopped[i] = a_t[i] == 0
                         ended[i] = True
                         continue
                     heading_i, dist_i, _ = cand_lists[i][a_t[i] - 1]
                     env.step_to(i, heading_i, dist_i)
+                    dist_hist[i].append(env.dist_to_goal(i))
                 obs = env.observations()
             if ended.all():
                 break
 
-        metrics = [ce_episode_metrics(env.paths[i], obs[i].gt_path)
-                   for i in range(b)]
+        metrics = [ce_episode_metrics(
+            env.paths[i], obs[i].gt_path, stopped=bool(stopped[i]),
+            dists=dist_hist[i],
+            collisions=getattr(env, "collisions", [None] * b)[i])
+            for i in range(b)]
         return metrics
 
     def _rollout_fused(self, env: ContinuousEnv, obs, txt_embeds, txt_mask,
@@ -416,6 +425,8 @@ class CEAgent:
         traj_pos = np.zeros((b, cap, 3), np.float32)
         traj_dist = np.zeros((b, cap), np.float32)
         ended = np.zeros((b,), bool)
+        stopped = np.zeros((b,), bool)
+        dist_hist = [[env.dist_to_goal(i)] for i in range(b)]
         txt_mask_dev = jnp.asarray(txt_mask)
 
         for t in range(max_steps):
@@ -453,17 +464,22 @@ class CEAgent:
                         continue
                     if a_t[i] == 0 or t == max_steps - 1 or \
                             a_t[i] > n_cands[i]:
+                        stopped[i] = a_t[i] == 0
                         ended[i] = True
                         continue
                     j = int(a_t[i]) - 1
                     heading_i = obs[i].heading + \
                         ang[i, j] * (2 * math.pi / NUM_ANGLES)
                     env.step_to(i, heading_i, (dbin[i, j] + 1) * DIST_BIN)
+                    dist_hist[i].append(env.dist_to_goal(i))
                 obs = env.observations()
             if ended.all():
                 break
-        return [ce_episode_metrics(env.paths[i], obs[i].gt_path)
-                for i in range(b)]
+        return [ce_episode_metrics(
+            env.paths[i], obs[i].gt_path, stopped=bool(stopped[i]),
+            dists=dist_hist[i],
+            collisions=getattr(env, "collisions", [None] * b)[i])
+            for i in range(b)]
 
     def _build_step(self, obs: List[CEStepObs], cand_lists, view_cls,
                     centers, next_slot, t,

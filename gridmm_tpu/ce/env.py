@@ -159,16 +159,38 @@ class SyntheticContinuousEnv:
 
 
 def ce_episode_metrics(path: Sequence[np.ndarray], gt_path: np.ndarray,
-                       success_dist: float = 3.0) -> Dict[str, float]:
-    """Position-based CE metrics (base_il_trainer.py:583-611): SR/SPL/TL/NE +
-    nDTW over euclidean distances."""
+                       success_dist: float = 3.0,
+                       stopped: Optional[bool] = None,
+                       dists: Optional[Sequence[float]] = None,
+                       collisions: Optional[Sequence[bool]] = None,
+                       ) -> Dict[str, float]:
+    """Position-based CE metrics, matching base_il_trainer.py:583-611:
+
+    * `dists` = distance-to-goal at each recorded position (the reference's
+      Position measure series, geodesic under habitat); when absent it falls
+      back to euclidean distance to gt_path[-1] — exact for the synthetic
+      arena where geodesic == euclidean and gt ends at the goal
+    * success requires final distance <= success_dist AND the episode ending
+      on the agent's own STOP action (:598, `env_actions[...] == 0`);
+      stopped=None (unknown) drops the stop requirement
+    * oracle success scans the whole distance series (:599-600)
+    * SPL's reference length is the STARTING distance-to-goal `distance[0]`
+      (:603-606), not the gt path's arc length
+    * nDTW = exp(-dtw / (len(gt) * success_dist)) (:607-609)
+    * `collisions` (eval-mode sub-step flags) reduce to their mean (:602)
+    """
     path = np.asarray(path)
-    ne = float(np.linalg.norm(path[-1] - gt_path[-1]))
+    if dists is None:
+        dists = np.linalg.norm(path - np.asarray(gt_path)[-1][None], axis=1)
+    dists = np.asarray(dists, np.float64)
+    ne = float(dists[-1])
     tl = float(np.sum(np.linalg.norm(np.diff(path, axis=0), axis=1))) \
         if len(path) > 1 else 0.0
-    gt_len = float(np.sum(np.linalg.norm(np.diff(gt_path, axis=0), axis=1)))
-    sr = float(ne < success_dist)
-    spl = sr * gt_len / max(tl, gt_len, 0.01)
+    sr = float(ne <= success_dist and (stopped is None or stopped))
+    oracle = float((dists <= success_dist).any())
+    gt_length = float(dists[0])
+    denom = max(gt_length, tl)
+    spl = sr * gt_length / denom if denom > 0 else sr
     # DTW
     n, m = len(path), len(gt_path)
     dtw = np.full((n + 1, m + 1), np.inf)
@@ -179,10 +201,11 @@ def ce_episode_metrics(path: Sequence[np.ndarray], gt_path: np.ndarray,
             dtw[a, b] = cost + min(dtw[a - 1, b], dtw[a, b - 1],
                                    dtw[a - 1, b - 1])
     ndtw = float(np.exp(-dtw[n, m] / (success_dist * m)))
-    oracle = float(min(np.linalg.norm(path - gt_path[-1][None], axis=1)) <
-                   success_dist)
     # steps_taken mirrors habitat_extensions/measures.py StepsTaken (one per
     # executed env action; reset position is step 0)
-    return {"sr": sr, "spl": spl, "ne": ne, "tl": tl, "nDTW": ndtw,
-            "oracle_sr": oracle, "sdtw": sr * ndtw,
-            "steps_taken": float(len(path) - 1)}
+    out = {"sr": sr, "spl": spl, "ne": ne, "tl": tl, "nDTW": ndtw,
+           "oracle_sr": oracle, "sdtw": sr * ndtw,
+           "steps_taken": float(len(path) - 1)}
+    if collisions is not None and len(collisions):
+        out["collisions"] = float(np.mean(np.asarray(collisions, np.float64)))
+    return out

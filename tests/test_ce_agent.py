@@ -50,6 +50,33 @@ def test_ce_metrics_shapes():
     assert m["sr"] == 1.0 and m["spl"] > 0.99 and m["nDTW"] > 0.99
 
 
+def test_ce_metrics_reference_semantics():
+    """base_il_trainer.py:583-611 details: success needs the agent's STOP and
+    distance <= 3.0 (inclusive); oracle success ignores stopping; SPL's
+    reference length is the STARTING distance-to-goal distance[0]; eval-mode
+    collision flags reduce to their mean."""
+    path = [np.zeros(2), np.array([5.0, 0.0])]
+    gt = np.array([[0.0, 0.0], [6.0, 0.0]])
+    dists = [6.0, 1.0]  # supplied series wins over euclidean fallback
+    m_stop = ce_episode_metrics(path, gt, stopped=True, dists=dists)
+    m_nostop = ce_episode_metrics(path, gt, stopped=False, dists=dists)
+    assert m_stop["sr"] == 1.0 and m_nostop["sr"] == 0.0
+    assert m_nostop["oracle_sr"] == 1.0
+    assert m_nostop["spl"] == 0.0  # spl carries the success factor
+    # spl = sr * distance[0] / max(distance[0], tl) = 6 / max(6, 5)
+    assert np.isclose(m_stop["spl"], 1.0)
+    # a path longer than the start distance divides by its own length
+    m_long = ce_episode_metrics(
+        [np.zeros(2), np.array([8.0, 0.0]), np.array([6.0, 0.0])], gt,
+        stopped=True, dists=[6.0, 2.5, 1.0])
+    assert np.isclose(m_long["spl"], 6.0 / 10.0)
+    # boundary: exactly success_dist counts (the reference tests <=)
+    m_edge = ce_episode_metrics(path, gt, stopped=True, dists=[6.0, 3.0])
+    assert m_edge["ne"] == 3.0 and m_edge["sr"] == 1.0
+    m_c = ce_episode_metrics(path, gt, collisions=[True, False])
+    assert m_c["collisions"] == 0.5
+
+
 def test_ce_inference_writer(tmp_path):
     """Prediction files in both leaderboard formats
     (base_il_trainer.inference, :1336-1367)."""
