@@ -314,8 +314,10 @@ def main(argv=None):
                                       detailed_output=args.detailed_output)
         preds = merge_prediction_lists(preds)
         if process_index() == 0:
-            val_agent.write_submission(preds, args.submit,
-                                       objects=cfg.model.obj_feat_size > 0)
+            val_agent.write_submission(
+                preds, args.submit, objects=cfg.model.obj_feat_size > 0,
+                fmt=args.world if args.world in ("soon", "reverie")
+                else "auto")
             print(f"wrote {len(preds)} predictions -> {args.submit}")
     print(json.dumps({
         "best_spl": result.best_spl, "best_iter": result.best_iter,

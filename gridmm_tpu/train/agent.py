@@ -496,24 +496,61 @@ class NavAgent:
         return avg, pred_list
 
     @staticmethod
-    def write_submission(preds, path: str, objects: bool = False) -> None:
-        """Leaderboard-format JSON: [{instr_id, trajectory: [[vp, 0, 0], ...]}]
-        (main_nav.py:246-260 submit format). objects=True (REVERIE/SOON
-        runs) always writes the reference's submission key `pred_objid`
-        (reverie/agent_base.py:30) — null when the agent never grounded an
-        object, so strict evaluators that index the key don't KeyError."""
+    def write_submission(preds, path: str, objects: bool = False,
+                         fmt: str = "auto") -> None:
+        """Reference-exact submission JSON — the reference dumps
+        `get_results()` verbatim with sort_keys/indent=4
+        (main_nav.py:246-260). Per-flavor trajectory contract:
+
+        - r2r/rxr (r2r/agent_base.py:27-33): trajectory = the nested
+          per-action path segments, exactly as rolled out.
+        - reverie (reverie/agent_base.py:26-33): + `pred_objid` on every
+          entry (null when the agent never grounded an object, so strict
+          evaluators indexing the key don't KeyError).
+        - soon (soon/agent_obj.py:26-33): trajectory = {path,
+          obj_heading: [h], obj_elevation: [e]}.
+
+        fmt='auto' picks reverie when objects=True or any pred_obj_id exists,
+        else r2r — SOON must be requested explicitly (REVERIE and SOON
+        predictions carry the same object keys here, so the flavor comes from
+        the caller's --world). fmt='triples' keeps this framework's earlier
+        flattened [[vp, 0.0, 0.0], ...] spelling (the classic R2R leaderboard
+        upload shape, which the reference itself does not emit)."""
         import json
+
+        if fmt == "auto":
+            if objects or any(it.get("pred_obj_id") is not None
+                              for it in preds):
+                fmt = "reverie"
+            else:
+                fmt = "r2r"
 
         out = []
         for item in preds:
-            flat = [vp for seg in item["trajectory"] for vp in seg]
-            rec = {"instr_id": item["instr_id"],
-                   "trajectory": [[vp, 0.0, 0.0] for vp in flat]}
-            if objects or item.get("pred_obj_id") is not None:
-                oid = item.get("pred_obj_id")
-                rec["pred_objid"] = None if oid is None else str(oid)
+            segs = [list(seg) for seg in item["trajectory"]]
+            if fmt == "triples":
+                rec = {"instr_id": item["instr_id"],
+                       "trajectory": [[vp, 0.0, 0.0]
+                                      for seg in segs for vp in seg]}
+                if objects or item.get("pred_obj_id") is not None:
+                    oid = item.get("pred_obj_id")
+                    rec["pred_objid"] = None if oid is None else str(oid)
+            elif fmt == "soon":
+                rec = {"instr_id": item["instr_id"],
+                       "trajectory": {
+                           "path": segs,
+                           "obj_heading": [float(
+                               item.get("pred_obj_heading") or 0.0)],
+                           "obj_elevation": [float(
+                               item.get("pred_obj_elevation") or 0.0)]}}
+            else:
+                rec = {"instr_id": item["instr_id"], "trajectory": segs}
+                if fmt == "reverie":
+                    oid = item.get("pred_obj_id")
+                    rec["pred_objid"] = None if oid is None else str(oid)
             if item.get("details"):
                 rec["details"] = item["details"]
             out.append(rec)
         with open(path, "w") as f:
-            json.dump(out, f)
+            json.dump(out, f, sort_keys=True, indent=4,
+                      separators=(",", ": "))

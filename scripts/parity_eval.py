@@ -207,7 +207,9 @@ def main(argv=None):
     agent = NavAgent(model, cfg, env, params)
     metrics, preds = agent.evaluate(args.eval_batches or None)
     if args.submit:
-        agent.write_submission(preds, args.submit)
+        agent.write_submission(
+            preds, args.submit,
+            fmt=args.world if args.world in ("soon", "reverie") else "auto")
         print(f"wrote {len(preds)} predictions -> {args.submit}")
     print(json.dumps({"split": args.split, "n_preds": len(preds),
                       **{k: round(float(v), 4)

@@ -125,21 +125,38 @@ def test_bf16_compute_path():
 
 
 def test_submission_writer(tmp_path):
+    """Default R2R submission is reference-exact: trajectory = the NESTED
+    per-action path segments dumped verbatim (r2r/agent_base.py:27-33 +
+    main_nav.py:246-260 json.dump(..., sort_keys=True, indent=4))."""
     from gridmm_tpu.train.agent import NavAgent
 
     preds = [{"instr_id": "1_0", "trajectory": [["a"], ["b", "c"]]}]
     path = tmp_path / "submit.json"
     NavAgent.write_submission(preds, str(path))
     data = json.loads(path.read_text())
+    assert data[0]["trajectory"] == [["a"], ["b", "c"]]
+    assert "pred_objid" not in data[0]  # plain R2R entries stay objid-free
+    # reference dump style: indented, sorted keys
+    text = path.read_text()
+    assert '\n        "instr_id"' in text
+
+
+def test_submission_writer_triples_format(tmp_path):
+    """fmt='triples' keeps the flattened classic-leaderboard spelling."""
+    from gridmm_tpu.train.agent import NavAgent
+
+    preds = [{"instr_id": "1_0", "trajectory": [["a"], ["b", "c"]]}]
+    path = tmp_path / "submit.json"
+    NavAgent.write_submission(preds, str(path), fmt="triples")
+    data = json.loads(path.read_text())
     assert data[0]["trajectory"] == [["a", 0.0, 0.0], ["b", 0.0, 0.0],
                                      ["c", 0.0, 0.0]]
-    assert "pred_objid" not in data[0]  # plain R2R entries stay objid-free
 
 
 def test_submission_writer_object_grounding(tmp_path):
-    """REVERIE/SOON submissions carry pred_objid (reverie/agent_base.py:30);
-    with objects=True the key is ALWAYS present (null when ungrounded), so
-    strict evaluators indexing it don't KeyError."""
+    """REVERIE submissions carry pred_objid on every entry
+    (reverie/agent_base.py:26-33); null when ungrounded, so strict
+    evaluators indexing the key don't KeyError."""
     from gridmm_tpu.train.agent import NavAgent
 
     preds = [{"instr_id": "2_1", "trajectory": [["a"]], "pred_obj_id": 17},
@@ -148,7 +165,28 @@ def test_submission_writer_object_grounding(tmp_path):
     NavAgent.write_submission(preds, str(path), objects=True)
     data = json.loads(path.read_text())
     assert data[0]["pred_objid"] == "17"
+    assert data[0]["trajectory"] == [["a"]]
     assert data[1]["pred_objid"] is None
+
+
+def test_submission_writer_soon_format(tmp_path):
+    """SOON submissions nest the path under trajectory with the predicted
+    object direction as 1-element lists (soon/agent_obj.py:26-33)."""
+    from gridmm_tpu.train.agent import NavAgent
+
+    preds = [{"instr_id": "3_0", "trajectory": [["a"], ["b"]],
+              "pred_obj_id": 5, "pred_obj_heading": 1.25,
+              "pred_obj_elevation": -0.5},
+             {"instr_id": "3_1", "trajectory": [["c"]]}]  # never grounded
+    path = tmp_path / "submit_soon.json"
+    NavAgent.write_submission(preds, str(path), fmt="soon")
+    data = json.loads(path.read_text())
+    assert data[0]["trajectory"] == {"path": [["a"], ["b"]],
+                                     "obj_heading": [1.25],
+                                     "obj_elevation": [-0.5]}
+    assert data[1]["trajectory"] == {"path": [["c"]],
+                                     "obj_heading": [0.0],
+                                     "obj_elevation": [0.0]}
 
 
 def test_aug_view_wrapper():
