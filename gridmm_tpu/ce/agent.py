@@ -336,6 +336,11 @@ class CEAgent:
         centers = np.asarray([19 + 36 * i for i in range(7)])
 
         fuse = self.fused_rollout
+        # "auto" may route B=1 and B>1 through different paths; that is safe
+        # only because the fused step is action-trace-equivalent to this host
+        # path — tests/test_ce_device_step.py::
+        # test_fused_rollout_matches_legacy_actions asserts identical paths
+        # AND metrics, so eval results cannot vary with --num_envs.
         if feedback == "argmax" and (
                 fuse in (True, "1") or (fuse == "auto" and b == 1)):
             return self._rollout_fused(env, obs, txt_embeds, txt_mask, carry,

@@ -169,7 +169,12 @@ def ce_episode_metrics(path: Sequence[np.ndarray], gt_path: np.ndarray,
     * `dists` = distance-to-goal at each recorded position (the reference's
       Position measure series, geodesic under habitat); when absent it falls
       back to euclidean distance to gt_path[-1] — exact for the synthetic
-      arena where geodesic == euclidean and gt ends at the goal
+      arena where geodesic == euclidean and gt ends at the goal.
+      Cadence: ONE sample per macro HIGHTOLOW action, matching the reference
+      exactly — Position.update_metric runs only from Env.step()
+      (measures.py:47-58); the MoveHighToLow sub-steps call
+      sim.step_without_obs directly (nav.py:100-106) and never touch
+      measures, so the reference's `distance` array is also per-macro-step
     * success requires final distance <= success_dist AND the episode ending
       on the agent's own STOP action (:598, `env_actions[...] == 0`);
       stopped=None (unknown) drops the stop requirement

@@ -65,6 +65,11 @@ class HabitatContinuousEnv:
                 cfg["EPISODES_ALLOWED"] = ids
         self.episodes_allowed = episodes_allowed
         self._envs = [habitat.Env(cfg) for _ in range(num_envs)]
+        # advertised split size, used to derive batches_per_epoch =
+        # ceil(dataset_length / batch_size) (ss_trainer_GridMap.py:606-607)
+        self.num_episodes = (
+            len(episodes_allowed) if episodes_allowed is not None
+            else len(getattr(self._envs[0], "episodes", []) or []) or None)
         self.paths: List[List[np.ndarray]] = [[] for _ in range(num_envs)]
         self.collisions: List[List[bool]] = [[] for _ in range(num_envs)]
         self._obs = [None] * num_envs

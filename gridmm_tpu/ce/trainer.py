@@ -25,6 +25,24 @@ from gridmm_tpu.train.step import make_optimizer
 from gridmm_tpu.utils.logging import MetricLogger
 
 
+def derive_batches_per_epoch(env: ContinuousEnv, num_envs: int) -> int:
+    """batches_per_epoch = ceil(dataset_length / batch_size), so one epoch
+    covers the env's whole episode split (ss_trainer_GridMap.py:606-607).
+    Envs advertise their split via `num_episodes` (SyntheticContinuousEnv)
+    or an `episodes_allowed` whitelist (HabitatContinuousEnv); an env with
+    neither (unbounded stream) raises — pass an explicit batch count."""
+    n = getattr(env, "num_episodes", None)
+    if not n:
+        allowed = getattr(env, "episodes_allowed", None)
+        n = len(allowed) if allowed else None
+    if not n:
+        raise ValueError(
+            "cannot derive batches_per_epoch: env advertises no episode "
+            "split (num_episodes/episodes_allowed); pass "
+            "--batches_per_epoch explicitly")
+    return max(1, int(np.ceil(n / num_envs)))
+
+
 class CETrainer:
     def __init__(self, cfg: GridMMConfig, agent: CEAgent,
                  schedule_ratio: float = 0.5,
@@ -295,8 +313,12 @@ class CETrainer:
                         "without the episode iterator wrapping — this env "
                         "has no finite episode set; pass batches=N or give "
                         "the env a num_episodes")
-        keys = all_m[0].keys()
-        avg = {k: float(np.mean([m[k] for m in all_m])) for k in keys}
+        # Union of keys: ce_episode_metrics emits 'collisions' only when the
+        # env recorded sub-step flags, so an episode that stopped at step 0
+        # lacks it — average each key over the episodes that have it.
+        keys = sorted({k for m in all_m for k in m})
+        avg = {k: float(np.mean([m[k] for m in all_m if k in m]))
+               for k in keys}
         if results_dir:
             import json
 

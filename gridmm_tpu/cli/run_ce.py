@@ -36,7 +36,11 @@ def parse_args(argv=None):
                    help="ratio decays as ratio^(epoch//ceil(epochs/"
                         "decay_time)+1) (IL.decay_time=20, "
                         "ss_trainer_GridMap.py:570,619)")
-    p.add_argument("--batches_per_epoch", type=int, default=2)
+    p.add_argument("--batches_per_epoch", type=int, default=0,
+                   help="train batches per epoch; 0 (default) derives "
+                        "ceil(num_episodes/num_envs) from the env's episode "
+                        "split so one epoch covers the whole split, matching "
+                        "the reference (ss_trainer_GridMap.py:606-607)")
     p.add_argument("--num_envs", type=int, default=2)
     p.add_argument("--max_steps", type=int, default=20,
                    help="episode step cap — default matches the reference's "
@@ -214,8 +218,14 @@ def main(argv=None):
     if args.run_type == "train":
         import os
 
-        from gridmm_tpu.ce.trainer import latest_checkpoint
+        from gridmm_tpu.ce.trainer import (derive_batches_per_epoch,
+                                           latest_checkpoint)
 
+        if args.batches_per_epoch == 0:
+            args.batches_per_epoch = derive_batches_per_epoch(
+                env, args.num_envs)
+            print(f"batches_per_epoch derived from split: "
+                  f"{args.batches_per_epoch}")
         ckpt_dir = (os.path.join(args.output_dir, "checkpoints")
                     if args.ckpt_dir is None else args.ckpt_dir)
         start_ep = 0

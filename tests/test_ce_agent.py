@@ -340,3 +340,33 @@ def test_rxr_ce_preset_normalizers():
                                  waypoint_rgb=False)
     assert tiny_cfg.grid.max_dist == 40.0
     assert tiny_cfg.grid.pos_step_norm == 30.0
+
+
+def test_derive_batches_per_epoch_from_split():
+    """batches_per_epoch = ceil(dataset_length/batch_size)
+    (ss_trainer_GridMap.py:606-607) when --batches_per_epoch is left at its
+    derive-from-split default of 0."""
+    import pytest
+
+    from gridmm_tpu.ce.env import SyntheticContinuousEnv
+    from gridmm_tpu.ce.trainer import derive_batches_per_epoch
+    from gridmm_tpu.cli.run_ce import parse_args
+
+    assert parse_args([]).batches_per_epoch == 0  # default = derive
+
+    env = SyntheticContinuousEnv(num_envs=2, image_size=16, depth_size=16,
+                                 num_episodes=7)
+    assert derive_batches_per_epoch(env, 2) == 4   # ceil(7/2)
+    assert derive_batches_per_epoch(env, 7) == 1
+    assert derive_batches_per_epoch(env, 16) == 1  # never 0
+
+    # episodes_allowed whitelist counts as the split (habitat path)
+    class _Allowed:
+        episodes_allowed = ["a", "b", "c"]
+    assert derive_batches_per_epoch(_Allowed(), 2) == 2
+
+    # unbounded stream: refuse rather than silently train on 2 episodes
+    unbounded = SyntheticContinuousEnv(num_envs=1, image_size=16,
+                                       depth_size=16, num_episodes=0)
+    with pytest.raises(ValueError):
+        derive_batches_per_epoch(unbounded, 1)
