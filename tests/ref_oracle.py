@@ -1,0 +1,173 @@
+"""Load modules from /root/reference as *executable* parity oracles.
+
+STUDY-ONLY discipline: the reference code is imported and executed at test
+time, never vendored or copied. Tests built on this helper retire the
+transcription-drift risk of replica-based parity tests (both sides of a
+replica test were written by us; a mistaken reading of the reference would
+be made twice and pass — the round-4 relevance-masking audit proved that
+failure mode is real).
+
+The three reference sub-codebases (`map_nav_src`, `pretrain_src`, `VLN_CE`)
+each expect their own root on sys.path and use colliding top-level package
+names (`utils`, `data`, `models`/`model`). `load_ref_module` therefore
+isolates roots: when switching to a different root it stashes the previous
+root's modules out of sys.modules and restores them on the next switch back.
+
+Missing third-party deps are satisfied with pure-Python stubs (they are
+unused at the call sites under test): easydict (6-line real implementation),
+jsonlines / lmdb / boto3 / timm (empty attribute-absorbing stubs).
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import types
+from pathlib import Path
+
+import pytest
+
+REF = Path("/root/reference")
+
+
+def require_reference():
+    if not REF.exists():
+        pytest.skip("/root/reference not available")
+
+
+# --------------------------------------------------------------------- stubs
+class EasyDict(dict):
+    """Minimal easydict: attribute access over a dict (recursive)."""
+
+    def __init__(self, d=None, **kw):
+        super().__init__()
+        for k, v in {**(d or {}), **kw}.items():
+            self[k] = v
+
+    def __setitem__(self, k, v):
+        if isinstance(v, dict) and not isinstance(v, EasyDict):
+            v = EasyDict(v)
+        super().__setitem__(k, v)
+        super().__setattr__(k, v)
+
+    __setattr__ = __setitem__
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    stub = types.ModuleType(name)
+    # a real spec so importlib.util.find_spec (e.g. transformers' dependency
+    # probing) doesn't choke on the stub
+    stub.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    def _getattr(attr, _n=name):
+        if attr.startswith("__") and attr.endswith("__"):
+            raise AttributeError(attr)  # keep inspect/hasattr probing happy
+        raise RuntimeError(f"stubbed module {_n!r} was actually used ({attr})")
+
+    stub.__getattr__ = _getattr
+    return stub
+
+
+def _install_stubs():
+    # transformers probes importlib.util.find_spec("timm") at import; load it
+    # before any stub shadows the name
+    importlib.import_module("transformers")
+    if "easydict" not in sys.modules:
+        m = types.ModuleType("easydict")
+        m.__spec__ = importlib.machinery.ModuleSpec("easydict", loader=None)
+        m.EasyDict = EasyDict
+        sys.modules["easydict"] = m
+    for name in ("jsonlines", "lmdb", "boto3", "timm"):
+        if name not in sys.modules:
+            try:
+                importlib.import_module(name)
+            except ImportError:
+                sys.modules[name] = _stub_module(name)
+
+
+# ------------------------------------------------------- root-scoped imports
+_active_root: str | None = None
+_stash: dict = {}  # root -> {module_name: module}
+
+
+def _ref_top_levels(root: Path):
+    names = set()
+    for p in root.iterdir():
+        if p.is_dir() and (p / "__init__.py").exists():
+            names.add(p.name)
+        elif p.is_dir() and any(p.glob("*.py")):
+            names.add(p.name)  # namespace-style package (reference has these)
+        elif p.suffix == ".py":
+            names.add(p.stem)
+    return names
+
+
+def load_ref_module(root_subdir: str, module_name: str):
+    """Import `module_name` with `/root/reference/<root_subdir>` as the
+    import root, isolating it from previously-loaded reference roots."""
+    require_reference()
+    _install_stubs()
+    global _active_root
+    root = REF / root_subdir
+    key = str(root)
+    if _active_root != key:
+        # stash every module owned by the active root, restore this root's
+        if _active_root is not None:
+            prev_names = _ref_top_levels(Path(_active_root))
+            stash = _stash.setdefault(_active_root, {})
+            for name in list(sys.modules):
+                top = name.split(".")[0]
+                if top in prev_names:
+                    mod = sys.modules.pop(name)
+                    mf = getattr(mod, "__file__", "") or ""
+                    if mf.startswith(_active_root):
+                        stash[name] = mod
+        sys.modules.update(_stash.pop(key, {}))
+        if _active_root and _active_root in sys.path:
+            sys.path.remove(_active_root)
+        if key not in sys.path:
+            sys.path.insert(0, key)
+        _active_root = key
+    return importlib.import_module(module_name)
+
+
+# ------------------------------------------------------------ shared configs
+def nav_bert_config(num_l_layers=1, num_x_layers=2, num_pano_layers=1,
+                    heads=4, intermediate=512, obj_feat_size=0,
+                    image_feat_size=64, angle_feat_size=4, vocab=128,
+                    graph_sprels=False, glocal_fuse=True):
+    """PretrainedConfig for GlocalTextPathNavCMT at oracle-test scale:
+    hidden stays 768 (the reference hardcodes 768-wide grid buffers and
+    text_proj/grid_proj, vilmodel.py:789,702-703), depth/width cut
+    elsewhere. Mirrors vlnbert_init.py:33-57."""
+    from transformers import BertConfig
+
+    cfg = BertConfig(
+        vocab_size=vocab, hidden_size=768, num_hidden_layers=num_l_layers,
+        num_attention_heads=heads, intermediate_size=intermediate,
+        hidden_act="gelu", hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, max_position_embeddings=32,
+        type_vocab_size=2, layer_norm_eps=1e-12)
+    cfg.max_action_steps = 100
+    cfg.image_feat_size = image_feat_size
+    cfg.angle_feat_size = angle_feat_size
+    cfg.obj_feat_size = obj_feat_size
+    cfg.obj_loc_size = 3
+    cfg.num_l_layers = num_l_layers
+    cfg.num_pano_layers = num_pano_layers
+    cfg.num_x_layers = num_x_layers
+    cfg.graph_sprels = graph_sprels
+    cfg.glocal_fuse = glocal_fuse
+    cfg.fix_lang_embedding = False
+    cfg.fix_pano_embedding = False
+    cfg.fix_local_branch = False
+    cfg.update_lang_bert = True
+    cfg.output_attentions = True
+    cfg.pred_head_dropout_prob = 0.0
+    cfg.use_lang2visn_attn = False
+    return cfg
