@@ -230,3 +230,346 @@ def test_ref_oracle_navigation(ref_navigator, our_loaded):
     cmp("grid", out.grid_logits, outs["grid_logits"])
     cmp("fused", out.fused_logits, outs["fused_logits"])
     assert outs["obj_logits"] is None
+
+
+# ===========================================================================
+# Pretrain model oracle: the real GlocalTextPathCMTPreTraining executes the
+# MLM / MRC / SAP losses (pretrain_src/model/pretrain_cmt.py:73-289) on a
+# dual-format synthetic trajectory batch. fp16 note: the reference pretrain
+# grid path runs text_fts/grid_proj in float16 (pretrain vilmodel.py:664,685);
+# our path is f32, so grid-dependent outputs agree to fp16 resolution only —
+# tolerances below reflect that, and grid_fts are pre-rounded to fp16 values.
+# ===========================================================================
+
+PT_PROB = 16  # image_prob_size at oracle scale
+
+
+def _pretrain_scenario():
+    """One coherent 2-item trajectory batch in BOTH input formats.
+
+    item 0: path a0->a1->a2 (3 steps); frontier f1, f2. Step 2 re-offers a1
+    as a candidate (exercises the visited-candidate exclusion,
+    pretrain vilmodel.py:596-600).
+    item 1: path b0->b1 (2 steps); frontier f3, f4.
+    """
+    rng = np.random.default_rng(7)
+    B, T, VM1, G_OURS, V_OURS, N = 2, 10, 6, 8, 7, 120
+    f32 = np.float32
+
+    paths = [["a0", "a1", "a2"], ["b0", "b1"]]
+    # per step: (cand vpids, total token count)
+    cands = [
+        [["a1", "f1"], ["a2", "f1", "f2"], ["a1", "f2"]],
+        [["b1", "f3"], ["f3", "f4"]],
+    ]
+    n_tok = [[4, 5, 5], [4, 4]]
+    gmap_vpids = [
+        [None, "a0", "a1", "a2", "f1", "f2"],
+        [None, "b0", "b1", "f3", "f4"],
+    ]
+    gmap_lens = [6, 5]
+    steps = [3, 2]
+    S, GREF = max(steps), max(gmap_lens)
+    total_steps = sum(steps)
+
+    txt_lens = np.array([8, 10])
+    txt_ids = rng.integers(1, VOCAB, size=(B, T)).astype(np.int64)
+    txt_mask = np.arange(T)[None] < txt_lens[:, None]
+    txt_ids[~txt_mask] = 0
+
+    # ---- trajectory tokens, ours (B,S,VM1) / reference (total_steps, L) ----
+    view_fts = rng.standard_normal((B, S, VM1, IMG_FEAT)).astype(f32) * 0.3
+    loc_fts = rng.standard_normal((B, S, VM1, ANGLE + 3)).astype(f32) * 0.3
+    nav_types = np.zeros((B, S, VM1), np.int32)
+    token_mask = np.zeros((B, S, VM1), bool)
+    step_mask = np.zeros((B, S), bool)
+    visited_idx = np.full((B, S, VM1), -1, np.int32)
+    cand_idx = np.full((B, S, VM1), -1, np.int32)
+    slot_of = [{vp: j + 1 for j, vp in enumerate(gv[1:])} for gv in gmap_vpids]
+    visited_sets = [set(p) for p in paths]
+    for i in range(B):
+        for t in range(steps[i]):
+            k = n_tok[i][t]
+            token_mask[i, t, :k] = True
+            step_mask[i, t] = True
+            nav_types[i, t, :len(cands[i][t])] = 1
+            view_fts[i, t, k:] = 0.0
+            loc_fts[i, t, k:] = 0.0
+            visited_idx[i, t, :k] = slot_of[i][paths[i][t]]
+            for j, cvp in enumerate(cands[i][t]):
+                if cvp not in visited_sets[i]:  # ever-visited never accumulate
+                    cand_idx[i, t, j] = slot_of[i][cvp]
+
+    # ---- gmap arrays ----
+    gmap_mask = np.zeros((B, G_OURS), bool)
+    gmap_visited = np.zeros((B, G_OURS), bool)
+    gmap_step_ids = np.zeros((B, G_OURS), np.int32)
+    gmap_pos = rng.standard_normal((B, G_OURS, ANGLE + 3)).astype(f32) * 0.3
+    for i in range(B):
+        gmap_mask[i, :gmap_lens[i]] = True
+        gmap_pos[i, gmap_lens[i]:] = 0.0
+        for t, vp in enumerate(paths[i]):
+            s = slot_of[i][vp]
+            gmap_visited[i, s] = True
+            gmap_step_ids[i, s] = t + 1
+
+    # ---- vp (last step) ----
+    vp_pos_fts = rng.standard_normal((B, V_OURS, 2 * ANGLE + 6)).astype(f32) * 0.3
+    vp_nav_mask = np.zeros((B, V_OURS), bool)
+    vp_nav_mask[:, 0] = True
+    for i in range(B):
+        vp_pos_fts[i, n_tok[i][-1] + 1:] = 0.0
+        vp_nav_mask[i, 1:1 + len(cands[i][-1])] = True
+
+    # ---- fused-logit index maps (from the same vpid bookkeeping) ----
+    fused_add_idx = np.full((B, G_OURS), -2, np.int32)
+    cand_backtrack = np.zeros((B, V_OURS), bool)
+    for i in range(B):
+        cand_col = {cvp: j + 1 for j, cvp in enumerate(cands[i][-1])}
+        for vp, s in slot_of[i].items():
+            if vp in visited_sets[i]:
+                continue
+            fused_add_idx[i, s] = cand_col.get(vp, -1)
+        for j, cvp in enumerate(cands[i][-1]):
+            if cvp in visited_sets[i]:
+                cand_backtrack[i, j + 1] = True
+
+    # ---- grid (fp16-rounded values so both sides see identical inputs) ----
+    grid_fts = (rng.standard_normal((B, N, IMG_FEAT)) * 0.3).astype(
+        np.float16).astype(f32)
+    grid_cells = np.where(rng.random((B, N)) < 0.2, -1,
+                          rng.integers(0, CELLS, (B, N))).astype(np.int32)
+    gridmap_pos_fts = rng.standard_normal((B, CELLS, 5)).astype(f32) * 0.2
+
+    # ---- task labels ----
+    mlm_sel = (rng.random((B, T)) < 0.3) & txt_mask
+    mlm_sel[:, 0] = False
+    txt_labels = np.where(mlm_sel, txt_ids, -1).astype(np.int64)
+    masked_ids = np.where(mlm_sel, 3, txt_ids).astype(np.int64)  # 3 = [MASK]
+
+    ref_vwidth = max(n[-1] for n in n_tok)  # reference last-step pad width
+    view_mrc_masks = np.zeros((B, VM1), bool)
+    view_mrc_masks[0, [0, 2]] = True
+    view_mrc_masks[1, [1, 3]] = True
+    view_probs = rng.random((B, VM1, PT_PROB)).astype(f32)
+    view_probs /= view_probs.sum(-1, keepdims=True)
+
+    global_act = np.array([slot_of[0]["f2"], 0], np.int64)
+    local_act = np.array([2, 0], np.int64)  # f2 = candidate col 2 at step 2
+
+    # ---------------------------------------------------- reference format
+    ref = {}
+    L = max(max(n) for n in n_tok)
+    r_view = np.zeros((total_steps, L, IMG_FEAT), f32)
+    r_loc = np.zeros((total_steps, L, ANGLE + 3), f32)
+    r_nav = np.zeros((total_steps, L), np.int64)
+    r_vlens = np.zeros((total_steps,), np.int64)
+    row = 0
+    for i in range(B):
+        for t in range(steps[i]):
+            k = n_tok[i][t]
+            r_view[row, :k] = view_fts[i, t, :k]
+            r_loc[row, :k] = loc_fts[i, t, :k]
+            r_nav[row, :k] = nav_types[i, t, :k]
+            r_vlens[row] = k
+            row += 1
+    ref["txt_ids"] = torch.from_numpy(masked_ids)
+    ref["txt_lens"] = torch.from_numpy(txt_lens)
+    ref["traj_view_img_fts"] = torch.from_numpy(r_view)
+    ref["traj_obj_img_fts"] = None
+    ref["traj_loc_fts"] = torch.from_numpy(r_loc)
+    ref["traj_nav_types"] = torch.from_numpy(r_nav)
+    ref["traj_step_lens"] = steps
+    ref["traj_vp_view_lens"] = torch.from_numpy(r_vlens)
+    ref["traj_vp_obj_lens"] = None
+    ref["traj_vpids"] = paths
+    ref["traj_cand_vpids"] = cands
+    ref["gmap_lens"] = torch.tensor(gmap_lens)
+    ref["gmap_step_ids"] = torch.from_numpy(
+        gmap_step_ids[:, :GREF].astype(np.int64))
+    ref["gmap_pos_fts"] = torch.from_numpy(gmap_pos[:, :GREF])
+    ref["gmap_pair_dists"] = torch.zeros(B, GREF, GREF)
+    ref["gmap_vpids"] = gmap_vpids
+    ref["vp_pos_fts"] = torch.from_numpy(vp_pos_fts[:, :ref_vwidth + 1])
+    ref["grid_fts"] = [torch.from_numpy(grid_fts[i]).to(torch.float16)
+                       for i in range(B)]
+    ref["grid_map"] = [torch.from_numpy(grid_cells[i].astype(np.int64))
+                       for i in range(B)]
+    ref["gridmap_pos_fts"] = torch.from_numpy(gridmap_pos_fts)
+    ref["target_patch_id"] = None
+    ref["gmap_visited_masks"] = torch.from_numpy(gmap_visited[:, :GREF])
+    ref["txt_labels"] = torch.from_numpy(txt_labels)
+    ref["vp_view_mrc_masks"] = torch.from_numpy(view_mrc_masks[:, :ref_vwidth])
+    ref["vp_view_probs"] = torch.from_numpy(view_probs[:, :ref_vwidth])
+    ref["vp_obj_mrc_masks"] = None
+    ref["vp_obj_probs"] = None
+    ref["global_act_labels"] = torch.from_numpy(global_act)
+    ref["local_act_labels"] = torch.from_numpy(local_act)
+
+    # --------------------------------------------------------- ours format
+    from gridmm_tpu.train.pretrain import PretrainBatch
+
+    ours = PretrainBatch(
+        txt_ids=jnp.asarray(masked_ids.astype(np.int32)),
+        txt_mask=jnp.asarray(txt_mask),
+        traj_view_fts=jnp.asarray(view_fts),
+        traj_loc_fts=jnp.asarray(loc_fts),
+        traj_nav_types=jnp.asarray(nav_types),
+        traj_token_mask=jnp.asarray(token_mask),
+        traj_step_mask=jnp.asarray(step_mask),
+        visited_idx=jnp.asarray(visited_idx),
+        cand_idx=jnp.asarray(cand_idx),
+        gmap_step_ids=jnp.asarray(gmap_step_ids),
+        gmap_pos_fts=jnp.asarray(gmap_pos),
+        gmap_mask=jnp.asarray(gmap_mask),
+        gmap_visited_mask=jnp.asarray(gmap_visited),
+        vp_pos_fts=jnp.asarray(vp_pos_fts),
+        vp_nav_mask=jnp.asarray(vp_nav_mask),
+        fused_add_idx=jnp.asarray(fused_add_idx),
+        cand_backtrack_mask=jnp.asarray(cand_backtrack),
+        grid_fts=jnp.asarray(grid_fts),
+        grid_cells=jnp.asarray(grid_cells),
+        gridmap_pos_fts=jnp.asarray(gridmap_pos_fts),
+        txt_labels=jnp.asarray(txt_labels.astype(np.int32)),
+        view_mrc_masks=jnp.asarray(view_mrc_masks),
+        view_probs=jnp.asarray(view_probs),
+        global_act_labels=jnp.asarray(global_act.astype(np.int32)),
+        local_act_labels=jnp.asarray(local_act.astype(np.int32)),
+        obj_labels=jnp.zeros((B,), jnp.int32),
+        vp_obj_mask=jnp.zeros((B, V_OURS), bool),
+    )
+    return ref, ours, dict(ref_vwidth=ref_vwidth, GREF=GREF)
+
+
+@pytest.fixture(scope="module")
+def ref_pretrain():
+    """The real GlocalTextPathCMTPreTraining with seeded random weights."""
+    require_reference()
+    pc = load_ref_module("pretrain_src", "model.pretrain_cmt")
+    torch.manual_seed(11)
+    cfg = nav_bert_config(num_l_layers=NL, num_x_layers=NX,
+                          num_pano_layers=NP, heads=HEADS, intermediate=INTER,
+                          image_feat_size=IMG_FEAT, angle_feat_size=ANGLE,
+                          vocab=VOCAB)
+    cfg.pretrain_tasks = ["mlm", "mrc", "sap"]
+    cfg.image_prob_size = PT_PROB
+    cfg.obj_prob_size = 0
+    # the pretrain model configs all enable the lang2visn branch (MLM needs
+    # it; r2r_model_config.json:32), unlike the fine-tune navigator
+    cfg.use_lang2visn_attn = True
+    model = pc.GlocalTextPathCMTPreTraining(cfg).eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def our_pretrain(ref_pretrain):
+    from gridmm_tpu.config import GridMMConfig, GridConfig, NavigatorShapes
+    from gridmm_tpu.models.pretrain import GridMMPretrain
+    from gridmm_tpu.train.pretrain import init_pretrain_params
+    from gridmm_tpu.utils import checkpoint as CK
+    import dataclasses
+
+    mc = dataclasses.replace(_our_model_cfg(), image_prob_size=PT_PROB)
+    sh = NavigatorShapes(max_txt_len=10, max_gmap_len=8, max_vp_len=7,
+                         max_points=120)
+    cfg = GridMMConfig(model=mc, shapes=sh, grid=GridConfig())
+    model = GridMMPretrain(mc)
+    _, ours, _ = _pretrain_scenario()
+    params = init_pretrain_params(model, cfg, jax.random.PRNGKey(0), ours)
+    loaded, report = CK.import_torch_pretrain(
+        ref_pretrain.state_dict(), params, num_l_layers=NL, num_x_layers=NX,
+        num_pano_layers=NP)
+    # legitimately-unconsumed torch keys: the tied MLM decoder weight, and
+    # the grid_txt_encoder x-layer's lang branch — with use_lang2visn_attn
+    # the reference builds it (vilmodel.py:374-380) but grid_txt_encoder only
+    # ever visn-attends (forward_mlm/forward never call forward_lang2visn on
+    # it), so those 16 weights are dead in the reference too
+    unused = set(report["unused_torch_keys"])
+    assert "mlm_head.predictions.decoder.weight" in unused
+    unused.discard("mlm_head.predictions.decoder.weight")
+    assert unused and all(
+        k.startswith("bert.grid_txt_encoder.x_layers.0.lang") for k in unused)
+    assert report["unfilled_flax_leaves"] == []
+    return model, loaded
+
+
+def test_ref_oracle_pretrain_sap(ref_pretrain, our_pretrain):
+    """forward_sap logits + stop-reweighted losses (pretrain_cmt.py:217-289)."""
+    from gridmm_tpu.train.losses import sap_loss
+    from gridmm_tpu.models.pretrain import GridMMPretrain
+    from gridmm_tpu.train.pretrain import _enc_kwargs
+
+    ref, ours, meta = _pretrain_scenario()
+    model, loaded = our_pretrain
+    with torch.no_grad():
+        g, l, f, _, _ = ref_pretrain.forward(ref, "sap", compute_loss=False)
+        losses = ref_pretrain.forward(ref, "sap", compute_loss=True)
+
+    enc = model.apply(loaded, ours.txt_ids, ours.txt_mask,
+                      method=GridMMPretrain.encode, **_enc_kwargs(ours))
+    og, ol, of, ogr = model.apply(
+        loaded, enc, ours.gmap_mask, ours.gmap_visited_mask, ours.vp_nav_mask,
+        ours.fused_add_idx, ours.cand_backtrack_mask,
+        method=GridMMPretrain.forward_sap_logits)
+    our_losses = sap_loss(og, ol, of, ogr, ours.global_act_labels,
+                          ours.local_act_labels)
+
+    GREF, VW = meta["GREF"], meta["ref_vwidth"] + 1
+
+    def cmp(name, ours_arr, ref_t, width, atol):
+        o = np.asarray(ours_arr)[:, :width]
+        r = ref_t.numpy()
+        finite = np.isfinite(r)
+        np.testing.assert_array_equal(np.isfinite(o), finite, err_msg=name)
+        np.testing.assert_allclose(o[finite], r[finite], atol=atol,
+                                   err_msg=name)
+
+    # fp16 grid path in the reference bounds achievable agreement (~1e-3)
+    cmp("sap_global", og, g, GREF, 5e-3)
+    cmp("sap_local", ol, l, VW, 5e-3)
+    cmp("sap_fused", of, f, GREF, 5e-3)
+    np.testing.assert_allclose(np.asarray(our_losses), losses.numpy(),
+                               atol=2e-2)
+
+
+def test_ref_oracle_pretrain_mlm(ref_pretrain, our_pretrain):
+    """forward_mlm masked-token CE (pretrain_cmt.py:125-153)."""
+    from gridmm_tpu.train.pretrain import task_loss
+
+    ref, ours, _ = _pretrain_scenario()
+    model, loaded = our_pretrain
+    with torch.no_grad():
+        scores = ref_pretrain.forward(ref, "mlm", compute_loss=False)
+        mask_loss = ref_pretrain.forward(ref, "mlm", compute_loss=True)
+
+    our_loss = float(task_loss(model, loaded, ours, "mlm"))
+    assert scores.shape == (int((np.asarray(ours.txt_labels) != -1).sum()),
+                            VOCAB)
+    np.testing.assert_allclose(our_loss, float(mask_loss.mean()), atol=2e-3)
+
+
+def test_ref_oracle_pretrain_mrc(ref_pretrain, our_pretrain):
+    """forward_mrc KL over masked view tokens (pretrain_cmt.py:161-212),
+    including the dataset-side feature zeroing (tasks.py _mask_img_feat)."""
+    from gridmm_tpu.train.pretrain import task_loss
+
+    ref, ours, meta = _pretrain_scenario()
+    model, loaded = our_pretrain
+
+    # the reference receives features ALREADY zeroed by MrcDataset
+    # (tasks.py:195-196); ours zeroes inside task_loss from view_mrc_masks
+    vm = ref["vp_view_mrc_masks"].numpy()
+    r_view = ref["traj_view_img_fts"].clone()
+    steps = ref["traj_step_lens"]
+    row = -1
+    starts = np.cumsum([0] + list(steps))
+    for i, s in enumerate(steps):
+        last_row = starts[i] + s - 1
+        r_view[last_row, :vm.shape[1]][torch.from_numpy(vm[i])] = 0.0
+    ref = {**ref, "traj_view_img_fts": r_view}
+
+    with torch.no_grad():
+        mrc_loss = ref_pretrain.forward(ref, "mrc", compute_loss=True)
+
+    our_loss = float(task_loss(model, loaded, ours, "mrc"))
+    np.testing.assert_allclose(our_loss, float(mrc_loss.mean()), atol=5e-3)
