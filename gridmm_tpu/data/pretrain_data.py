@@ -58,12 +58,19 @@ def random_word_masking(tokens: np.ndarray, rng: random.Random,
     ids = tokens.copy()
     labels = np.full_like(ids, -1)
     for i in range(len(ids)):
-        if rng.random() < mlm_prob:
+        # single draw reused for the 80/10/10 subtype (random_word divides
+        # the mask draw by 0.15, tasks.py:23-26) — same distribution, and a
+        # random.Random seeded like the reference's `random.seed()` now
+        # reproduces its decisions bit-exactly (tests/test_reference_oracle)
+        prob = rng.random()
+        if prob < mlm_prob:
             labels[i] = ids[i]
-            r = rng.random()
-            if r < 0.8:
+            prob /= mlm_prob
+            if prob < 0.8:
                 ids[i] = mask_id
-            elif r < 0.9:
+            elif prob < 0.9:
+                # random.choice(list(range(a, b))) and randrange(a, b) consume
+                # the identical _randbelow(b-a) draw
                 ids[i] = rng.randrange(*vocab_range)
     if (labels == -1).all():
         labels[0] = ids[0]

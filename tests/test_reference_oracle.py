@@ -573,3 +573,109 @@ def test_ref_oracle_pretrain_mrc(ref_pretrain, our_pretrain):
 
     our_loss = float(task_loss(model, loaded, ours, "mrc"))
     np.testing.assert_allclose(our_loss, float(mrc_loss.mean()), atol=5e-3)
+
+
+# ===========================================================================
+# MLM masking oracle: the reference's random_word (tasks.py:11-51) runs with
+# a seeded global `random`; our random_word_masking consumes an identically
+# seeded random.Random — decisions must match BIT-EXACTLY (same Mersenne
+# stream, same draw sequence).
+# ===========================================================================
+
+def test_ref_oracle_mlm_masking():
+    import random as pyrandom
+
+    require_reference()
+    tasks = load_ref_module("pretrain_src", "data.tasks")
+    from gridmm_tpu.data.pretrain_data import random_word_masking
+
+    rng = np.random.default_rng(5)
+    for seed in range(20):
+        tokens = rng.integers(1996, 29611, size=rng.integers(1, 60)).tolist()
+        pyrandom.seed(seed)
+        ref_ids, ref_labels = tasks.random_word(
+            list(tokens), (1996, 29611), 103)
+        ours_ids, ours_labels = random_word_masking(
+            np.asarray(tokens, np.int64), pyrandom.Random(seed))
+        np.testing.assert_array_equal(ours_ids, ref_ids)
+        np.testing.assert_array_equal(ours_labels, ref_labels)
+
+
+# ===========================================================================
+# Discrete eval-metrics oracle: the real R2RNavBatch._eval_item + eval_utils
+# (map_nav_src/r2r/env.py:640-709, r2r/eval_utils.py) score the same synthetic
+# trajectories as env/metrics.evaluate_trajectory.
+# ===========================================================================
+
+def _toy_distances(rng, n=12):
+    """Random metric-ish all-pairs distances over synthetic nodes (symmetric,
+    zero diagonal) shaped like the reference's dict-of-dict Dijkstra table."""
+    names = [f"n{i}" for i in range(n)]
+    pos = rng.random((n, 2)) * 20
+    d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    return {a: {b: float(d[i, j]) for j, b in enumerate(names)}
+            for i, a in enumerate(names)}, names
+
+
+def test_ref_oracle_eval_metrics():
+    require_reference()
+    renv = load_ref_module("map_nav_src", "r2r.env")
+    from gridmm_tpu.env.metrics import aggregate_metrics, evaluate_trajectory
+
+    rng = np.random.default_rng(9)
+    shortest, names = _toy_distances(rng)
+    ref_env = renv.R2RNavBatch.__new__(renv.R2RNavBatch)
+    ref_env.shortest_distances = {"scanX": shortest}
+
+    per_traj = []
+    for case in range(6):
+        gt = [names[0]] + list(rng.choice(names[1:], size=3, replace=False))
+        # pred paths are lists of per-action sub-paths (env.py:652-655)
+        pred = [[gt[0]]] + [
+            list(rng.choice(names, size=int(rng.integers(1, 3))))
+            for _ in range(int(rng.integers(1, 4)))]
+        ref_scores = ref_env._eval_item("scanX", pred, gt)
+        ours = evaluate_trajectory(shortest, pred, gt)
+        assert set(ours) == set(ref_scores)
+        for k in ref_scores:
+            np.testing.assert_allclose(ours[k], float(ref_scores[k]),
+                                       atol=1e-9, err_msg=k)
+        per_traj.append(ours)
+
+    # aggregation (env.py:696-708): same names, same x100 scaling
+    agg = aggregate_metrics(per_traj)
+    for k in ("sr", "spl", "oracle_sr", "nDTW", "SDTW", "CLS", "nav_error",
+              "lengths", "steps", "action_steps", "oracle_error"):
+        assert k in agg
+
+
+# ===========================================================================
+# CLIP oracle: the vendored OpenAI visual tower (preprocess/model_clip.py)
+# with seeded weights vs our ClipVisionTransformer through
+# import_torch_clip_visual — all token hiddens, no projection/pooling
+# (the P1 feature-extraction contract, get_map_feature.py:129-137).
+# ===========================================================================
+
+def test_ref_oracle_clip_visual():
+    require_reference()
+    mc = load_ref_module("preprocess", "model_clip")
+    from gridmm_tpu.models.clip_vit import ClipVisionConfig, ClipVisionTransformer
+    from gridmm_tpu.utils import checkpoint as CK
+
+    torch.manual_seed(21)
+    res, patch, width, layers, heads = 64, 32, 48, 2, 4
+    tm = mc.VisionTransformer(res, patch, width, layers, heads).eval()
+    imgs = torch.randn(3, 3, res, res) * 0.5
+    with torch.no_grad():
+        want = tm(imgs).numpy()  # all token hiddens (B, g*g+1, width)
+
+    fm = ClipVisionTransformer(ClipVisionConfig(
+        input_resolution=res, patch_size=patch, width=width, layers=layers,
+        heads=heads, compute_dtype="float32"))
+    imgs_nhwc = jnp.asarray(imgs.permute(0, 2, 3, 1).numpy())
+    params = fm.init(jax.random.PRNGKey(0), imgs_nhwc)
+    sd = {f"visual.{k}": v for k, v in tm.state_dict().items()}
+    loaded = CK.import_torch_clip_visual(sd, params, layers=layers)
+    got = np.asarray(fm.apply(loaded, imgs_nhwc))
+    assert got.shape == want.shape == (3, (res // patch) ** 2 + 1, width)
+    np.testing.assert_allclose(got, want, atol=1e-4)
