@@ -89,6 +89,23 @@ def _install_stubs():
                 importlib.import_module(name)
             except ImportError:
                 sys.modules[name] = _stub_module(name)
+    # torchvision is from-imported at dataset.py module scope but unused at
+    # the call sites under test; names bind to a sentinel that raises on use
+    if "torchvision" not in sys.modules:
+        try:
+            importlib.import_module("torchvision")
+        except ImportError:
+            def _sentinel(*a, **k):
+                raise RuntimeError("stubbed torchvision was actually used")
+
+            tv = _stub_module("torchvision")
+            tf = _stub_module("torchvision.transforms")
+            tf.__getattr__ = lambda attr: (
+                (_ for _ in ()).throw(AttributeError(attr))
+                if attr.startswith("__") else _sentinel)
+            tv.transforms = tf
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.transforms"] = tf
 
 
 # ------------------------------------------------------- root-scoped imports

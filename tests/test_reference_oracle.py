@@ -679,3 +679,114 @@ def test_ref_oracle_clip_visual():
     got = np.asarray(fm.apply(loaded, imgs_nhwc))
     assert got.shape == want.shape == (3, (res // patch) ** 2 + 1, width)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+# ===========================================================================
+# Grid-build oracle (G2): the real ReverieTextPathData.getGlobalMap
+# (pretrain_src/data/dataset.py:351-473) runs over a synthetic 3-step
+# trajectory (uint16 depth store, CLIP-p32 features, viewpoint_info) and our
+# ops/geometry pipeline must reproduce cell ids, window extents,
+# gridmap_pos_fts, and the SAP grid target at EVERY step.
+# ===========================================================================
+
+class _FakeDB:
+    def __init__(self, table):
+        self.table = table
+
+    def get_image_feature(self, scan, vp):
+        return self.table[f"{scan}_{vp}"]
+
+
+def test_ref_oracle_grid_build_offline():
+    require_reference()
+    ds_mod = load_ref_module("pretrain_src", "data.dataset")
+    from gridmm_tpu.config import GridConfig
+    from gridmm_tpu.ops import geometry as G
+
+    rng = np.random.default_rng(13)
+    gc = GridConfig()
+    path = ["vpA", "vpB", "vpC"]
+    positions = {"vpA": (0.0, 0.0, 1.2), "vpB": (2.5, 1.0, 1.2),
+                 "vpC": (4.0, -1.5, 1.2)}
+    headings = [0.0, np.pi / 6, np.pi / 2]
+
+    depth_tbl, sem_tbl, vpinfo = {}, {}, {}
+    for vp in path:
+        d = rng.integers(0, 16000, size=(36, 128, 128)).astype(np.uint16)
+        d[rng.random((36, 128, 128)) < 0.1] = 0  # zero-depth holes
+        depth_tbl[f"scanX_{vp}"] = d
+        sem_tbl[f"scanX_{vp}"] = rng.standard_normal(
+            (12, 50, 768)).astype(np.float32)
+        x, y, z = positions[vp]
+        vpinfo[f"scanX_{vp}"] = {"x": x, "y": y, "z": z}
+
+    # ---- reference execution ----
+    ref = ds_mod.ReverieTextPathData.__new__(ds_mod.ReverieTextPathData)
+    ref.DepthDB = _FakeDB(depth_tbl)
+    ref.SemanticDB = _FakeDB(sem_tbl)
+    ref.viewpoint_info = vpinfo
+    ref.gt_path = path
+    ref.global_semantic, ref.global_position_x = [], []
+    ref.global_position_y, ref.global_mask = [], []
+    ref.max_x, ref.min_x = -10000, 10000
+    ref.max_y, ref.min_y = -10000, 10000
+    ref.global_map = None
+    # `if self.global_semantic == []` (dataset.py:388) relies on OLD numpy
+    # semantics where ndarray == [] evaluates False; modern numpy raises a
+    # broadcast error. Emulate the original behavior with a False-comparing
+    # sentinel between steps (the attribute is write-only inside getGlobalMap
+    # apart from that comparison).
+    class _NotEmpty:
+        def __eq__(self, other):
+            return False
+
+    ref_steps = []
+    for t, vp in enumerate(path):
+        ref.heading = headings[t]
+        (_sem, ref.global_position_x, ref.global_position_y,
+         ref.global_mask, ref.global_map, ref.max_x, ref.min_x, ref.max_y,
+         ref.min_y, r_pos_fts, r_target) = ref.getGlobalMap("scanX", vp)
+        ref.global_semantic = _NotEmpty()
+        ref_steps.append((np.array(ref.global_map), np.array(r_pos_fts),
+                          int(r_target), float(ref.max_x), float(ref.min_x)))
+
+    # ---- our pipeline (exactly what data/pretrain_data.get_input runs) ----
+    from gridmm_tpu.env.world import _depth_to_patches
+
+    state = G.PointCloudState.create(1, gc, max_points=588 * len(path))
+    for t, vp in enumerate(path):
+        patches = _depth_to_patches(depth_tbl[f"scanX_{vp}"]).astype(
+            np.float32)
+        fts = sem_tbl[f"scanX_{vp}"][:, 1:].reshape(-1, 768)
+        x, y, _ = positions[vp]
+        state = G.append_panorama(
+            state, jnp.asarray(patches[None]), jnp.asarray(fts[None]),
+            jnp.asarray([[x, y]], jnp.float32), gc,
+            headings=jnp.asarray([headings[t]], jnp.float32))
+        cells, half_len, pos_fts = G.egocentric_grid_assignment(
+            state, jnp.asarray([[x, y]], jnp.float32),
+            jnp.asarray([headings[t]], jnp.float32), gc)
+
+        r_map, r_pos, r_target, r_max_x, r_min_x = ref_steps[t]
+        n = 588 * (t + 1)
+        ours_cells = np.asarray(cells[0])
+        # every accumulated point gets the identical cell id (or -1 for the
+        # zero-depth holes); untouched buffer tail stays -1
+        np.testing.assert_array_equal(ours_cells[:n],
+                                      r_map.astype(np.int32), err_msg=f"t={t}")
+        assert (ours_cells[n:] == -1).all()
+        np.testing.assert_allclose(np.asarray(pos_fts[0]), r_pos, atol=2e-5,
+                                   err_msg=f"pos_fts t={t}")
+        # window extents: reference's running max/min must equal the implied
+        # half_len = window_scale * max(|pos-extent|) used on our side
+        x_half = max(x - r_min_x, r_max_x - x)
+        assert float(half_len[0]) > 0
+        # SAP grid target for the next GT node (dataset.py:422-439)
+        if t + 1 < len(path):
+            nx, ny, _ = positions[path[t + 1]]
+            ours_t = int(G.target_cell_id(
+                jnp.float32(nx), jnp.float32(ny), jnp.float32(x),
+                jnp.float32(y), jnp.float32(headings[t]), half_len[0]))
+        else:
+            ours_t = 0
+        assert ours_t == r_target, f"target t={t}: {ours_t} vs {r_target}"
