@@ -232,7 +232,10 @@ class CEAgent:
         x = x._replace(patch_fts=patch)
         carry, out = nav_device_step(self.navigator, self.cfg, nav_params,
                                      txt_embeds, txt_mask, carry, x)
-        return carry, out.local_logits, cand
+        from gridmm_tpu.ce.device_step import ce_action_logits
+        logits = ce_action_logits(out.global_logits, out.local_logits,
+                                  x.cand_gmap_idx)
+        return carry, logits, cand
 
     def _view_fts_impl(self, view_params, rgb):
         """(B,12,H,W,3) u8 -> (B, 12, width) timm-ViT cls features
@@ -387,9 +390,13 @@ class CEAgent:
                 carry, out = self._jit_nav(
                     self.nav_params, txt_embeds, jnp.asarray(txt_mask), carry,
                     jax.tree_util.tree_map(jnp.asarray, x))
-                # CE selects among [stop]+current candidates (local logits;
-                # Policy:620-627 truncates to candidate count)
-                logits = np.asarray(out.local_logits, np.float64)
+                # CE acts on fused = global+local over [stop]+candidates
+                # (gridmap/vilmodel.py:788-800; the trainer consumes that
+                # same output for actions AND loss, ss_trainer:269-330)
+                from gridmm_tpu.ce.device_step import ce_action_logits
+                logits = np.asarray(ce_action_logits(
+                    out.global_logits, out.local_logits,
+                    jnp.asarray(x.cand_gmap_idx)), np.float64)
 
             if feedback == "teacher":
                 a_t = targets.copy()

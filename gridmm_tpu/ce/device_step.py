@@ -297,3 +297,26 @@ def device_build_step(
         target=ig, grid_target=ig,
         vp_obj_mask=jnp.zeros((b, v), bool), obj_target=ig,
     )
+
+
+def ce_action_logits(global_logits: jnp.ndarray, local_logits: jnp.ndarray,
+                     cand_gmap_idx: jnp.ndarray) -> jnp.ndarray:
+    """The CE action head: fused = global + local over the [stop]+candidates
+    columns (gridmap/vilmodel.py:788-800 truncates global_logits to
+    max(candidate_lengths) and adds local_logits; both masked by
+    vp_nav_masks). Under the reference's CE token layout the traj-gmap leads
+    with [stop]+candidates, so column j IS candidate j; under our stable-slot
+    layout candidate j's gmap column is cand_gmap_idx[:, j] (the ephemeral
+    frontier slot) and [stop] is column 0.
+
+    A candidate whose waypoint slot overflowed the gmap capacity
+    (cand_gmap_idx == -1, impossible in the reference's unpadded layout)
+    falls back to its local logit alone."""
+    b, v = local_logits.shape
+    valid = cand_gmap_idx >= 0
+    g_cand = jnp.take_along_axis(global_logits,
+                                 jnp.maximum(cand_gmap_idx, 0), axis=1)
+    g_cand = jnp.where(valid, g_cand, 0.0)
+    add = jnp.concatenate([global_logits[:, :1], g_cand], axis=1)[:, :v]
+    # local is already -inf outside [stop]+candidates; x + -inf stays -inf
+    return local_logits + add

@@ -4,8 +4,9 @@ Reference: VLN_CE/vlnce_baselines/ss_trainer_GridMap.py:141-675 — per-step
 waypoint prediction, oracle teacher via cand_dist_to_goal, CE loss, schedule-
 sampling ratio decaying per epoch (ratio^(epoch//num_epoches_per_ratio+1),
 ss_trainer:619). The update path reuses the shared jitted nav step; the CE
-loss is taken on the local ([stop]+candidates) logits, matching the CE action
-space (Policy:620-627)."""
+loss is taken on the CE action head — fused = global+local over the
+[stop]+candidates columns (gridmap/vilmodel.py:788-800), the same logits the
+rollout acts on (ss_trainer:269-330)."""
 
 from __future__ import annotations
 
@@ -49,14 +50,17 @@ class CETrainer:
                  epochs_per_ratio: int = 1, mesh=None):
         import dataclasses
 
-        # CE selects among [stop]+current candidates -> train the local head
-        # (Policy:620-627); loss accumulates over the WHOLE episode and
-        # updates once, like the reference ss_trainer — per-step updates would
-        # invalidate the project-at-insertion point cache mid-episode.
-        # CE loss contract: local head, il_loss = ml_loss / total actions
+        # CE acts AND trains on fused = global+local over the
+        # [stop]+candidates columns (gridmap/vilmodel.py:788-800; the trainer
+        # takes its CE loss on the very logits it acts on,
+        # ss_trainer_GridMap.py:269-330); loss accumulates over the WHOLE
+        # episode and updates once, like the reference ss_trainer — per-step
+        # updates would invalidate the project-at-insertion point cache
+        # mid-episode.
+        # CE loss contract: il_loss = ml_loss / total actions
         # (ss_trainer_GridMap.py:284,328,493 — no ml_weight factor)
         self.cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, loss_head="local",
+            cfg, train=dataclasses.replace(cfg.train, loss_head="ce",
                                            loss_norm="actions"))
         self.agent = agent
         self.schedule_ratio = schedule_ratio

@@ -221,7 +221,9 @@ class TrainConfig:
     # out of the scan carry — saves the per-step whole-buffer residuals);
     # False = incremental (the same per-step graph the rollout uses)
     stacked_replay: bool = True
-    loss_head: str = "fused"       # CE trains on 'local' ([stop]+candidates)
+    loss_head: str = "fused"       # CE trains on 'ce' = global+local over
+                                   # [stop]+candidates (gridmap/vilmodel.py
+                                   # :788-800)
     # replay-loss scaling: 'batch' = ml_weight/batch_size (discrete agent.py
     # :447); 'actions' = 1/total-action-count, no ml_weight (VLN-CE
     # ss_trainer_GridMap.py:284,493) — the CE presets set 'actions'
@@ -331,7 +333,7 @@ def r2r_ce_config() -> GridMMConfig:
         # overwrites the tail window instead of erroring)
         shapes=dataclasses.replace(base.shapes, max_points=11776),
         train=dataclasses.replace(base.train, max_action_len=20,
-                                  loss_norm="actions", loss_head="local"),
+                                  loss_norm="actions", loss_head="ce"),
         grid=dataclasses.replace(
             base.grid,
             max_steps=20,

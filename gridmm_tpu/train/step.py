@@ -117,6 +117,18 @@ def _update_node_embeds(gmap_sum, gmap_cnt, pano_embeds, pano_mask,
     return gmap_sum, gmap_cnt
 
 
+def _loss_head_logits(cfg, out, x):
+    """Select the training head. 'ce' is the continuous-env action head:
+    fused = global+local over [stop]+candidates (gridmap/vilmodel.py:788-800)
+    — the ss_trainer takes its loss on exactly the logits it acts on
+    (ss_trainer_GridMap.py:269-330)."""
+    if cfg.train.loss_head == "ce":
+        from gridmm_tpu.ce.device_step import ce_action_logits
+        return ce_action_logits(out.global_logits, out.local_logits,
+                                x.cand_gmap_idx)
+    return getattr(out, f"{cfg.train.loss_head}_logits")
+
+
 def _nav_inputs(cfg, txt_embeds, txt_mask, gmap_img_embeds, x, pano_embeds,
                 grid_fts, grid_cells, grid_weights, gridmap_pos_fts):
     """Assemble the per-step "navigation" batch dict shared by the rollout
@@ -321,7 +333,7 @@ def _trajectory_loss_stacked(
             cfg, txt_embeds, batch.txt_mask, gmap_emb_t, x_t, pano_t,
             stacked.features, cells, stacked.weights, grid_pos_fts),
             step_rngs=step_rngs)
-        head_logits = getattr(out, f"{cfg.train.loss_head}_logits")
+        head_logits = _loss_head_logits(cfg, out, x_t)
         step_loss = cross_entropy_ignore(
             head_logits, x_t.target, cfg.train.ignoreid, "sum")
         if getattr(cfg.train, "stop_extra_ce", False):
@@ -395,7 +407,7 @@ def trajectory_loss(
         carry, out = device_step(
             model, cfg, params, txt_embeds, batch.txt_mask, carry, x,
             deterministic, step_rngs)
-        head_logits = getattr(out, f"{cfg.train.loss_head}_logits")
+        head_logits = _loss_head_logits(cfg, out, x)
         step_loss = cross_entropy_ignore(
             head_logits, x.target, cfg.train.ignoreid, "sum")
         if getattr(cfg.train, "stop_extra_ce", False):

@@ -82,13 +82,34 @@ def _install_stubs():
         m.__spec__ = importlib.machinery.ModuleSpec("easydict", loader=None)
         m.EasyDict = EasyDict
         sys.modules["easydict"] = m
-    for name in ("jsonlines", "lmdb", "boto3", "timm", "MatterSim",
-                 "imutils"):
+    for name in ("jsonlines", "lmdb", "boto3", "MatterSim", "imutils"):
         if name not in sys.modules:
             try:
                 importlib.import_module(name)
             except ImportError:
                 sys.modules[name] = _stub_module(name)
+    # timm: the CE vilmodel from-imports timm.data helpers at module scope
+    # and calls timm.create_model in __init__ (tests monkeypatch that); the
+    # data helpers bind as raise-on-call sentinels
+    if "timm" not in sys.modules:
+        try:
+            importlib.import_module("timm")
+        except ImportError:
+            def _timm_sentinel(*a, **k):
+                raise RuntimeError("stubbed timm was actually used")
+
+            timm = _stub_module("timm")
+            tdata = _stub_module("timm.data")
+            tfactory = _stub_module("timm.data.transforms_factory")
+            for mod in (tdata, tfactory):
+                mod.__getattr__ = lambda attr: (
+                    (_ for _ in ()).throw(AttributeError(attr))
+                    if attr.startswith("__") else _timm_sentinel)
+            timm.data = tdata
+            timm.create_model = _timm_sentinel
+            sys.modules["timm"] = timm
+            sys.modules["timm.data"] = tdata
+            sys.modules["timm.data.transforms_factory"] = tfactory
     # torchvision is from-imported at dataset.py module scope but unused at
     # the call sites under test; names bind to a sentinel that raises on use
     if "torchvision" not in sys.modules:
@@ -152,6 +173,31 @@ def load_ref_module(root_subdir: str, module_name: str):
             sys.path.insert(0, key)
         _active_root = key
     return importlib.import_module(module_name)
+
+
+def load_ref_package_dir(pkg_dir: str, pkg_name: str, module: str):
+    """Load `<REF>/<pkg_dir>/<module>.py` as `<pkg_name>.<module>` WITHOUT
+    executing parent package __init__ files (e.g. vlnce_baselines/__init__.py
+    imports habitat trainers). Relative imports inside the package resolve
+    against the directory."""
+    require_reference()
+    _install_stubs()
+    full = f"{pkg_name}.{module}"
+    if full in sys.modules:
+        return sys.modules[full]
+    pkg_path = REF / pkg_dir
+    if pkg_name not in sys.modules:
+        spec = importlib.machinery.ModuleSpec(pkg_name, loader=None,
+                                              is_package=True)
+        spec.submodule_search_locations = [str(pkg_path)]
+        pkg = importlib.util.module_from_spec(spec)
+        sys.modules[pkg_name] = pkg
+    mspec = importlib.util.spec_from_file_location(
+        full, pkg_path / f"{module}.py")
+    mod = importlib.util.module_from_spec(mspec)
+    sys.modules[full] = mod
+    mspec.loader.exec_module(mod)
+    return mod
 
 
 # ------------------------------------------------------------ shared configs

@@ -790,3 +790,168 @@ def test_ref_oracle_grid_build_offline():
         else:
             ours_t = 0
         assert ours_t == r_target, f"target t={t}: {ours_t} vs {r_target}"
+
+
+# ===========================================================================
+# CE model oracle (V4): the real VLN_CE gridmap GlocalTextPathNavCMT
+# (vlnce_baselines/models/gridmap/vilmodel.py:624-800) executes
+# forward_navigation_per_step; our navigator + ce_action_logits must
+# reproduce its fused = global+local CE action head. The reference's CE
+# traj-gmap leads with [stop]+candidates then the trajectory nodes; ours
+# keeps [stop]+visited-chain+frontier-waypoints — per-node embeddings are
+# placed by each side's layout and masked attention is permutation-
+# equivariant, so the action logits must agree.
+# ===========================================================================
+
+def test_ref_oracle_ce_navigation():
+    import types
+
+    require_reference()
+    from ref_oracle import load_ref_package_dir
+
+    vm = load_ref_package_dir("VLN_CE/vlnce_baselines/models/gridmap",
+                              "ce_gridmap", "vilmodel")
+    # neuter the in-model perception towers (CLIP p32 + timm ViT): they are
+    # not touched by forward_navigation_per_step
+    vm.timm = types.SimpleNamespace(
+        create_model=lambda *a, **k: torch.nn.Identity())
+    vm.CLIP = lambda **kw: torch.nn.Identity()
+    torch.manual_seed(31)
+    ref = vm.GlocalTextPathNavCMT(nav_bert_config(
+        num_l_layers=NL, num_x_layers=NX, num_pano_layers=NP, heads=HEADS,
+        intermediate=INTER, image_feat_size=IMG_FEAT, angle_feat_size=ANGLE,
+        vocab=VOCAB)).eval()
+
+    # ---- import into our navigator (same key space minus og_head) ----
+    from gridmm_tpu.config import NavigatorShapes
+    from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
+    from gridmm_tpu.utils import checkpoint as CK
+
+    model = GridMMNavigator(_our_model_cfg())
+    shapes = NavigatorShapes(max_txt_len=10, max_gmap_len=8, max_vp_len=7,
+                             max_points=120)
+    params = init_navigator(model, shapes, jax.random.PRNGKey(0))
+    loaded, report = CK.import_torch_navigator(
+        ref.state_dict(), params, num_l_layers=NL, num_x_layers=NX,
+        num_pano_layers=NP)
+    assert report["unused_torch_keys"] == []
+    assert report["unfilled_flax_leaves"] == []
+
+    # ---- dual-layout synthetic step ----
+    rng = np.random.default_rng(31)
+    B, T, V, N = 2, 10, 7, 120
+    G_OURS = 8
+    n_cands = [3, 2]
+    n_traj = [2, 3]
+    cand_lens = [c + 1 for c in n_cands]   # [stop]+cands (Policy naming)
+    maxC = max(cand_lens)
+    GREF = max(1 + c + t for c, t in zip(n_cands, n_traj))
+
+    txt = rng.standard_normal((B, T, HID)).astype(np.float32) * 0.3
+    txt_mask = np.zeros((B, T), bool)
+    txt_mask[0, :8] = True
+    txt_mask[1, :10] = True
+
+    # per-node random attributes (embed, step_id, pos_ft)
+    node_emb = rng.standard_normal((B, 8, HID)).astype(np.float32) * 0.3
+    node_pos = rng.standard_normal((B, 8, ANGLE + 3)).astype(np.float32) * 0.3
+
+    r_gmap = np.zeros((B, GREF, HID), np.float32)
+    r_step = np.zeros((B, GREF), np.int64)
+    r_pos = np.zeros((B, GREF, ANGLE + 3), np.float32)
+    r_mask = np.zeros((B, GREF), bool)
+    o_gmap = np.zeros((B, G_OURS, HID), np.float32)
+    o_step = np.zeros((B, G_OURS), np.int32)
+    o_pos = np.zeros((B, G_OURS, ANGLE + 3), np.float32)
+    o_mask = np.zeros((B, G_OURS), bool)
+    o_visited = np.zeros((B, G_OURS), bool)
+    cand_gmap_idx = np.full((B, V - 1), -1, np.int32)
+    for i in range(B):
+        r_mask[i, 0] = o_mask[i, 0] = True  # [stop] zero embed both sides
+        # candidates: reference cols 1..n_cands, ours frontier after chain
+        for j in range(n_cands[i]):
+            emb, pos = node_emb[i, j], node_pos[i, j]
+            sid = n_traj[i] + 1
+            rcol = 1 + j
+            ocol = n_traj[i] + 1 + j
+            r_gmap[i, rcol], r_pos[i, rcol], r_step[i, rcol] = emb, pos, sid
+            r_mask[i, rcol] = True
+            o_gmap[i, ocol], o_pos[i, ocol], o_step[i, ocol] = emb, pos, sid
+            o_mask[i, ocol] = True
+            cand_gmap_idx[i, j] = ocol
+        # trajectory nodes: reference appends them reversed after candidates
+        # (Policy:549-560), ours keeps the chronological chain at slots 1..
+        for j in range(n_traj[i]):
+            emb, pos = node_emb[i, 4 + j], node_pos[i, 4 + j]
+            sid = j + 1
+            rcol = 1 + n_cands[i] + (n_traj[i] - 1 - j)
+            ocol = 1 + j
+            r_gmap[i, rcol], r_pos[i, rcol], r_step[i, rcol] = emb, pos, sid
+            r_mask[i, rcol] = True
+            o_gmap[i, ocol], o_pos[i, ocol], o_step[i, ocol] = emb, pos, sid
+            o_mask[i, ocol] = True
+            o_visited[i, ocol] = True
+
+    # vp tokens: [stop] + pano tokens; nav mask = [stop]+candidates
+    vp_img = rng.standard_normal((B, V, HID)).astype(np.float32) * 0.3
+    vp_img[:, 0] = 0.0
+    vp_pos = rng.standard_normal((B, V, 2 * ANGLE + 6)).astype(np.float32) * 0.3
+    vp_mask = np.zeros((B, V), bool)
+    vp_mask[0, :6] = True
+    vp_mask[1, :5] = True
+    vp_nav = np.zeros((B, V), bool)
+    for i in range(B):
+        vp_nav[i, 0] = True
+        vp_nav[i, 1:1 + n_cands[i]] = True
+
+    grid_fts = rng.standard_normal((B, N, IMG_FEAT)).astype(np.float32) * 0.4
+    grid_cells = np.where(rng.random((B, N)) < 0.2, -1,
+                          rng.integers(0, CELLS, (B, N))).astype(np.int32)
+    grid_pos = rng.standard_normal((B, CELLS, 5)).astype(np.float32) * 0.2
+
+    with torch.no_grad():
+        r_fused = ref.forward_navigation_per_step(
+            torch.from_numpy(txt), torch.from_numpy(txt_mask),
+            torch.from_numpy(r_gmap), torch.from_numpy(r_step),
+            torch.from_numpy(r_pos), torch.from_numpy(r_mask),
+            torch.from_numpy(vp_img), torch.from_numpy(vp_pos),
+            torch.from_numpy(vp_mask), torch.from_numpy(vp_nav),
+            [torch.from_numpy(grid_fts[i]) for i in range(B)],
+            [torch.from_numpy(grid_cells[i].astype(np.int64))
+             for i in range(B)],
+            torch.from_numpy(grid_pos), cand_lens)
+
+    out = model.apply(
+        loaded, "navigation", {
+            "txt_embeds": jnp.asarray(txt), "txt_mask": jnp.asarray(txt_mask),
+            "gmap_img_embeds": jnp.asarray(o_gmap),
+            "gmap_step_ids": jnp.asarray(o_step),
+            "gmap_pos_fts": jnp.asarray(o_pos),
+            "gmap_mask": jnp.asarray(o_mask),
+            "gmap_visited_mask": jnp.asarray(o_visited),
+            "vp_img_embeds": jnp.asarray(vp_img),
+            "vp_pos_fts": jnp.asarray(vp_pos),
+            "vp_mask": jnp.asarray(vp_mask),
+            "vp_nav_mask": jnp.asarray(vp_nav),
+            "grid_fts": jnp.asarray(grid_fts),
+            "grid_cells": jnp.asarray(grid_cells),
+            "gridmap_pos_fts": jnp.asarray(grid_pos),
+            "fused_add_idx": jnp.full((B, G_OURS), -2, jnp.int32),
+            "cand_backtrack_mask": jnp.zeros((B, V), bool),
+            "txt_relevance_mask": None,
+        })
+    from gridmm_tpu.ce.device_step import ce_action_logits
+    ours = np.asarray(ce_action_logits(
+        out.global_logits, out.local_logits,
+        jnp.asarray(cand_gmap_idx)))[:, :maxC]
+
+    want = r_fused.numpy()
+    assert want.shape == (B, maxC)
+    finite = np.isfinite(want)
+    np.testing.assert_array_equal(np.isfinite(ours), finite)
+    # the two sides place gmap tokens in different slot orders (reference:
+    # [stop]+cands+reversed-traj, ours: [stop]+chain+frontier); masked
+    # attention is permutation-equivariant but f32 softmax/LayerNorm
+    # accumulation order is not, which bounds agreement near ~1e-3 at 768
+    # width (the same-ordering discrete oracle above holds 5e-4)
+    np.testing.assert_allclose(ours[finite], want[finite], atol=3e-3)
