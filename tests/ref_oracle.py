@@ -110,6 +110,31 @@ def _install_stubs():
             sys.modules["timm"] = timm
             sys.modules["timm.data"] = tdata
             sys.modules["timm.data.transforms_factory"] = tfactory
+    # botocore.exceptions.ClientError is from-imported by the vendored
+    # pytorch_transformer file_utils (only raised on S3 downloads)
+    if "botocore" not in sys.modules:
+        try:
+            importlib.import_module("botocore")
+        except ImportError:
+            bc = _stub_module("botocore")
+            be = _stub_module("botocore.exceptions")
+            be.ClientError = type("ClientError", (Exception,), {})
+            bc.exceptions = be
+            sys.modules["botocore"] = bc
+            sys.modules["botocore.exceptions"] = be
+    # the pip pytorch_transformers package: TRM_net.py imports only
+    # BertConfig from it (the model itself uses the VENDORED
+    # .pytorch_transformer copy); transformers' BertConfig is
+    # attribute-compatible
+    if "pytorch_transformers" not in sys.modules:
+        try:
+            importlib.import_module("pytorch_transformers")
+        except ImportError:
+            from transformers import BertConfig
+
+            pt = _stub_module("pytorch_transformers")
+            pt.BertConfig = BertConfig
+            sys.modules["pytorch_transformers"] = pt
     # torchvision is from-imported at dataset.py module scope but unused at
     # the call sites under test; names bind to a sentinel that raises on use
     if "torchvision" not in sys.modules:

@@ -955,3 +955,52 @@ def test_ref_oracle_ce_navigation():
     # accumulation order is not, which bounds agreement near ~1e-3 at 768
     # width (the same-ordering discrete oracle above holds 5e-4)
     np.testing.assert_allclose(ours[finite], want[finite], atol=3e-3)
+
+
+# ===========================================================================
+# Waypoint-predictor oracle (V5): the real BinaryDistPredictor_TRM /
+# DepthDistPredictor_TRM (VLN_CE/waypoint_prediction/TRM_net.py:9-164) at
+# FULL released dims with seeded weights, state_dict through
+# import_torch_waypoint, vs our WaypointPredictor — heatmap logits including
+# the neighbor attention mask and the HEATMAP_OFFSET roll.
+# ===========================================================================
+
+@pytest.mark.parametrize("use_rgb", [True, False])
+def test_ref_oracle_waypoint_predictor(use_rgb):
+    require_reference()
+    trm = load_ref_module("VLN_CE", "waypoint_prediction.TRM_net")
+    from gridmm_tpu.models.waypoint import WaypointConfig, WaypointPredictor
+    from gridmm_tpu.utils import checkpoint as CK
+
+    torch.manual_seed(41)
+    if use_rgb:
+        ref = trm.BinaryDistPredictor_TRM(device="cpu").eval()
+    else:
+        ref = trm.DepthDistPredictor_TRM(device="cpu").eval()
+
+    B = 2
+    rgb = torch.randn(B * 12, 2048, 7, 7) * 0.2
+    depth = torch.randn(B * 12, 128, 4, 4) * 0.2
+    with torch.no_grad():
+        want = ref(rgb, depth).numpy()
+
+    fm = WaypointPredictor(WaypointConfig(use_rgb=use_rgb))
+    rgb_flat = jnp.asarray(rgb.reshape(B * 12, -1).numpy())
+    depth_flat = jnp.asarray(depth.reshape(B * 12, -1).numpy())
+    params = fm.init(jax.random.PRNGKey(0),
+                     rgb_flat if use_rgb else None, depth_flat)
+    loaded, report = CK.import_torch_waypoint(
+        ref.state_dict(), params, num_layers=2, use_rgb=use_rgb)
+    assert report["unfilled_flax_leaves"] == []
+    if use_rgb:
+        assert report["unused_torch_keys"] == []
+    else:
+        # the depth-only model constructs visual_merge + mergefeats_LayerNorm
+        # but its forward never applies them (TRM_net.py:139-147) — dead
+        # weights in the reference too
+        assert all(k.startswith(("visual_merge.", "mergefeats_LayerNorm."))
+                   for k in report["unused_torch_keys"])
+    got = np.asarray(fm.apply(loaded, rgb_flat if use_rgb else None,
+                              depth_flat))
+    assert got.shape == want.shape == (B, 120, 12)
+    np.testing.assert_allclose(got, want, atol=5e-4)
