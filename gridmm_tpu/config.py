@@ -52,6 +52,14 @@ class ModelConfig:
     max_action_steps: int = 100  # gmap step-id embedding table size
 
     glocal_fuse: bool = True
+    # reproduce the reference's compaction-alias stray keys: its max_cell_num
+    # compaction loop (vilmodel.py:816-820) mutates grid_masks[b] through a
+    # view, leaving up to max_cell-cnt zero-embedding rows attendable for
+    # every item with fewer occupied cells than the batch max — released
+    # checkpoints were trained under this, so it is on by default
+    # (ops/masking.compaction_stray_count; exact via one zero token with a
+    # log(count) key bias). False restores the clean masked semantics.
+    compaction_stray_keys: bool = True
     graph_sprels: bool = True
     use_lang2visn_attn: bool = True
     update_lang_bert: bool = True

@@ -250,11 +250,18 @@ class CrossmodalEncoder(nn.Module):
                          for i in range(self.num_layers)]
 
     def __call__(self, txt, txt_mask, img, img_mask, graph_sprels=None,
-                 deterministic=True):
+                 deterministic=True, txt_key_bias=None, img_key_bias=None):
+        """`*_key_bias`: optional (B, L) float added to that side's additive
+        attention bias — used to weight a single key as if it were n
+        identical keys (compaction-stray emulation, ops/masking.py)."""
         from gridmm_tpu.ops.masking import attn_bias_from_mask
 
         txt_bias = attn_bias_from_mask(txt_mask)
         img_bias = attn_bias_from_mask(img_mask)
+        if txt_key_bias is not None:
+            txt_bias = txt_bias + txt_key_bias[:, None, None, :]
+        if img_key_bias is not None:
+            img_bias = img_bias + img_key_bias[:, None, None, :]
         for layer in self.x_layers:
             img = layer(txt, txt_bias, img, img_bias, graph_sprels,
                         deterministic)
@@ -303,10 +310,13 @@ class PreNormEncoder(nn.Module):
     num_layers: int
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic=True):
+    def __call__(self, x, mask=None, deterministic=True, key_bias=None):
         from gridmm_tpu.ops.masking import attn_bias_from_mask
 
         bias = None if mask is None else attn_bias_from_mask(mask, neg=-1e9)
+        if key_bias is not None:
+            kb = key_bias[:, None, None, :]
+            bias = kb if bias is None else bias + kb
         for i in range(self.num_layers):
             x = PreNormEncoderLayer(self.cfg, name=f"layers_{i}")(
                 x, bias, deterministic)

@@ -253,27 +253,56 @@ class GridMMNavigator(nn.Module):
 
     def fusion_trunk(self, txt_embeds, txt_mask, grid_embeds, cell_mask,
                      gmap_embeds, gmap_mask, vp_embeds, vp_mask,
-                     deterministic=True):
+                     deterministic=True, stray_count=None):
         """Map encoder + cross-modal fusion shared by the per-step navigator
         and the trajectory-level pretraining model (vilmodel.py:837-856 /
         pretrain vilmodel.py:735-760).
 
-        Returns (map_embeds, gmap_out, vp_out)."""
+        `stray_count` (B,) int32 emulates the reference's compaction-alias
+        stray keys (ops/masking.compaction_stray_count): all strays are
+        IDENTICAL zero-embedding rows, so n of them are mathematically one
+        extra zero token whose key column carries a +log(n) attention bias in
+        every attention where map tokens are keys (the grid self-encoder, the
+        grid-txt x-layer's self-attention, and the fusion kv). The token is
+        inserted between the grid cells and the gmap tokens, exactly where
+        the reference's padding rows live.
+
+        Returns (map_embeds, gmap_out, vp_out); the gmap region of
+        map_embeds is always its LAST gmap_mask.shape[1] columns."""
+        b = grid_embeds.shape[0]
+        key_bias = None
+        if stray_count is not None:
+            zero_tok = jnp.zeros((b, 1, grid_embeds.shape[-1]),
+                                 grid_embeds.dtype)
+            grid_embeds = jnp.concatenate([grid_embeds, zero_tok], axis=1)
+            cell_mask = jnp.concatenate(
+                [cell_mask, (stray_count > 0)[:, None]], axis=1)
+            key_bias = jnp.zeros((b, grid_embeds.shape[1]
+                                  + gmap_mask.shape[1]), jnp.float32)
+            key_bias = key_bias.at[:, grid_embeds.shape[1] - 1].set(
+                jnp.log(jnp.maximum(stray_count.astype(jnp.float32), 1.0)))
         num_cells = grid_embeds.shape[1]
         map_embeds = jnp.concatenate([grid_embeds, gmap_embeds], axis=1)
         map_mask = jnp.concatenate([cell_mask, gmap_mask], axis=1)
-        map_embeds = self.grid_encoder(map_embeds, map_mask, deterministic)
+        map_embeds = self.grid_encoder(map_embeds, map_mask, deterministic,
+                                       key_bias=key_bias)
         map_embeds = self.grid_txt_encoder(
             txt_embeds, txt_mask, map_embeds, map_mask,
-            deterministic=deterministic)
+            deterministic=deterministic, img_key_bias=key_bias)
         gmap_embeds = map_embeds[:, num_cells:]
 
         kv_embeds = jnp.concatenate([map_embeds, txt_embeds], axis=1)
         kv_mask = jnp.concatenate([map_mask, txt_mask], axis=1)
+        kv_key_bias = None
+        if key_bias is not None:
+            kv_key_bias = jnp.concatenate(
+                [key_bias, jnp.zeros((b, txt_mask.shape[1]), jnp.float32)],
+                axis=1)
         q_embeds = jnp.concatenate([gmap_embeds, vp_embeds], axis=1)
         q_mask = jnp.concatenate([gmap_mask, vp_mask], axis=1)
         q_embeds = self.local_encoder(
-            kv_embeds, kv_mask, q_embeds, q_mask, deterministic=deterministic)
+            kv_embeds, kv_mask, q_embeds, q_mask, deterministic=deterministic,
+            txt_key_bias=kv_key_bias)
 
         g_len = gmap_mask.shape[1]
         return map_embeds, q_embeds[:, :g_len], q_embeds[:, g_len:]
@@ -322,9 +351,14 @@ class GridMMNavigator(nn.Module):
         # --- local branch input (vilmodel.py:833) ---
         vp_embeds = vp_img_embeds + self.vp_pos_ln(self.vp_pos_dense(vp_pos_fts))
 
+        stray_count = None
+        if c.compaction_stray_keys:
+            from gridmm_tpu.ops.masking import compaction_stray_count
+            stray_count = compaction_stray_count(cell_mask)
         map_embeds, gmap_out, vp_out = self.fusion_trunk(
             txt_embeds, txt_mask, grid_embeds, cell_mask,
-            gmap_embeds, gmap_mask, vp_embeds, vp_mask, deterministic)
+            gmap_embeds, gmap_mask, vp_embeds, vp_mask, deterministic,
+            stray_count=stray_count)
 
         # --- logits (vilmodel.py:859-907) ---
         if self.sap_fuse_linear is None:
@@ -337,7 +371,8 @@ class GridMMNavigator(nn.Module):
         global_logits = self.global_sap_head(gmap_out)[..., 0].astype(f32) * fuse
         global_logits = mask_logits(global_logits, valid_unvisited)
 
-        grid_logits = self.grid_sap_head(map_embeds[:, num_cells:])[..., 0].astype(f32)
+        grid_logits = self.grid_sap_head(
+            map_embeds[:, -gmap_mask.shape[1]:])[..., 0].astype(f32)
         grid_logits = mask_logits(grid_logits, valid_unvisited)
 
         local_logits = self.local_sap_head(vp_out)[..., 0].astype(f32) * (1.0 - fuse)
@@ -442,6 +477,17 @@ def dummy_batches(shapes, model_cfg: ModelConfig, batch: int = 1):
         nav_types=jnp.zeros((b, v - 1), jnp.int32),
         view_mask=jnp.ones((b, v - 1), bool),
     )
+    if model_cfg.obj_feat_size > 0:
+        # materialize the obj_linear/obj_layer_norm branch (flax creates
+        # params lazily per executed path); loc/nav/mask widths grow by the
+        # concatenated object tokens
+        n_obj = max(int(getattr(shapes, "max_obj_len", 0) or 0), 1)
+        pano_batch["obj_img_fts"] = jnp.zeros(
+            (b, n_obj, model_cfg.obj_feat_size), jnp.float32)
+        pano_batch["loc_fts"] = jnp.zeros(
+            (b, v - 1 + n_obj, model_cfg.angle_feat_size + 3), jnp.float32)
+        pano_batch["nav_types"] = jnp.zeros((b, v - 1 + n_obj), jnp.int32)
+        pano_batch["view_mask"] = jnp.ones((b, v - 1 + n_obj), bool)
     nav_batch = dict(
         gmap_img_embeds=jnp.zeros((b, g, model_cfg.hidden_size), jnp.float32),
         gmap_step_ids=jnp.zeros((b, g), jnp.int32),

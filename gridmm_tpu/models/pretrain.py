@@ -86,6 +86,15 @@ class GridMMPretrain(nn.Module):
         else:
             self.obj_classifier = None
 
+    def _stray(self, cell_mask):
+        """Compaction-alias stray keys (pretrain vilmodel.py has the same
+        aliased-view compaction loop as the navigator; see
+        ops/masking.compaction_stray_count)."""
+        if not self.cfg.compaction_stray_keys:
+            return None
+        from gridmm_tpu.ops.masking import compaction_stray_count
+        return compaction_stray_count(cell_mask)
+
     # ------------------------------------------------------------ aggregation
     @staticmethod
     def _aggregate_gmap(pano_embeds, pano_mask, visited_idx, cand_idx, g):
@@ -199,11 +208,12 @@ class GridMMPretrain(nn.Module):
 
         map_embeds, gmap_out, vp_out = self.bert.fusion_trunk(
             txt_embeds, txt_mask, grid_embeds, cell_mask,
-            gmap_embeds, gmap_mask, vp_embeds, vp_mask, deterministic)
-        num_cells = gridmap_pos_fts.shape[1]
+            gmap_embeds, gmap_mask, vp_embeds, vp_mask, deterministic,
+            stray_count=self._stray(cell_mask))
         return TrajectoryEncodings(
             txt_embeds=txt_embeds, gmap_out=gmap_out, vp_out=vp_out,
-            grid_gmap_out=map_embeds[:, num_cells:], vp_mask=vp_mask)
+            grid_gmap_out=map_embeds[:, -gmap_mask.shape[1]:],
+            vp_mask=vp_mask)
 
     # ------------------------------------------------------------------ tasks
     def forward_mlm_logits(self, txt_ids, txt_mask, enc_kwargs,
@@ -224,16 +234,34 @@ class GridMMPretrain(nn.Module):
 
         # map encoder (no fusion of vp queries; MLM attends lang->[gmap||vp],
         # pretrain vilmodel.py:828-853)
-        num_cells = enc_kwargs["gridmap_pos_fts"].shape[1]
+        stray = self._stray(cell_mask)
+        key_bias = None
+        if stray is not None:
+            b = grid_embeds.shape[0]
+            grid_embeds = jnp.concatenate(
+                [grid_embeds,
+                 jnp.zeros((b, 1, grid_embeds.shape[-1]), grid_embeds.dtype)],
+                axis=1)
+            cell_mask = jnp.concatenate([cell_mask, (stray > 0)[:, None]], 1)
+            key_bias = jnp.zeros(
+                (b, grid_embeds.shape[1] + enc_kwargs["gmap_mask"].shape[1]),
+                jnp.float32).at[:, grid_embeds.shape[1] - 1].set(
+                jnp.log(jnp.maximum(stray.astype(jnp.float32), 1.0)))
+        num_cells = grid_embeds.shape[1]
         map_embeds = jnp.concatenate([grid_embeds, gmap_embeds], axis=1)
         map_mask = jnp.concatenate(
             [cell_mask, enc_kwargs["gmap_mask"]], axis=1)
-        map_embeds = self.bert.grid_encoder(map_embeds, map_mask, deterministic)
+        map_embeds = self.bert.grid_encoder(map_embeds, map_mask,
+                                            deterministic, key_bias=key_bias)
         map_embeds = self.bert.grid_txt_encoder(
             txt_embeds, txt_mask, map_embeds, map_mask,
-            deterministic=deterministic)
+            deterministic=deterministic, img_key_bias=key_bias)
         gmap_ctx = map_embeds[:, num_cells:]
 
+        # the MLM lang2visn context is [gmap||vp] WITHOUT the stray token:
+        # the reference concatenates map_embeds[:, max_cell_num:] (the gmap
+        # region) + vp (pretrain vilmodel.py:846-853), and strays live in the
+        # map region below max_cell_num — excluded there, excluded here.
         visn = jnp.concatenate([gmap_ctx, vp_embeds], axis=1)
         visn_mask = jnp.concatenate([enc_kwargs["gmap_mask"], vp_mask], axis=1)
         txt_embeds = self.bert.local_encoder.lang2visn(

@@ -37,6 +37,22 @@ import numpy as np
 from gridmm_tpu.train.step import NavCarry, StepInputs, init_carry
 
 
+def serving_cfg(cfg):
+    """Serving invariant: rows are INDEPENDENT — a free/garbage row never
+    contaminates an active one, and a request's logits never depend on its
+    batchmates. The reference's compaction-alias stray keys are batch-coupled
+    (the stray count depends on the batch MAX occupied-cell count,
+    ops/masking.compaction_stray_count), so training/eval keep them for
+    checkpoint parity while serving runs the clean masked semantics."""
+    import dataclasses
+
+    if getattr(cfg.model, "compaction_stray_keys", False):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, compaction_stray_keys=False))
+    return cfg
+
+
 def _row_select(new, old, write_mask):
     """Per-batch-row select: rows of `new` where write_mask else `old`."""
 
@@ -56,6 +72,7 @@ class NavServingEngine:
         """lang_fn(params, txt_ids, txt_mask) -> txt_embeds (B, T, D);
         step_fn(params, txt_embeds, txt_mask, carry, x) -> (carry, outputs).
         Use `create` / `from_bundle` instead of calling this directly."""
+        cfg = serving_cfg(cfg)
         self.cfg = cfg
         self.params = params
         self.batch = batch
@@ -89,6 +106,10 @@ class NavServingEngine:
     def create(cls, model, cfg, params, batch: int) -> "NavServingEngine":
         from gridmm_tpu.train.step import nav_device_step
 
+        cfg = serving_cfg(cfg)
+        # the stray decision lives inside the flax module's own cfg — rebuild
+        # the module on the serving config (same param tree, pure dataclass)
+        model = type(model)(cfg.model)
         return cls(
             cfg, params, batch,
             lang_fn=lambda p, ids, mask: model.apply(

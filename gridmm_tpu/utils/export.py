@@ -93,7 +93,11 @@ def export_navigator_serving(model, cfg, params, batch: int = 1,
     artifacts are checkpoint-agnostic. `platforms=None` exports for the
     default backend; pass e.g. ("tpu", "cpu") for a multi-platform artifact.
     """
+    from gridmm_tpu.serve.engine import serving_cfg
     from gridmm_tpu.train.step import init_carry, nav_device_step
+
+    cfg = serving_cfg(cfg)  # exported graphs keep rows batch-independent
+    model = type(model)(cfg.model)
 
     register_serving_pytrees()
 
@@ -134,7 +138,11 @@ def export_navigator_serving_sharded(model, cfg, params, mesh, batch: int,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from gridmm_tpu.parallel.mesh import param_shardings
+    from gridmm_tpu.serve.engine import serving_cfg
     from gridmm_tpu.train.step import init_carry, nav_device_step
+
+    cfg = serving_cfg(cfg)  # exported graphs keep rows batch-independent
+    model = type(model)(cfg.model)
 
     register_serving_pytrees()
 

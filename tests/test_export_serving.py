@@ -19,7 +19,12 @@ from gridmm_tpu.utils.export import (export_navigator_serving, load_exported,
 
 @pytest.fixture(scope="module")
 def setup():
-    cfg = tiny_config()
+    # exported/serving graphs run the batch-DECOUPLED semantics (no
+    # compaction-alias stray keys, serve/engine.serving_cfg) — the live
+    # reference side of every bit-for-bit comparison here must match
+    from gridmm_tpu.serve.engine import serving_cfg
+
+    cfg = serving_cfg(tiny_config())
     model = GridMMNavigator(cfg.model)
     params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
     return cfg, model, params

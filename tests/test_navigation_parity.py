@@ -311,7 +311,12 @@ def test_full_navigation_parity():
     cfg = ModelConfig(hidden_size=H, num_attention_heads=HEADS,
                       intermediate_size=INTER, num_l_layers=1,
                       num_x_layers=NXL, num_pano_layers=1, image_feat_size=H,
-                      vocab_size=64, max_position_embeddings=16)
+                      vocab_size=64, max_position_embeddings=16,
+                      # this replica implements the CLEAN compaction (no
+                      # aliased-view stray keys); the executed-reference
+                      # oracle (tests/test_reference_oracle.py) covers the
+                      # stray-emulating default
+                      compaction_stray_keys=False)
     model = GridMMNavigator(cfg)
     from gridmm_tpu.config import NavigatorShapes
     from gridmm_tpu.models.navigator import init_navigator

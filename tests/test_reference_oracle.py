@@ -1004,3 +1004,288 @@ def test_ref_oracle_waypoint_predictor(use_rgb):
                               depth_flat))
     assert got.shape == want.shape == (B, 120, 12)
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+# ===========================================================================
+# Topological-map oracle (M11): the real GraphMap/FloydGraph
+# (map_nav_src/models/graph_utils.py) drives the same random exploration as
+# env/graph.TopoMap — incremental Floyd-Warshall distances, path hop counts,
+# visited bookkeeping, and the 7-dim rel-pos features.
+# ===========================================================================
+
+def test_ref_oracle_graph_map():
+    require_reference()
+    gu = load_ref_module("map_nav_src", "models.graph_utils")
+    from gridmm_tpu.env.graph import TopoMap
+
+    rng = np.random.default_rng(17)
+    n = 10
+    names = [f"v{i}" for i in range(n)]
+    pos = {v: tuple(rng.random(3) * 12) for v in names}
+    # random connected-ish neighbor sets
+    nbrs = {v: sorted(rng.choice([w for w in names if w != v],
+                                 size=3, replace=False))
+            for v in names}
+
+    ref = gu.GraphMap("v0")
+    ours = TopoMap("v0")
+    walk = ["v0"]
+    for _ in range(5):
+        walk.append(str(rng.choice(nbrs[walk[-1]])))
+
+    for vp in walk:
+        ob = {"viewpoint": vp, "position": pos[vp],
+              "candidate": [{"viewpointId": c, "position": pos[c]}
+                            for c in nbrs[vp]]}
+        ref.update_graph(ob)
+        ours.update(vp, pos[vp], [(c, pos[c]) for c in nbrs[vp]])
+
+    seen = sorted(ref.node_positions)
+    assert seen == sorted(ours.node_positions)
+    for x in seen:
+        assert ref.graph.visited(x) == ours.graph.visited(x)
+        for y in seen:
+            rd = ref.graph.distance(x, y)
+            od = ours.graph.distance(x, y)
+            if rd >= 95959595:  # reference's unreachable sentinel
+                assert od == float("inf") or od >= 1e8
+            else:
+                np.testing.assert_allclose(od, rd, atol=1e-9)
+                assert len(ours.graph.path(x, y)) == len(ref.graph.path(x, y))
+
+    # 7-dim rel-pos features vs get_pos_fts over [None]+nodes
+    cur = walk[-1]
+    vpids = [None] + seen
+    want = ref.get_pos_fts(cur, vpids, 0.7, 0.0, 4)
+    got = ours.pos_features(cur, vpids, 0.7, 0.0, 4)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+# ===========================================================================
+# REVERIE/SOON object-variant oracle: the real navigator with obj_feat_size>0
+# (obj_linear/obj_layer_norm path, vilmodel.py:500-509/745-760, og_head
+# :903-907) — panorama with object tokens and object-grounding logits.
+# ===========================================================================
+
+def test_ref_oracle_navigator_objects():
+    require_reference()
+    vm = load_ref_module("map_nav_src", "models.vilmodel")
+    from gridmm_tpu.config import NavigatorShapes
+    from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
+    from gridmm_tpu.utils import checkpoint as CK
+
+    OBJ_FEAT = 10
+    torch.manual_seed(51)
+    ref = vm.GlocalTextPathNavCMT(nav_bert_config(
+        num_l_layers=NL, num_x_layers=NX, num_pano_layers=NP, heads=HEADS,
+        intermediate=INTER, image_feat_size=IMG_FEAT, angle_feat_size=ANGLE,
+        vocab=VOCAB, obj_feat_size=OBJ_FEAT)).eval()
+
+    model = GridMMNavigator(_our_model_cfg(obj_feat_size=OBJ_FEAT))
+    shapes = NavigatorShapes(max_txt_len=12, max_gmap_len=8, max_vp_len=8,
+                             max_points=120, max_obj_len=2)
+    params = init_navigator(model, shapes, jax.random.PRNGKey(0))
+    loaded, report = CK.import_torch_navigator(
+        ref.state_dict(), params, num_l_layers=NL, num_x_layers=NX,
+        num_pano_layers=NP, has_obj=True)
+    assert report["unused_torch_keys"] == []
+    assert report["unfilled_flax_leaves"] == []
+
+    # ---- panorama with object tokens (views at full width so the compact
+    # reference layout coincides with ours; objs ragged) ----
+    torch.manual_seed(52)
+    B, LV, LO = 2, 5, 2
+    view = torch.randn(B, LV, IMG_FEAT) * 0.4
+    obj = torch.randn(B, LO, OBJ_FEAT) * 0.4
+    loc = torch.randn(B, LV + LO, ANGLE + 3) * 0.3
+    nav_types = torch.cat([torch.randint(0, 2, (B, LV)),
+                           torch.full((B, LO), 2)], 1)
+    view_lens = torch.tensor([LV, LV])
+    obj_lens = torch.tensor([2, 1])
+    with torch.no_grad():
+        r_pano, r_masks = ref.forward_panorama_per_step(
+            view, obj, loc, nav_types, view_lens, obj_lens)
+
+    tok_mask = np.zeros((B, LV + LO), bool)
+    for i in range(B):
+        tok_mask[i, :LV + int(obj_lens[i])] = True
+    # our compact layout matches because view_lens are full-width; objs pad
+    # at the tail under the mask. item1's single obj sits at reference col
+    # LV (compact) == our col LV; our col LV+1 is masked padding.
+    o_pano, _ = model.apply(
+        loaded, "panorama",
+        {"view_img_fts": jnp.asarray(view.numpy()),
+         "obj_img_fts": jnp.asarray(obj.numpy()),
+         "loc_fts": jnp.asarray(loc.numpy()),
+         "nav_types": jnp.asarray(nav_types.numpy().astype(np.int32)),
+         "view_mask": jnp.asarray(tok_mask)})
+    o_pano = np.asarray(o_pano)
+    np.testing.assert_array_equal(r_masks.numpy(), tok_mask)
+    np.testing.assert_allclose(o_pano[tok_mask],
+                               r_pano.numpy()[tok_mask], atol=2e-4)
+
+    # ---- navigation with object-grounding logits ----
+    rng = np.random.default_rng(53)
+    T, G, V, N = 12, 8, 8, 120
+    txt = torch.randn(B, T, HID) * 0.3
+    txt_mask = torch.ones(B, T, dtype=torch.bool)
+    gmap_img = torch.randn(B, G, HID) * 0.3
+    gmap_step_ids = torch.randint(0, 5, (B, G))
+    gmap_pos = torch.randn(B, G, ANGLE + 3) * 0.3
+    gmap_mask = torch.ones(B, G, dtype=torch.bool)
+    gmap_visited = torch.zeros(B, G, dtype=torch.bool)
+    gmap_visited[:, 1:3] = True
+    gmap_vpids = [[None, "v1", "v2", "u3", "u4", "u5", "u6", "u7"]] * B
+    cand_vpids = [[None, "u3", "v1"]] * B
+    vp_img = torch.randn(B, V, HID) * 0.3
+    vp_pos = torch.randn(B, V, 2 * ANGLE + 6) * 0.3
+    vp_mask = torch.ones(B, V, dtype=torch.bool)
+    vp_nav_mask = torch.zeros(B, V, dtype=torch.bool)
+    vp_nav_mask[:, :3] = True
+    vp_obj_mask = torch.zeros(B, V, dtype=torch.bool)
+    vp_obj_mask[:, 6:8] = True  # object tokens at the pano tail + [stop] offs
+    grid_fts = [torch.randn(N, IMG_FEAT) * 0.4 for _ in range(B)]
+    grid_map = [torch.tensor(np.where(rng.random(N) < 0.2, -1,
+                                      rng.integers(0, CELLS, N)).astype(
+        np.int64)) for _ in range(B)]
+    gridmap_pos_fts = torch.randn(B, CELLS, 5) * 0.2
+
+    with torch.no_grad():
+        outs = ref.forward_navigation_per_step(
+            txt, txt_mask, gmap_img, gmap_step_ids, gmap_pos, gmap_mask,
+            torch.zeros(B, G, G), gmap_visited, gmap_vpids,
+            vp_img, vp_pos, vp_mask, vp_nav_mask, vp_obj_mask, cand_vpids,
+            grid_fts, grid_map, gridmap_pos_fts)
+
+    fused_add_idx = np.full((B, G), -2, np.int32)
+    fused_add_idx[:, 3] = 1
+    fused_add_idx[:, 4:] = -1
+    cand_backtrack = np.zeros((B, V), bool)
+    cand_backtrack[:, 2] = True  # v1 visited
+
+    out = model.apply(
+        loaded, "navigation", {
+            "txt_embeds": jnp.asarray(txt.numpy()),
+            "txt_mask": jnp.asarray(txt_mask.numpy()),
+            "gmap_img_embeds": jnp.asarray(gmap_img.numpy()),
+            "gmap_step_ids": jnp.asarray(
+                gmap_step_ids.numpy().astype(np.int32)),
+            "gmap_pos_fts": jnp.asarray(gmap_pos.numpy()),
+            "gmap_mask": jnp.asarray(gmap_mask.numpy()),
+            "gmap_visited_mask": jnp.asarray(gmap_visited.numpy()),
+            "vp_img_embeds": jnp.asarray(vp_img.numpy()),
+            "vp_pos_fts": jnp.asarray(vp_pos.numpy()),
+            "vp_mask": jnp.asarray(vp_mask.numpy()),
+            "vp_nav_mask": jnp.asarray(vp_nav_mask.numpy()),
+            "grid_fts": jnp.asarray(np.stack([g.numpy() for g in grid_fts])),
+            "grid_cells": jnp.asarray(
+                np.stack([g.numpy() for g in grid_map]).astype(np.int32)),
+            "gridmap_pos_fts": jnp.asarray(gridmap_pos_fts.numpy()),
+            "fused_add_idx": jnp.asarray(fused_add_idx),
+            "cand_backtrack_mask": jnp.asarray(cand_backtrack),
+            "vp_obj_mask": jnp.asarray(vp_obj_mask.numpy()),
+            "txt_relevance_mask": None,
+        })
+
+    def cmp(name, ours, theirs, atol=5e-4):
+        ours, theirs = np.asarray(ours), theirs.numpy()
+        finite = np.isfinite(theirs)
+        np.testing.assert_array_equal(np.isfinite(ours), finite, err_msg=name)
+        np.testing.assert_allclose(ours[finite], theirs[finite], atol=atol,
+                                   err_msg=name)
+
+    cmp("global", out.global_logits, outs["global_logits"])
+    cmp("local", out.local_logits, outs["local_logits"])
+    cmp("fused", out.fused_logits, outs["fused_logits"])
+    cmp("obj", out.obj_logits, outs["obj_logits"])
+
+
+def test_ref_oracle_compaction_stray_keys(ref_navigator, our_loaded):
+    """The reference's compaction loop mutates grid_masks[b] through an
+    aliased view (vilmodel.py:816-820), leaving zero-embedding rows
+    attendable for items with fewer occupied cells than the batch max. Cell
+    occupancy here is engineered so item 0 carries EXACTLY 5 stray keys
+    (occupied at 10..19 and 25..34: cnt=20, K=10, window [20,30) holds 5
+    ones) while item 1 (60 cells at 0..59) sets max_cell_num — our
+    log(count)-bias zero token must reproduce the reference bit-for-bit
+    (same token ordering, so only generic f32 noise remains)."""
+    model, loaded = our_loaded
+    from gridmm_tpu.ops.masking import compaction_stray_count
+
+    torch.manual_seed(61)
+    rng = np.random.default_rng(61)
+    B, T, G, V, N = 2, 12, 8, 7, 120
+
+    # engineered occupancy
+    occ0 = list(range(10, 20)) + list(range(25, 35))
+    occ1 = list(range(60))
+    cells0 = np.asarray([occ0[i % len(occ0)] for i in range(N)], np.int64)
+    cells1 = np.asarray([occ1[i % len(occ1)] for i in range(N)], np.int64)
+    cell_mask = np.zeros((B, CELLS), bool)
+    cell_mask[0, occ0] = True
+    cell_mask[1, occ1] = True
+    stray = np.asarray(compaction_stray_count(jnp.asarray(cell_mask)))
+    np.testing.assert_array_equal(stray, [5, 0])
+
+    txt = torch.randn(B, T, HID) * 0.3
+    txt_mask = torch.ones(B, T, dtype=torch.bool)
+    gmap_img = torch.randn(B, G, HID) * 0.3
+    gmap_step_ids = torch.randint(0, 5, (B, G))
+    gmap_pos = torch.randn(B, G, ANGLE + 3) * 0.3
+    gmap_mask = torch.ones(B, G, dtype=torch.bool)
+    gmap_visited = torch.zeros(B, G, dtype=torch.bool)
+    gmap_visited[:, 1:3] = True
+    gmap_vpids = [[None, "v1", "v2", "u3", "u4", "u5", "u6", "u7"]] * B
+    cand_vpids = [[None, "u3", "v1"]] * B
+    vp_img = torch.randn(B, V, HID) * 0.3
+    vp_pos = torch.randn(B, V, 2 * ANGLE + 6) * 0.3
+    vp_mask = torch.ones(B, V, dtype=torch.bool)
+    vp_nav_mask = torch.zeros(B, V, dtype=torch.bool)
+    vp_nav_mask[:, :3] = True
+    grid_fts = [torch.randn(N, IMG_FEAT) * 0.4 for _ in range(B)]
+    grid_map = [torch.from_numpy(cells0), torch.from_numpy(cells1)]
+    gridmap_pos_fts = torch.randn(B, CELLS, 5) * 0.2
+
+    with torch.no_grad():
+        outs = ref_navigator.forward_navigation_per_step(
+            txt, txt_mask, gmap_img, gmap_step_ids, gmap_pos, gmap_mask,
+            torch.zeros(B, G, G), gmap_visited, gmap_vpids,
+            vp_img, vp_pos, vp_mask, vp_nav_mask, None, cand_vpids,
+            grid_fts, grid_map, gridmap_pos_fts)
+
+    fused_add_idx = np.full((B, G), -2, np.int32)
+    fused_add_idx[:, 3] = 1
+    fused_add_idx[:, 4:] = -1
+    cand_backtrack = np.zeros((B, V), bool)
+    cand_backtrack[:, 2] = True
+
+    out = model.apply(
+        loaded, "navigation", {
+            "txt_embeds": jnp.asarray(txt.numpy()),
+            "txt_mask": jnp.asarray(txt_mask.numpy()),
+            "gmap_img_embeds": jnp.asarray(gmap_img.numpy()),
+            "gmap_step_ids": jnp.asarray(
+                gmap_step_ids.numpy().astype(np.int32)),
+            "gmap_pos_fts": jnp.asarray(gmap_pos.numpy()),
+            "gmap_mask": jnp.asarray(gmap_mask.numpy()),
+            "gmap_visited_mask": jnp.asarray(gmap_visited.numpy()),
+            "vp_img_embeds": jnp.asarray(vp_img.numpy()),
+            "vp_pos_fts": jnp.asarray(vp_pos.numpy()),
+            "vp_mask": jnp.asarray(vp_mask.numpy()),
+            "vp_nav_mask": jnp.asarray(vp_nav_mask.numpy()),
+            "grid_fts": jnp.asarray(np.stack([g.numpy() for g in grid_fts])),
+            "grid_cells": jnp.asarray(
+                np.stack([g.numpy() for g in grid_map]).astype(np.int32)),
+            "gridmap_pos_fts": jnp.asarray(gridmap_pos_fts.numpy()),
+            "fused_add_idx": jnp.asarray(fused_add_idx),
+            "cand_backtrack_mask": jnp.asarray(cand_backtrack),
+            "txt_relevance_mask": None,
+        })
+
+    for name, key in (("global", "global_logits"), ("local", "local_logits"),
+                      ("grid", "grid_logits"), ("fused", "fused_logits")):
+        ours, theirs = np.asarray(getattr(out, key)), outs[key].numpy()
+        finite = np.isfinite(theirs)
+        np.testing.assert_array_equal(np.isfinite(ours), finite, err_msg=name)
+        np.testing.assert_allclose(ours[finite], theirs[finite], atol=5e-4,
+                                   err_msg=name)

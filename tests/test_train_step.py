@@ -195,12 +195,24 @@ def test_dryrun_multichip_8():
     # exercise it cache-free even though conftest enables the cache
     # suite-wide, so a cold-compile-time regression of the gate graph can't
     # hide behind warm ~/.cache entries
+    import time
+
     prev = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
+    t0 = time.monotonic()
     try:
         dryrun_multichip(8)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+    wall = time.monotonic() - t0
+    # guard the driver gate budget: the round-3 driver timed the gate out at
+    # >=10 min; CLAUDE.md budgets the cold dryrun at <~5 min on this box
+    # (measured ~2m26s +-40% CPU-steal swing). Failing here means an XLA
+    # upgrade or an added layer re-breached the budget — trim the gate graph
+    # before the driver discovers it the hard way.
+    assert wall < 300, (
+        f"cold dryrun_multichip(8) took {wall:.0f}s — over the ~5 min driver "
+        "budget (CLAUDE.md); shrink the gate graph or cut flagship depth")
 
 
 def test_prepare_train_step_single_executable():
