@@ -170,6 +170,16 @@ def _resolve_config(args):
     if preset == "tiny":
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, image_prob_size=32))
+    else:
+        # pretraining trajectories reach TRAIN_MAX_STEP+1 = 21 panoramas
+        # (the truncation appends end_vp, pretrain_src/data/dataset.py:
+        # 251-253); size the point buffer for 21 steps (12348 -> x128 12416)
+        need = 21 * cfg.grid.points_per_step
+        if cfg.shapes.max_points < need:
+            cfg = dataclasses.replace(
+                cfg,
+                shapes=dataclasses.replace(cfg.shapes, max_points=12416),
+                grid=dataclasses.replace(cfg.grid, max_steps=21))
     if args.obj_ft_file and cfg.model.obj_feat_size == 0:
         # object store provided -> enable object tokens + the og head
         cfg = dataclasses.replace(
@@ -241,11 +251,15 @@ def build_dataset(args, cfg):
             world, _hdf5_view_bank(args.aug_view_ft_file,
                                    cfg.model.image_feat_size),
             seed=args.seed)
+    # end-vp sampling / SAP-teacher flavor follows the reference dataset
+    # class per task: R2RTextPathData for r2r AND rxr (train_rxr.py:30)
+    flavor = {"reverie": "reverie", "soon": "soon"}.get(args.preset, "r2r")
     train_ds = TextPathDataset(train_data, train_world, graphs, cfg,
-                               seed=args.seed)
+                               seed=args.seed, flavor=flavor)
     val_ds = TextPathDataset(val_data, world, graphs, cfg,
                              seed=args.seed + 1,
-                             shortest_paths=train_ds.shortest_paths)
+                             shortest_paths=train_ds.shortest_paths,
+                             flavor=flavor)
     return train_ds, val_ds
 
 

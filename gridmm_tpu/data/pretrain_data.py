@@ -29,7 +29,8 @@ from gridmm_tpu.config import GridMMConfig
 from gridmm_tpu.env.discrete import (all_point_angle_features,
                                      nearest_view_index, view_index_heading,
                                      view_index_elevation)
-from gridmm_tpu.env.graph import TopoMap, angle_features, rel_pos_features
+from gridmm_tpu.env.graph import (MAX_DIST, MAX_STEP, angle_features,
+                                  rel_pos_features)
 from gridmm_tpu.ops import geometry as G
 
 TRAIN_MAX_STEP = 20
@@ -80,15 +81,31 @@ def random_word_masking(tokens: np.ndarray, rng: random.Random,
 
 class TextPathDataset:
     """Builds PretrainBatch items from trajectory annotations + a world
-    provider (see env/world.py)."""
+    provider (see env/world.py).
+
+    ``flavor`` selects the reference dataset class whose end-viewpoint
+    sampling and SAP-teacher semantics apply (pretrain_src/data/dataset.py):
+      * "r2r" (also RxR, train_rxr.py:30): R2RTextPathData — negs are uniform
+        random PREFIXES of the GT path (:693-705), the teacher is the actual
+        next GT node (:664-681)
+      * "reverie": ReverieTextPathData — end_vp sampled from pos_vps /
+        in-path non-pos / off-path nodes, the walked path is the shortest
+        path to it (:234-246), the teacher argmins d(end,cand)+d(cand,pos)
+        over pos_vps (:195-219)
+      * "soon": REVERIE semantics with 'pos' pinned to path[-1] (:892-905)
+    """
 
     def __init__(self, data: List[dict], world, graphs,
                  cfg: GridMMConfig, seed: int = 0,
-                 shortest_paths: Optional[dict] = None):
+                 shortest_paths: Optional[dict] = None,
+                 flavor: str = "r2r"):
+        if flavor not in ("r2r", "reverie", "soon"):
+            raise ValueError(f"unknown pretrain data flavor {flavor!r}")
         self.data = data
         self.world = world
         self.graphs = graphs
         self.cfg = cfg
+        self.flavor = flavor
         self.rng = random.Random(seed)
         self.angle_table = all_point_angle_features(cfg.model.angle_feat_size)
         tables = {s: g.all_pairs_tables() for s, g in graphs.items()}
@@ -99,24 +116,112 @@ class TextPathDataset:
     def __len__(self):
         return len(self.data)
 
-    def sample_trajectory(self, item: dict, end_vp_type: str) -> list:
-        """Trajectory to encode (dataset.py:234-246):
-        'pos' ends at the goal; 'neg_in_gt_path' truncates at a midpoint;
-        'neg_others' walks the shortest path to a random off-GT-path node."""
-        path = item["path"]
+    def _pos_vps(self, item: dict) -> list:
+        """REVERIE items carry multiple positive endpoints (any node where
+        the target object is visible, dataset.py:231); others default to the
+        GT goal."""
+        return list(item.get("pos_vps") or [item["path"][-1]])
+
+    def sample_trajectory(self, item: dict, end_vp_type: str):
+        """Sample the trajectory to encode. Returns (walked, ref_path,
+        end_vp, end_idx):
+
+        * walked — the node sequence actually expanded into panorama steps,
+          truncated to ``path[:TRAIN_MAX_STEP] + [end_vp]`` like the
+          reference (dataset.py:251-253, 710-713)
+        * ref_path — the path ``getGlobalMap`` indexes for the grid SAP
+          target (``self.gt_path``): the FULL annotated path for r2r
+          (:692, set before the prefix slice) and the untruncated shortest
+          path to end_vp for reverie/soon (:247)
+        * end_idx — index of end_vp in the item path (r2r only, for the
+          next-GT-node teacher; None otherwise)
+        """
+        path = list(item["path"])
         scan = item["scan"]
-        if end_vp_type == "neg_others":
-            on_path = set(path)
-            others = [vp for vp in self.graphs[scan].positions
-                      if vp not in on_path
-                      and vp in self.shortest_paths[scan][path[0]]]
-            if others:
-                end = self.rng.choice(others)
-                return list(self.shortest_paths[scan][path[0]][end])
-            end_vp_type = "neg_in_gt_path"
-        if end_vp_type == "pos" or len(path) < 3:
-            return list(path)
-        return list(path[: self.rng.randrange(1, len(path) - 1) + 1])
+        if self.flavor == "r2r":
+            # R2RTextPathData.get_input:693-705 — both neg types are a
+            # uniform random proper prefix (end_idx over path[:-1])
+            if end_vp_type == "pos" or len(path) < 2:
+                end_idx = len(path) - 1
+            else:
+                end_idx = self.rng.randrange(len(path) - 1)
+            end_vp = path[end_idx]
+            walked = path[: end_idx + 1]
+            ref_path = path
+        else:
+            pos_vps = self._pos_vps(item)
+            if end_vp_type == "pos":
+                # SOON pins 'pos' to the annotated endpoint (:896-897)
+                end_vp = (path[-1] if self.flavor == "soon"
+                          else self.rng.choice(pos_vps))
+            elif end_vp_type == "neg_in_gt_path":
+                end_vps = [vp for vp in path if vp not in pos_vps] or path
+                end_vp = self.rng.choice(end_vps)
+            else:  # neg_others (:242-245)
+                noneg = set(pos_vps) | set(path)
+                others = [vp for vp in self.graphs[scan].positions
+                          if vp not in noneg
+                          and vp in self.shortest_paths[scan][path[0]]]
+                if others:
+                    end_vp = self.rng.choice(others)
+                else:
+                    end_vps = [vp for vp in path if vp not in pos_vps] or path
+                    end_vp = self.rng.choice(end_vps)
+            walked = list(self.shortest_paths[scan][path[0]][end_vp])
+            ref_path = list(walked)
+            end_idx = None
+        if len(walked) > TRAIN_MAX_STEP:
+            walked = walked[:TRAIN_MAX_STEP] + [end_vp]
+        return walked, ref_path, end_vp, end_idx
+
+    # ------------------------------------------------------------- geometry
+    def _edge_view_index(self, scan: str, a: str, b: str) -> int:
+        """The discrete panorama view index of the candidate leading a -> b —
+        our model of the scanvp_cands entry's pointId (the reference loads
+        precomputed scanvp_candview_relangles.json; the fine-tune agent
+        builds the same table live from candidate pointIds, r2r/agent.py
+        :257-265)."""
+        g = self.graphs[scan]
+        h, e, _ = rel_pos_features(g.positions[a], g.positions[b])
+        return nearest_view_index(h, e)
+
+    def _cur_angle(self, scan: str, walked_untrunc: list,
+                   start_heading: float):
+        """(cur_heading, cur_elevation) for the gmap/vp positional features:
+        the QUANTIZED 30-degree view angle of the final edge — elevation
+        included and possibly nonzero (get_cur_angle, dataset.py:313-323)."""
+        if len(walked_untrunc) < 2:
+            return start_heading, 0.0
+        viewidx = self._edge_view_index(
+            scan, walked_untrunc[-2], walked_untrunc[-1])
+        return view_index_heading(viewidx), view_index_elevation(viewidx)
+
+    def _full_graph_pos_fts(self, scan: str, cur_vp: str, vpids,
+                            cur_heading: float, cur_elevation: float,
+                            af: int) -> np.ndarray:
+        """(len(vpids), af+3) positional features against the FULL scan
+        graph — the pretrain data builder knows the whole connectivity, so
+        unlike the fine-tune agent's incrementally-revealed FloydGraph it
+        normalizes with networkx all-pairs tables (get_gmap_pos_fts,
+        dataset.py:598-620: line_dist/30, shortest_dist/30, path_edges/10).
+        ``None`` rows are the [stop] token (angle fts of (0,0), zero
+        dists)."""
+        g = self.graphs[scan]
+        dists = self.shortest_distances[scan]
+        paths = self.shortest_paths[scan]
+        out = np.zeros((len(vpids), af + 3), np.float32)
+        cur_pos = g.positions[cur_vp]
+        for i, vp in enumerate(vpids):
+            if vp is None:
+                out[i, :af] = angle_features(0.0, 0.0, af)
+                continue
+            h, e, d = rel_pos_features(cur_pos, g.positions[vp],
+                                       cur_heading, cur_elevation)
+            out[i, :af] = angle_features(h, e, af)
+            out[i, af + 0] = d / MAX_DIST
+            out[i, af + 1] = dists[cur_vp][vp] / MAX_DIST
+            out[i, af + 2] = (len(paths[cur_vp][vp]) - 1) / MAX_STEP
+        return out
 
     def get_input(self, idx: int, end_vp_type: str = "pos") -> dict:
         cfg = self.cfg
@@ -124,13 +229,16 @@ class TextPathDataset:
         item = self.data[idx]
         scan = item["scan"]
         g_nav = self.graphs[scan]
-        path = self.sample_trajectory(item, end_vp_type)[:TRAIN_MAX_STEP]
+        path, ref_path, end_vp, end_idx = self.sample_trajectory(
+            item, end_vp_type)
+        # the untruncated walked path feeds get_cur_angle (dataset.py:248,
+        # 707: called before the TRAIN_MAX_STEP slice)
+        untrunc = ref_path[: end_idx + 1] if end_idx is not None else ref_path
         s_real = len(path)
         vm1 = sh.max_vp_len - 1
         af = mc.angle_feat_size
         d = mc.image_feat_size
 
-        topo = TopoMap(path[0])
         slot_of: Dict[str, int] = {}
 
         def slot(vp):
@@ -154,14 +262,25 @@ class TextPathDataset:
         last_obj_ids: List[str] = []      # last step's object ids, token order
         last_obj_tokens: List[int] = []   # their vp-token indices ([stop]+1)
 
-        heading = float(item.get("heading", 0.0))
+        start_heading = float(item.get("heading", 0.0))
+        heading = start_heading
         for t, vp in enumerate(path):
             pos = self.world.position(scan, vp)
             cands = sorted(g_nav.neighbors(vp))
-            topo.update(vp, pos, [(c, g_nav.positions[c]) for c in cands])
             vfts = self.world.view_features(scan, vp)
+            if t > 0 and vp in g_nav.neighbors(path[t - 1]):
+                # getGlobalMap's heading is the QUANTIZED 30-degree bin of
+                # the candidate view that led here (dataset.py:496-499);
+                # a truncation teleport (vp not a neighbor) keeps the old one
+                heading = view_index_heading(
+                    self._edge_view_index(scan, path[t - 1], vp))
 
-            base_view = nearest_view_index(heading, 0.0)
+            # panorama token angles are ABSOLUTE (relative to heading 0,
+            # elevation 0): the reference indexes all_point_rel_angles[12]
+            # — view 12 is the heading-0 middle-row view — for every step
+            # regardless of agent heading (dataset.py:519-524, 810-815).
+            # The fine-tune env is heading-relative (r2r/env.py:509-593);
+            # the reference trains through that inconsistency.
             k = 0
             used = set()
             for cvp in cands:
@@ -170,9 +289,7 @@ class TextPathDataset:
                 h, e, _dd = rel_pos_features(pos, g_nav.positions[cvp])
                 pid = nearest_view_index(h, e)
                 view_fts[t, k] = vfts[pid][:d]
-                loc_fts[t, k, :af] = angle_features(
-                    h - view_index_heading(base_view),
-                    e - view_index_elevation(base_view), af)
+                loc_fts[t, k, :af] = angle_features(h, e, af)
                 loc_fts[t, k, af:] = 1.0
                 nav_types[t, k] = 1
                 cand_idx[t, k] = slot(cvp)
@@ -186,7 +303,7 @@ class TextPathDataset:
                 if ix in used:
                     continue
                 view_fts[t, k] = vfts[ix][:d]
-                loc_fts[t, k, :af] = self.angle_table[base_view, ix]
+                loc_fts[t, k, :af] = self.angle_table[12, ix]
                 loc_fts[t, k, af:] = 1.0
                 if t == len(path) - 1:
                     last_view_ids[k] = ix
@@ -214,9 +331,6 @@ class TextPathDataset:
             patch_fts[t] = self.world.grid_features(scan, vp)[:, :d]
             pos_xy[t] = (pos[0], pos[1])
             headings[t] = heading
-            if t + 1 < len(path):
-                h, _, _ = rel_pos_features(pos, g_nav.positions[path[t + 1]])
-                heading = h
 
         # visited contributions only from each node's LAST visit step
         # (_aggregate_gmap_features dict overwrite, pretrain vilmodel.py:590)
@@ -235,7 +349,9 @@ class TextPathDataset:
                     if vp in last_visit:
                         cand_idx[t, k] = -1
 
-        # gmap arrays (stable slots)
+        # gmap arrays (stable slots); positional features are against the
+        # FULL scan graph at the QUANTIZED final-edge angle — elevation
+        # included (get_cur_angle + get_gmap_inputs, dataset.py:313-323,588)
         gmax = self.cfg.shapes.max_gmap_len
         gmap_mask = np.zeros((gmax,), bool)
         gmap_visited = np.zeros((gmax,), bool)
@@ -243,10 +359,11 @@ class TextPathDataset:
         gmap_pos = np.zeros((gmax, af + 3), np.float32)
         gmap_mask[0] = True
         # [stop] slot positional features: angle_features(0, 0) = [0,1,0,1],
-        # matching the fine-tune agent's None branch (graph_utils.py:133-134)
+        # matching the reference's None branch (dataset.py:604-607)
         gmap_pos[0, :af] = angle_features(0.0, 0.0, af)
         cur_vp = path[-1]
-        cur_heading = headings[s_real - 1]
+        cur_heading, cur_elevation = self._cur_angle(scan, untrunc,
+                                                     start_heading)
         for vp, s in slot_of.items():
             if s >= gmax:
                 continue
@@ -255,8 +372,8 @@ class TextPathDataset:
             if vp in last_visit:
                 gmap_step_ids[s] = min(last_visit[vp] + 1,
                                        mc.max_action_steps - 1)
-            gmap_pos[s] = topo.pos_features(cur_vp, [vp], cur_heading, 0.0,
-                                            af)[0]
+            gmap_pos[s] = self._full_graph_pos_fts(
+                scan, cur_vp, [vp], cur_heading, cur_elevation, af)[0]
 
         # grid build (same jnp geometry as the device path)
         state = G.PointCloudState.create(1, gc, self.cfg.shapes.max_points)
@@ -270,48 +387,88 @@ class TextPathDataset:
             state, jnp.asarray(pos_xy[s_real - 1:s_real]),
             jnp.asarray(headings[s_real - 1:s_real]), gc)
 
-        # SAP labels (dataset.py get_act_labels): stop at the goal; otherwise
-        # the teacher is the UNVISITED observed node minimizing
-        # dist(cur->v)+dist(v->goal) — visited nodes are masked to -inf in the
-        # SAP heads, so labeling one would yield infinite loss (this matters
-        # for neg_others trajectories that walked away from the goal and must
-        # backtrack through the frontier, not through visited nodes).
-        goal = item["path"][-1]
+        # SAP labels, flavor-exact (see class docstring). -100 is the CE
+        # ignore id (train/losses.cross_entropy_ignore), matching the
+        # reference's not-found fallback.
         dists = self.shortest_distances[scan]
-        if cur_vp == goal:
-            global_act = 0
-            local_act = 0
+        cands_all = sorted(g_nav.neighbors(cur_vp))
+        # local labels index the ENCODED candidate tokens ([stop]+cands up
+        # to the vp capacity) — reference cand lists are never capped but
+        # our static vp axis is; an off-capacity teacher becomes ignore
+        cands_enc = cands_all[:vm1]
+        if self.flavor == "r2r":
+            # R2RTextPathData.get_act_labels (dataset.py:664-681): stop iff
+            # the sampled end IS the GT goal; otherwise the teacher is the
+            # ACTUAL next GT node — by gmap membership globally, by
+            # candidate index locally, -100 when not found
+            if end_vp == item["path"][-1]:
+                global_act = local_act = 0
+            else:
+                gt_next = item["path"][end_idx + 1]
+                s_next = slot_of.get(gt_next)
+                global_act = s_next if s_next is not None and s_next < gmax \
+                    else -100
+                local_act = (cands_enc.index(gt_next) + 1
+                             if gt_next in cands_enc else -100)
         else:
-            best_vp, best_d, global_act = None, float("inf"), 0
-            for vp, s in slot_of.items():
-                if s >= gmax or vp in last_visit:
-                    continue
-                d = dists[cur_vp].get(vp, float("inf")) + \
-                    dists[vp].get(goal, float("inf"))
-                if d < best_d:
-                    best_d, best_vp, global_act = d, vp, s
-            cands_last = sorted(g_nav.neighbors(cur_vp))
-            local_act = (cands_last.index(best_vp) + 1
-                         if best_vp in cands_last else 0)
+            # ReverieTextPathData.get_act_labels (dataset.py:195-219): stop
+            # iff end_vp is ANY positive viewpoint; otherwise global argmins
+            # d(end,cand)+min_pos d(cand,pos) over UNVISITED gmap nodes and
+            # local argmins the same score over the last step's candidate
+            # list INDEPENDENTLY (visited candidates included; the two
+            # teachers can disagree)
+            pos_vps = self._pos_vps(item)
+            if end_vp in pos_vps:
+                global_act = local_act = 0
+            else:
+                def score(vp):
+                    return dists[cur_vp][vp] + min(
+                        dists[vp][p] for p in pos_vps)
 
-        # target grid cell for the next GT node (get_global_target)
-        if global_act == 0:
-            grid_target = 0
-        else:
-            npos = g_nav.positions[best_vp]
+                global_act = -100
+                best = float("inf")
+                for vp, s in sorted(slot_of.items(), key=lambda kv: kv[1]):
+                    if s >= gmax or vp in last_visit:
+                        continue
+                    d_vp = score(vp)
+                    if d_vp < best:
+                        best, global_act = d_vp, s
+                local_act = -100
+                best = float("inf")
+                for k_c, cvp in enumerate(cands_enc):
+                    d_vp = score(cvp)
+                    if d_vp < best:
+                        best, local_act = d_vp, k_c + 1
+
+        # grid SAP target (getGlobalMap, dataset.py:367-439): the NEXT node
+        # of ref_path after the current walked step — [stop] (0) only when
+        # the walked end IS ref_path's end. ref_path is the FULL annotated
+        # path for r2r (self.gt_path is set before the prefix slice,
+        # :692) and the untruncated shortest path for reverie/soon (:247),
+        # so reverie negs always target [stop] while r2r negs target the
+        # real next GT cell.
+        cur_step_id = s_real - 1
+        if cur_step_id < len(ref_path) - 1:
+            npos = self.world.position(scan, ref_path[cur_step_id + 1])
             grid_target = int(G.target_cell_id(
                 jnp.float32(npos[0]), jnp.float32(npos[1]),
                 jnp.float32(pos_xy[s_real - 1, 0]),
                 jnp.float32(pos_xy[s_real - 1, 1]),
                 jnp.float32(headings[s_real - 1]), half_len[0]))
+        else:
+            grid_target = 0
 
-        # vp_pos_fts / nav masks for the last step
+        # vp_pos_fts / nav masks for the last step (get_vp_pos_fts,
+        # dataset.py:622-632: start fts broadcast over every row, candidate
+        # fts in rows 1..n, both at the quantized cur angle)
         v = sh.max_vp_len
         vp_pos_fts = np.zeros((v, 2 * af + 6), np.float32)
-        start_fts = topo.pos_features(cur_vp, [path[0]], cur_heading, 0.0, af)
+        start_fts = self._full_graph_pos_fts(
+            scan, cur_vp, [path[0]], cur_heading, cur_elevation, af)
         vp_pos_fts[:, : af + 3] = start_fts[0]
-        cands_last = sorted(g_nav.neighbors(cur_vp))[: v - 1]
-        cand_fts = topo.pos_features(cur_vp, cands_last, cur_heading, 0.0, af)
+        cands_last = cands_enc
+        cand_fts = self._full_graph_pos_fts(
+            scan, cur_vp, cands_last, cur_heading, cur_elevation, af)
         vp_pos_fts[1: 1 + len(cands_last), af + 3:] = cand_fts
         vp_nav_mask = np.zeros((v,), bool)
         vp_nav_mask[0] = True
@@ -324,24 +481,28 @@ class TextPathDataset:
         for tok in last_obj_tokens:
             if tok < v:
                 vp_obj_mask[tok] = True
+        # OG label: ungated by goal-ness — the reference matches the GT
+        # object at WHATEVER end viewpoint was sampled (OGDataset always asks
+        # for 'pos', tasks.py:390; ReverieTextPathData.get_obj_label
+        # :183-194 scans last_vp_objids, SoonTextPathData :886-892 trusts the
+        # precomputed index), falling back to -100 ignore
         gt_obj = item.get("objId") or item.get("obj_id")
         obj_label = np.int32(-100)
-        if cur_vp == goal:
-            pseudo = item.get("obj_pseudo_label")
-            if pseudo is not None:
-                # SOON contract: annotations carry a precomputed index into
-                # the end-viewpoint object list rather than an object id
-                # (SoonTextPathData.get_obj_label, dataset.py:888-892;
-                # -100 when the index falls past the object capacity)
-                oidx = int(pseudo["idx"])
-                if 0 <= oidx < len(last_obj_tokens) \
-                        and last_obj_tokens[oidx] < v:
-                    obj_label = np.int32(last_obj_tokens[oidx])
-            elif gt_obj is not None:
-                for oid, tok in zip(last_obj_ids, last_obj_tokens):
-                    if oid == str(gt_obj) and tok < v:
-                        obj_label = np.int32(tok)
-                        break
+        pseudo = item.get("obj_pseudo_label")
+        if pseudo is not None:
+            # SOON contract: annotations carry a precomputed index into
+            # the end-viewpoint object list rather than an object id
+            # (SoonTextPathData.get_obj_label, dataset.py:886-892;
+            # -100 when the index falls past the object capacity)
+            oidx = int(pseudo["idx"])
+            if 0 <= oidx < len(last_obj_tokens) \
+                    and last_obj_tokens[oidx] < v:
+                obj_label = np.int32(last_obj_tokens[oidx])
+        elif gt_obj is not None:
+            for oid, tok in zip(last_obj_ids, last_obj_tokens):
+                if oid == str(gt_obj) and tok < v:
+                    obj_label = np.int32(tok)
+                    break
 
         fused_add_idx = np.full((gmax,), -2, np.int32)
         cand_backtrack = np.zeros((v,), bool)
@@ -390,7 +551,23 @@ class TextPathDataset:
             for i in indices]
         b = len(items)
         t_len = sh.max_txt_len
-        s = items[0]["traj_view_fts"].shape[0]
+        # items are TRAIN_MAX_STEP rows except truncated long trajectories
+        # (TRAIN_MAX_STEP+1: the reference appends end_vp, dataset.py:253);
+        # pad every step-indexed array up to the batch max
+        s = max(it["traj_view_fts"].shape[0] for it in items)
+        step_keys = ("traj_view_fts", "traj_loc_fts", "traj_nav_types",
+                     "traj_token_mask", "traj_step_mask", "visited_idx",
+                     "cand_idx")
+        for it in items:
+            have = it["traj_view_fts"].shape[0]
+            if have == s:
+                continue
+            for kk in step_keys:
+                arr = it[kk]
+                pad = np.zeros((s - have,) + arr.shape[1:], arr.dtype)
+                if kk in ("visited_idx", "cand_idx"):
+                    pad -= 1
+                it[kk] = np.concatenate([arr, pad], axis=0)
         v = sh.max_vp_len
 
         txt_ids = np.zeros((b, t_len), np.int32)

@@ -82,11 +82,20 @@ def test_random_word_masking():
 
 
 def test_neg_others_trajectory():
-    cfg, ds = build_dataset()
+    """Flavor semantics (pretrain_src/data/dataset.py): REVERIE neg_others
+    walks the shortest path to an off-GT node (:242-246); R2R neg_others is
+    just a random GT-path prefix like neg_in_gt_path (:698-701)."""
+    cfg = tiny_cfg()
+    world = SyntheticWorld(num_scans=1, nodes_per_scan=10, seed=0)
+    eps = synthetic_episodes(world, num=8, seed=0, max_len=4)
+    ds = TextPathDataset(eps, world, world.graphs, cfg, seed=0,
+                         flavor="reverie")
     found_off_path = False
     for i in range(len(ds.data)):
         it_item = ds.data[i]
-        traj = ds.sample_trajectory(it_item, "neg_others")
+        traj, ref_path, end_vp, end_idx = ds.sample_trajectory(
+            it_item, "neg_others")
+        assert end_idx is None and traj[-1] == end_vp
         if traj[-1] not in set(it_item["path"]):
             found_off_path = True
             assert traj[0] == it_item["path"][0]
@@ -97,6 +106,17 @@ def test_neg_others_trajectory():
             it_item["path"][0]].get(traj[-2] if len(traj) > 1 else traj[0],
                                     [])
     assert found_off_path
+
+    # r2r flavor: neg_others == random proper prefix of the GT path
+    cfg2, ds2 = build_dataset()
+    for i in range(len(ds2.data)):
+        item = ds2.data[i]
+        for _ in range(4):
+            traj, ref_path, end_vp, end_idx = ds2.sample_trajectory(
+                item, "neg_others")
+            assert ref_path == list(item["path"])
+            assert traj == item["path"][: end_idx + 1]
+            assert end_idx < len(item["path"]) - 1 or len(item["path"]) < 2
 
 
 def build_object_dataset(seed=0):
