@@ -82,7 +82,8 @@ def _install_stubs():
         m.__spec__ = importlib.machinery.ModuleSpec("easydict", loader=None)
         m.EasyDict = EasyDict
         sys.modules["easydict"] = m
-    for name in ("jsonlines", "lmdb", "boto3", "MatterSim", "imutils"):
+    for name in ("jsonlines", "lmdb", "boto3", "MatterSim", "imutils",
+                 "line_profiler"):
         if name not in sys.modules:
             try:
                 importlib.import_module(name)
