@@ -305,6 +305,9 @@ class NavAgent:
         carry = init_carry(cfg, b)
         ended = np.zeros((b,), bool)
         recorded: List[StepInputs] = []
+        # per-node predicted object (REVERIE/SOON), overwritten on revisit
+        # like node_stop_scores (reverie/agent_obj.py:380-388)
+        node_og: List[Dict[str, Optional[dict]]] = [{} for _ in range(b)]
 
         for t in range(cfg.train.max_action_len):
             for i, ob in enumerate(obs):
@@ -315,12 +318,16 @@ class NavAgent:
                 obs, books)
             targets = self.teacher_actions(obs, slot_vpids, books, ended)
             inputs = inputs._replace(target=targets.astype(np.int32))
-            # object-grounding teacher (_teacher_object, reverie/agent_obj.py):
-            # the GT object's token index when visible at the current node
+            # object-grounding teacher (_teacher_object, reverie/agent_obj.py
+            # :245-262): the GT object's token index — supervised ONLY when
+            # the current node is an annotated end viewpoint (the reference
+            # ignores object labels elsewhere, even if the object is visible)
             obj_targets = np.full((b,), self.cfg.train.ignoreid, np.int32)
             for i, ob in enumerate(obs):
                 gt_obj = ob.get("gt_obj_id")
                 if ended[i] or gt_obj is None:
+                    continue
+                if ob["viewpoint"] not in ob.get("gt_end_vps", ()):
                     continue
                 for j, obj in enumerate(ob.get("objects", [])):
                     if obj["obj_id"] == gt_obj and \
@@ -359,26 +366,31 @@ class NavAgent:
                 raise ValueError(feedback)
 
             # object-grounding prediction per node (REVERIE: og at the stop
-            # node decides det success)
+            # node decides det success): record the argmax object PER NODE —
+            # the final prediction is taken from whichever node wins the
+            # stop-score ranking, not the last node visited
+            # (reverie/agent_obj.py:380-388 node_stop_scores['og'], :458-469)
             if out.obj_logits is not None:
                 obj_log = np.asarray(out.obj_logits)
                 for i, ob in enumerate(obs):
-                    if not ended[i] and np.isfinite(obj_log[i]).any():
+                    if ended[i]:
+                        continue
+                    rec = None
+                    if np.isfinite(obj_log[i]).any():
                         k = int(np.nanargmax(
                             np.where(np.isfinite(obj_log[i]), obj_log[i],
                                      -np.inf)))
                         toks = self._last_obj_token_idx[i]
                         if k in toks:
-                            j = toks.index(k)
-                            obj = obs[i]["objects"][j]
-                            traj[i]["pred_obj_id"] = obj["obj_id"]
+                            obj = obs[i]["objects"][toks.index(k)]
                             # SOON det metrics score the predicted object's
                             # direction against the GT bbox polygon
                             # (soon/env.py:331-369)
-                            traj[i]["pred_obj_heading"] = \
-                                float(obj.get("heading", 0.0))
-                            traj[i]["pred_obj_elevation"] = \
-                                float(obj.get("elevation", 0.0))
+                            rec = {"obj_id": obj["obj_id"],
+                                   "heading": float(obj.get("heading", 0.0)),
+                                   "elevation":
+                                       float(obj.get("elevation", 0.0))}
+                    node_og[i][ob["viewpoint"]] = rec
 
             # stop-score bookkeeping (agent.py:350-355)
             finite = np.isfinite(logits)
@@ -427,6 +439,8 @@ class NavAgent:
                     (viewidx // 12 - 1) * math.radians(30))
 
             # post-stop: jump to the best stop-scored node (agent.py:418-431)
+            # and take the object prediction recorded AT that node
+            # (reverie/agent_obj.py:458-469 stop_score['og'])
             for i in range(b):
                 if not ended[i] and just_ended[i] and traj[i]["stop_scores"]:
                     best_vp = max(traj[i]["stop_scores"],
@@ -435,6 +449,11 @@ class NavAgent:
                         traj[i]["trajectory"].append(
                             books[i].topo.graph.path(
                                 obs[i]["viewpoint"], best_vp))
+                    og = node_og[i].get(best_vp)
+                    if og is not None:
+                        traj[i]["pred_obj_id"] = og["obj_id"]
+                        traj[i]["pred_obj_heading"] = og["heading"]
+                        traj[i]["pred_obj_elevation"] = og["elevation"]
 
             obs = self.env._get_obs()
             self._update_caches(obs)

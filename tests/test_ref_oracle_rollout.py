@@ -117,13 +117,15 @@ def _make_envbatch(env_mod, vpinfo, view_tbl, depth_tbl, sem_tbl, b):
 
 class _FakeNavBatch:
     """R2RNavBatch twin for exactly the fields GMapNavAgent.rollout reads
-    (_get_obs, r2r/env.py:583-623): obs from the same synthetic tables our
-    DiscreteNavEnv serves, grid tensors from the REFERENCE EnvBatch."""
+    (_get_obs, r2r/env.py:583-623; reverie/env.py:609-646 adds the object
+    fields): obs from the same synthetic tables our DiscreteNavEnv serves,
+    grid tensors from the REFERENCE EnvBatch."""
 
-    def __init__(self, envbatch, items, our_env):
+    def __init__(self, envbatch, items, our_env, obj_tbl=None):
         self.env = envbatch
         self.batch = items
         self.our_env = our_env
+        self.obj_tbl = obj_tbl
         # all_point_angle_features is parity-pinned against the reference's
         # common.get_angle_fts by test_ref_oracle_pretrain_data
         self.angle_feature = our_env.angle_table
@@ -152,7 +154,22 @@ class _FakeNavBatch:
                 state.scanId, vp, state.viewIndex, feature)
             full = np.concatenate(
                 [feature, self.angle_feature[state.viewIndex]], -1)
+            extra = {}
+            if self.obj_tbl is not None:
+                recs = self.obj_tbl[f"{state.scanId}_{vp}"]
+                extra = {
+                    "obj_img_fts": np.stack(
+                        [r["feature"] for r in recs]).astype(np.float32),
+                    "obj_ang_fts": np.stack(
+                        [r["ang"] for r in recs]).astype(np.float32),
+                    "obj_box_fts": np.stack(
+                        [r["box"] for r in recs]).astype(np.float32),
+                    "obj_ids": [r["obj_id"] for r in recs],
+                    "gt_end_vps": item.get("gt_end_vps", []),
+                    "gt_obj_id": item.get("gt_obj_id"),
+                }
             obs.append({
+                **extra,
                 "instr_id": item["instr_id"],
                 "scan": state.scanId,
                 "viewpoint": vp,
@@ -183,13 +200,19 @@ def _ref_args():
         image_feat_size=D, angle_feat_size=ANGLE, fusion="dynamic",
         ignoreid=-100, act_visited_nodes=False, enc_full_graph=True,
         max_action_len=MAX_STEPS, feat_dropout=0.0, expl_max_ratio=0.75,
-        detailed_output=True, dataset="r2r")
+        detailed_output=True, dataset="r2r", loss_nav_3=False)
 
 
 def _make_ref_agent(items, our_env, vpinfo, view_tbl, depth_tbl, sem_tbl,
-                    ref_model, feedback):
-    am = load_ref_module("map_nav_src", "r2r.agent")
-    env_mod = load_ref_module("map_nav_src", "r2r.env")
+                    ref_model, feedback, obj_tbl=None):
+    if obj_tbl is None:
+        am = load_ref_module("map_nav_src", "r2r.agent")
+        env_mod = load_ref_module("map_nav_src", "r2r.env")
+        agent_cls = am.GMapNavAgent
+    else:
+        am = load_ref_module("map_nav_src", "reverie.agent_obj")
+        env_mod = load_ref_module("map_nav_src", "reverie.env")
+        agent_cls = am.GMapObjectNavAgent
     mm = load_ref_module("map_nav_src", "models.model")
 
     args = _ref_args()
@@ -199,12 +222,12 @@ def _make_ref_agent(items, our_env, vpinfo, view_tbl, depth_tbl, sem_tbl,
     vb.vln_bert = ref_model
     vb.drop_env = torch.nn.Dropout(0.0)
 
-    agent = am.GMapNavAgent.__new__(am.GMapNavAgent)
+    agent = agent_cls.__new__(agent_cls)
     agent.args = args
     agent.env = _FakeNavBatch(
         _make_envbatch(env_mod, vpinfo, view_tbl, depth_tbl, sem_tbl,
                        len(items)),
-        items, our_env)
+        items, our_env, obj_tbl=obj_tbl)
     agent.vln_bert = vb
     agent.criterion = torch.nn.CrossEntropyLoss(
         ignore_index=args.ignoreid, reduction="sum")
@@ -215,7 +238,7 @@ def _make_ref_agent(items, our_env, vpinfo, view_tbl, depth_tbl, sem_tbl,
     return agent
 
 
-def _our_cfg():
+def _our_cfg(obj_feat_size=0):
     import dataclasses
 
     from gridmm_tpu.config import GridMMConfig, ModelConfig
@@ -227,11 +250,12 @@ def _our_cfg():
         attention_probs_dropout_prob=0.0, feat_dropout=0.0,
         max_position_embeddings=32, num_l_layers=NL, num_x_layers=NX,
         num_pano_layers=NP, image_feat_size=D, angle_feat_size=ANGLE,
-        obj_feat_size=0, graph_sprels=False)
+        obj_feat_size=obj_feat_size, graph_sprels=False)
     return dataclasses.replace(
         base, model=model,
         shapes=dataclasses.replace(
-            base.shapes, max_txt_len=16, max_gmap_len=16, max_vp_len=40,
+            base.shapes, max_txt_len=16, max_gmap_len=16,
+            max_vp_len=44 if obj_feat_size else 40, max_obj_len=4,
             max_points=MAX_STEPS * 588),
         train=dataclasses.replace(
             base.train, batch_size=BATCH, max_action_len=MAX_STEPS,
@@ -348,6 +372,140 @@ def test_ref_oracle_rollout(scene, ref_model, ours, feedback, monkeypatch):
     if feedback == "teacher":
         from gridmm_tpu.train.step import trajectory_loss
 
+        our_loss = float(trajectory_loss(model, cfg, loaded, batch,
+                                         ml_weight=ML_WEIGHT))
+        ref_loss = float(ref_agent.loss)
+        assert ref_loss > 0.0
+        assert abs(our_loss - ref_loss) < 5e-3 * max(1.0, abs(ref_loss)), (
+            our_loss, ref_loss)
+
+
+# ===================== REVERIE object-grounding variant =====================
+# Same harness against reverie/agent_obj.py's GMapObjectNavAgent: object
+# tokens ride the panorama, the OG teacher is gated on gt_end_vps (:245-262),
+# the summed loss adds og_loss (:410,489-493), and the final pred_objid is
+# the og recorded at the node that wins the stop-score ranking (:458-469).
+# Object features are image_feat_size-wide like the released REVERIE stores
+# (our agent packs them into the single panorama token stream).
+
+def _add_objects(names):
+    rng = np.random.default_rng(23)
+    obj_tbl = {}
+    for i, v in enumerate(names):
+        recs = []
+        for j in range(1 + int(rng.integers(0, 3))):
+            # deliberate cross-viewpoint id sharing: the gt object is visible
+            # at non-end nodes too, exercising the gt_end_vps teacher gate
+            oid = f"o{(i * 2 + j * 5) % 9}"
+            recs.append({
+                "obj_id": oid,
+                "feature": (rng.standard_normal(D) * 0.4).astype(np.float32),
+                "ang": (rng.standard_normal(ANGLE) * 0.3).astype(np.float32),
+                "box": rng.random(3).astype(np.float32),
+                "heading": float(rng.uniform(-math.pi, math.pi)),
+                "elevation": float(rng.uniform(-0.5, 0.5)),
+            })
+        obj_tbl[f"{SCAN}_{v}"] = recs
+    return obj_tbl
+
+
+class _ObjWorld(_FakeWorld):
+    def __init__(self, vpinfo, view_tbl, depth_tbl, sem_tbl, obj_tbl):
+        super().__init__(vpinfo, view_tbl, depth_tbl, sem_tbl)
+        self.obj_tbl = obj_tbl
+
+    def objects(self, scan, vp):
+        return [{"obj_id": r["obj_id"], "feature": r["feature"],
+                 "loc_fts": np.concatenate([r["ang"], r["box"]]),
+                 "heading": r["heading"], "elevation": r["elevation"]}
+                for r in self.obj_tbl[f"{scan}_{vp}"]]
+
+
+@pytest.fixture(scope="module")
+def scene_obj(scene):
+    names, g, vpinfo, view_tbl, depth_tbl, sem_tbl, items = scene
+    obj_tbl = _add_objects(names)
+    items = []
+    for k, base in enumerate(scene[6]):
+        it = dict(base)
+        goal = it["path"][-1]
+        it["gt_obj_id"] = obj_tbl[f"{SCAN}_{goal}"][0]["obj_id"]
+        it["gt_end_vps"] = [goal]
+        items.append(it)
+    return names, g, vpinfo, view_tbl, depth_tbl, sem_tbl, items, obj_tbl
+
+
+@pytest.fixture(scope="module")
+def ref_model_obj():
+    require_reference()
+    vm = load_ref_module("map_nav_src", "models.vilmodel")
+    torch.manual_seed(5)
+    return vm.GlocalTextPathNavCMT(nav_bert_config(
+        num_l_layers=NL, num_x_layers=NX, num_pano_layers=NP, heads=HEADS,
+        intermediate=INTER, image_feat_size=D, angle_feat_size=ANGLE,
+        vocab=VOCAB, obj_feat_size=D)).eval()
+
+
+@pytest.fixture(scope="module")
+def ours_obj(scene_obj, ref_model_obj):
+    from gridmm_tpu.env.discrete import DiscreteNavEnv
+    from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
+    from gridmm_tpu.train.agent import NavAgent
+    from gridmm_tpu.utils import checkpoint as CK
+
+    names, g, vpinfo, view_tbl, depth_tbl, sem_tbl, items, obj_tbl = scene_obj
+    cfg = _our_cfg(obj_feat_size=D)
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    loaded, report = CK.import_torch_navigator(
+        ref_model_obj.state_dict(), params, num_l_layers=NL, num_x_layers=NX,
+        num_pano_layers=NP, has_obj=True)
+    assert report["unused_torch_keys"] == []
+    assert report["unfilled_flax_leaves"] == []
+
+    world = _ObjWorld(vpinfo, view_tbl, depth_tbl, sem_tbl, obj_tbl)
+    env = DiscreteNavEnv(world, {SCAN: g}, items, batch_size=BATCH, seed=0)
+    env.data = list(items)
+    env.ix = 0
+    return cfg, model, loaded, env, NavAgent(model, cfg, env, loaded)
+
+
+@pytest.mark.parametrize("feedback", ["teacher", "argmax"])
+def test_ref_oracle_rollout_reverie(scene_obj, ref_model_obj, ours_obj,
+                                    feedback, monkeypatch):
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    names, g, vpinfo, view_tbl, depth_tbl, sem_tbl, items, obj_tbl = scene_obj
+    cfg, model, loaded, env, agent = ours_obj
+
+    ref_agent = _make_ref_agent(items, env, vpinfo, view_tbl, depth_tbl,
+                                sem_tbl, ref_model_obj, feedback,
+                                obj_tbl=obj_tbl)
+    train_ml = ML_WEIGHT if feedback == "teacher" else None
+    with torch.no_grad():
+        ref_traj = ref_agent.rollout(train_ml=train_ml, train_rl=False,
+                                     reset=True)
+
+    env.ix = 0
+    our_traj, batch, _ = agent.rollout(
+        feedback=feedback, rng=np.random.default_rng(0),
+        record=(feedback == "teacher"))
+
+    ref_by_id = {t["instr_id"]: t for t in ref_traj}
+    for t in our_traj:
+        r = ref_by_id[t["instr_id"]]
+        assert _flat(t["trajectory"]) == _flat(r["path"]), t["instr_id"]
+        # the final object prediction comes from the best stop-scored node
+        assert str(t.get("pred_obj_id")) == str(r.get("pred_objid")), \
+            t["instr_id"]
+        ref_stops = {k: v["stop_prob"] for k, v in r["details"].items()}
+        assert set(t["stop_scores"]) == set(ref_stops), t["instr_id"]
+        for k, v in t["stop_scores"].items():
+            assert abs(v - ref_stops[k]) < 6e-3, (t["instr_id"], k)
+
+    if feedback == "teacher":
+        from gridmm_tpu.train.step import trajectory_loss
+
+        # ml_loss + og_loss, both scaled train_ml/batch (agent_obj.py:489-493)
         our_loss = float(trajectory_loss(model, cfg, loaded, batch,
                                          ml_weight=ML_WEIGHT))
         ref_loss = float(ref_agent.loss)
