@@ -204,15 +204,15 @@ def _ref_args():
 
 
 def _make_ref_agent(items, our_env, vpinfo, view_tbl, depth_tbl, sem_tbl,
-                    ref_model, feedback, obj_tbl=None):
-    if obj_tbl is None:
-        am = load_ref_module("map_nav_src", "r2r.agent")
-        env_mod = load_ref_module("map_nav_src", "r2r.env")
-        agent_cls = am.GMapNavAgent
-    else:
+                    ref_model, feedback, obj_tbl=None, flavor="r2r"):
+    if obj_tbl is not None:
         am = load_ref_module("map_nav_src", "reverie.agent_obj")
         env_mod = load_ref_module("map_nav_src", "reverie.env")
         agent_cls = am.GMapObjectNavAgent
+    else:
+        am = load_ref_module("map_nav_src", f"{flavor}.agent")
+        env_mod = load_ref_module("map_nav_src", f"{flavor}.env")
+        agent_cls = am.GMapNavAgent
     mm = load_ref_module("map_nav_src", "models.model")
 
     args = _ref_args()
@@ -333,15 +333,27 @@ def _flat(segs):
     return [vp for seg in segs for vp in seg]
 
 
-@pytest.mark.parametrize("feedback", ["teacher", "argmax"])
-def test_ref_oracle_rollout(scene, ref_model, ours, feedback, monkeypatch):
+@pytest.mark.parametrize("feedback,flavor", [
+    ("teacher", "r2r"), ("argmax", "r2r"),
+    # the rxr agent differs from r2r only in 500-token truncation (moot at
+    # oracle dims) and a doubled CE over stop-target rows (rxr/agent.py
+    # :367-372) — pin the loss formulation with the real rxr agent executing
+    ("teacher", "rxr"),
+])
+def test_ref_oracle_rollout(scene, ref_model, ours, feedback, flavor,
+                            monkeypatch):
     # the reference code `.cuda()`s every tensor; run it on CPU unchanged
     monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
     names, g, vpinfo, view_tbl, depth_tbl, sem_tbl, items = scene
     cfg, model, loaded, env, agent = ours
+    if flavor == "rxr":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, stop_extra_ce=True))
 
     ref_agent = _make_ref_agent(items, env, vpinfo, view_tbl, depth_tbl,
-                                sem_tbl, ref_model, feedback)
+                                sem_tbl, ref_model, feedback, flavor=flavor)
     train_ml = ML_WEIGHT if feedback == "teacher" else None
     with torch.no_grad():
         ref_traj = ref_agent.rollout(train_ml=train_ml, train_rl=False,
