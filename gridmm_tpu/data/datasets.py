@@ -80,6 +80,8 @@ def soon_pseudo_obj_labels(data: List[dict], world) -> List[dict]:
     the pseudo GT object (sets `objId` for pretraining OG and `gt_obj_id` for
     the fine-tune og teacher). Mutates and returns `data`.
     """
+    from gridmm_tpu.env.discrete import (soon_convert_elevation,
+                                         soon_convert_heading)
     from gridmm_tpu.env.metrics import point_in_polygon
 
     for item in data:
@@ -87,12 +89,17 @@ def soon_pseudo_obj_labels(data: List[dict], world) -> List[dict]:
         bb = (item.get("bboxes") or {}).get(goal)
         if not bb:
             continue
+        # bbox polygons live in the SOON annotations' converted [0,1)
+        # direction units (soon/data_utils.py:21-25); detector objects carry
+        # raw radians — convert before the containment test
         corners = [(bb["target"][c]["heading"], bb["target"][c]["elevation"])
                    for c in ("left_top", "right_top", "right_bottom",
                              "left_bottom")]
         for obj in world.objects(item["scan"], goal):
-            if point_in_polygon(obj.get("heading", 0.0),
-                                obj.get("elevation", 0.0), corners):
+            if point_in_polygon(
+                    soon_convert_heading(float(obj.get("heading", 0.0))),
+                    soon_convert_elevation(float(obj.get("elevation", 0.0))),
+                    corners):
                 item["objId"] = obj["obj_id"]
                 item["gt_obj_id"] = obj["obj_id"]
                 break

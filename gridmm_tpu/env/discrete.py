@@ -29,6 +29,21 @@ from gridmm_tpu.env.world import WorldProvider
 DEG30 = math.radians(30)
 
 
+def soon_convert_heading(x: float) -> float:
+    """radians -> [0,1) turn units (soon/data_utils.py:21-22)."""
+    return (x % (2 * math.pi)) / (2 * math.pi)
+
+
+def soon_convert_elevation(x: float) -> float:
+    """radians -> [0,1), 0.5 at level (soon/data_utils.py:13-25:
+    normalize_angle to (-pi,pi] then shift)."""
+    pi2 = 2 * math.pi
+    x = x % pi2
+    if x > math.pi:
+        x -= pi2
+    return (x + math.pi) / pi2
+
+
 def view_index_heading(view_index: int) -> float:
     return (view_index % 12) * DEG30
 
@@ -214,7 +229,31 @@ class DiscreteNavEnv:
                 ob["distance"] = 0.0
             # object grounding (REVERIE/SOON): world may expose per-vp objects
             if hasattr(self.world, "objects"):
-                ob["objects"] = self.world.objects(scan, vp)
+                af = self.angle_feat_size
+                objs = []
+                for o in self.world.objects(scan, vp):
+                    if "heading" in o:
+                        o = dict(o)
+                        lf = np.array(o["loc_fts"], np.float32, copy=True)
+                        # fine-tune obs recompute object angle features
+                        # RELATIVE to the agent's current orientation
+                        # (reverie/data_utils.py:44-47, soon:108-111); the
+                        # PRETRAIN builder keeps them ABSOLUTE
+                        # (pretrain_src/data/dataset.py:533-540) — the
+                        # reference trains through that inconsistency, so
+                        # data/pretrain_data.py deliberately does NOT share
+                        # this recompute
+                        lf[:af] = angle_features(
+                            float(o["heading"]) - state.heading,
+                            float(o["elevation"]) - state.elevation, af)
+                        o["loc_fts"] = lf
+                        # SOON exports predicted directions in converted
+                        # [0,1) units (soon/data_utils.py:117, env.py:279)
+                        o["direction"] = (
+                            soon_convert_heading(float(o["heading"])),
+                            soon_convert_elevation(float(o["elevation"])))
+                    objs.append(o)
+                ob["objects"] = objs
                 ob["gt_obj_id"] = item.get("gt_obj_id")
                 ob["gt_end_vps"] = item.get("gt_end_vps", [item["path"][-1]])
             obs.append(ob)
@@ -320,8 +359,13 @@ def synthetic_episodes(world, num: int, seed: int = 0,
                 item["gt_obj_id"] = obj["obj_id"]
                 item["gt_end_vps"] = [path[-1]]
                 if soon_bboxes:
-                    h, e = obj.get("heading", 0.0), obj.get("elevation", 0.0)
-                    dh, de = 0.25, 0.18
+                    # GT bboxes live in the SOON annotations' converted [0,1)
+                    # direction units (soon/data_utils.py:21-25; the agent's
+                    # predicted direction arrives in the same units)
+                    h = soon_convert_heading(float(obj.get("heading", 0.0)))
+                    e = soon_convert_elevation(
+                        float(obj.get("elevation", 0.0)))
+                    dh, de = 0.05, 0.04
                     item["bboxes"] = {path[-1]: {
                         "heading": h, "elevation": e,
                         "target": {

@@ -384,12 +384,17 @@ class NavAgent:
                         if k in toks:
                             obj = obs[i]["objects"][toks.index(k)]
                             # SOON det metrics score the predicted object's
-                            # direction against the GT bbox polygon
-                            # (soon/env.py:331-369)
+                            # direction against the GT bbox polygon in the
+                            # CONVERTED [0,1) units the env attaches
+                            # (soon/agent_obj.py:129 og_direction from
+                            # obs obj_directions; env.py:279)
+                            dirn = obj.get("direction")
                             rec = {"obj_id": obj["obj_id"],
-                                   "heading": float(obj.get("heading", 0.0)),
+                                   "heading": (float(dirn[0]) if dirn else
+                                               float(obj.get("heading", 0.0))),
                                    "elevation":
-                                       float(obj.get("elevation", 0.0))}
+                                       (float(dirn[1]) if dirn else
+                                        float(obj.get("elevation", 0.0)))}
                     node_og[i][ob["viewpoint"]] = rec
 
             # stop-score bookkeeping (agent.py:350-355)

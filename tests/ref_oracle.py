@@ -136,6 +136,45 @@ def _install_stubs():
             pt = _stub_module("pytorch_transformers")
             pt.BertConfig = BertConfig
             sys.modules["pytorch_transformers"] = pt
+    # shapely: soon/env.py uses only Point(x, y) and a quadrilateral
+    # Polygon(...).contains(point) for the det-success test (:359-368); an
+    # even-odd ray-cast over the ring is semantically equivalent for interior
+    # points (shapely's contains excludes the boundary — tests stay off it)
+    if "shapely" not in sys.modules:
+        try:
+            importlib.import_module("shapely")
+        except ImportError:
+            class _Point:
+                def __init__(self, x, y):
+                    self.x, self.y = float(x), float(y)
+
+            class _Polygon:
+                def __init__(self, ring):
+                    self.ring = [(float(x), float(y)) for x, y in ring]
+
+                def contains(self, p):
+                    inside = False
+                    n = len(self.ring)
+                    for i in range(n):
+                        x1, y1 = self.ring[i]
+                        x2, y2 = self.ring[(i + 1) % n]
+                        if (y1 > p.y) != (y2 > p.y):
+                            xin = x1 + (p.y - y1) * (x2 - x1) / (y2 - y1)
+                            if p.x < xin:
+                                inside = not inside
+                    return inside
+
+            sh = _stub_module("shapely")
+            sg = _stub_module("shapely.geometry")
+            sp = _stub_module("shapely.geometry.polygon")
+            sg.Point = _Point
+            sg.Polygon = _Polygon
+            sp.Polygon = _Polygon
+            sh.geometry = sg
+            sg.polygon = sp
+            sys.modules["shapely"] = sh
+            sys.modules["shapely.geometry"] = sg
+            sys.modules["shapely.geometry.polygon"] = sp
     # torchvision is from-imported at dataset.py module scope but unused at
     # the call sites under test; names bind to a sentinel that raises on use
     if "torchvision" not in sys.modules:

@@ -130,6 +130,13 @@ class _FakeNavBatch:
         # common.get_angle_fts by test_ref_oracle_pretrain_data
         self.angle_feature = our_env.angle_table
         self.shortest_distances = our_env.shortest_distances
+        if obj_tbl is not None:
+            # the reference side builds its own object features with ITS
+            # functions: utils/data.angle_feature (reverie/data_utils.py
+            # :44-47's relative recompute) + soon/data_utils convert_*
+            self._ref_angle = load_ref_module(
+                "map_nav_src", "utils.data").angle_feature
+            self._sdu = load_ref_module("map_nav_src", "soon.data_utils")
 
     def reset(self):
         self.env.newEpisodes(
@@ -160,11 +167,23 @@ class _FakeNavBatch:
                 extra = {
                     "obj_img_fts": np.stack(
                         [r["feature"] for r in recs]).astype(np.float32),
-                    "obj_ang_fts": np.stack(
-                        [r["ang"] for r in recs]).astype(np.float32),
+                    # object angle fts are RELATIVE to the agent's current
+                    # orientation in the fine-tune env
+                    # (reverie/data_utils.py:44-47)
+                    "obj_ang_fts": np.stack([
+                        self._ref_angle(r["heading"] - state.heading,
+                                        r["elevation"] - state.elevation,
+                                        ANGLE)
+                        for r in recs]).astype(np.float32),
                     "obj_box_fts": np.stack(
                         [r["box"] for r in recs]).astype(np.float32),
                     "obj_ids": [r["obj_id"] for r in recs],
+                    # SOON directions in the reference's own converted
+                    # units (soon/data_utils.py:117, env.py:279)
+                    "obj_directions": [
+                        [self._sdu.convert_heading(r["heading"]),
+                         self._sdu.convert_elevation(r["elevation"])]
+                        for r in recs],
                     "gt_end_vps": item.get("gt_end_vps", []),
                     "gt_obj_id": item.get("gt_obj_id"),
                 }
@@ -205,7 +224,11 @@ def _ref_args():
 
 def _make_ref_agent(items, our_env, vpinfo, view_tbl, depth_tbl, sem_tbl,
                     ref_model, feedback, obj_tbl=None, flavor="r2r"):
-    if obj_tbl is not None:
+    if obj_tbl is not None and flavor == "soon":
+        am = load_ref_module("map_nav_src", "soon.agent_obj")
+        env_mod = load_ref_module("map_nav_src", "soon.env")
+        agent_cls = am.SoonGMapObjectNavAgent
+    elif obj_tbl is not None:
         am = load_ref_module("map_nav_src", "reverie.agent_obj")
         env_mod = load_ref_module("map_nav_src", "reverie.env")
         agent_cls = am.GMapObjectNavAgent
@@ -518,6 +541,59 @@ def test_ref_oracle_rollout_reverie(scene_obj, ref_model_obj, ours_obj,
         from gridmm_tpu.train.step import trajectory_loss
 
         # ml_loss + og_loss, both scaled train_ml/batch (agent_obj.py:489-493)
+        our_loss = float(trajectory_loss(model, cfg, loaded, batch,
+                                         ml_weight=ML_WEIGHT))
+        ref_loss = float(ref_agent.loss)
+        assert ref_loss > 0.0
+        assert abs(our_loss - ref_loss) < 5e-3 * max(1.0, abs(ref_loss)), (
+            our_loss, ref_loss)
+
+
+# ========================== SOON direction variant ==========================
+# soon/agent_obj.py's SoonGMapObjectNavAgent subclasses the REVERIE agent and
+# differs only in the recorded prediction: pred_obj_direction =
+# obs['obj_directions'][argmax] at the best stop-scored node (:126-131,
+# :200-209), exported as obj_heading/obj_elevation in converted [0,1) units
+# (soon/data_utils.py:21-25, env.py:279).  Same model, same weights, same
+# losses — so reuse the REVERIE fixtures and pin the direction contract.
+
+@pytest.mark.parametrize("feedback", ["teacher", "argmax"])
+def test_ref_oracle_rollout_soon(scene_obj, ref_model_obj, ours_obj,
+                                 feedback, monkeypatch):
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    names, g, vpinfo, view_tbl, depth_tbl, sem_tbl, items, obj_tbl = scene_obj
+    cfg, model, loaded, env, agent = ours_obj
+
+    ref_agent = _make_ref_agent(items, env, vpinfo, view_tbl, depth_tbl,
+                                sem_tbl, ref_model_obj, feedback,
+                                obj_tbl=obj_tbl, flavor="soon")
+    train_ml = ML_WEIGHT if feedback == "teacher" else None
+    with torch.no_grad():
+        ref_traj = ref_agent.rollout(train_ml=train_ml, train_rl=False,
+                                     reset=True)
+
+    env.ix = 0
+    our_traj, batch, _ = agent.rollout(
+        feedback=feedback, rng=np.random.default_rng(0),
+        record=(feedback == "teacher"))
+
+    ref_by_id = {t["instr_id"]: t for t in ref_traj}
+    for t in our_traj:
+        r = ref_by_id[t["instr_id"]]
+        assert _flat(t["trajectory"]) == _flat(r["path"]), t["instr_id"]
+        # the SOON det metric scores this direction against the GT bbox
+        # polygon — units must be the reference's converted [0,1)
+        d = r["pred_obj_direction"]
+        assert d is not None, t["instr_id"]
+        assert abs(t["pred_obj_heading"] - float(d[0])) < 1e-6, t["instr_id"]
+        assert abs(t["pred_obj_elevation"] - float(d[1])) < 1e-6, \
+            t["instr_id"]
+        for v in (t["pred_obj_heading"], t["pred_obj_elevation"]):
+            assert 0.0 <= v < 1.0
+
+    if feedback == "teacher":
+        from gridmm_tpu.train.step import trajectory_loss
+
         our_loss = float(trajectory_loss(model, cfg, loaded, batch,
                                          ml_weight=ML_WEIGHT))
         ref_loss = float(ref_agent.loss)

@@ -649,6 +649,100 @@ def test_ref_oracle_eval_metrics():
         assert k in agg
 
 
+def test_ref_oracle_eval_metrics_reverie():
+    """REVERIE `_eval_item` (reverie/env.py:685-709) executed directly:
+    success = stopping AT an obj2vps member, oracle = PASSING one, rgs =
+    unconditional str(pred)==str(gt), rgspl over the same SPL denominator."""
+    require_reference()
+    renv = load_ref_module("map_nav_src", "reverie.env")
+    from gridmm_tpu.env.metrics import evaluate_reverie_trajectory
+
+    rng = np.random.default_rng(17)
+    shortest, names = _toy_distances(rng)
+    gt_end_vps = [names[3], names[7]]
+    ref_env = renv.ReverieObjectNavBatch.__new__(renv.ReverieObjectNavBatch)
+    ref_env.shortest_distances = {"scanX": shortest}
+    ref_env.obj2vps = {"scanX_obj0": gt_end_vps}
+
+    cases = []
+    for case in range(8):
+        gt = [names[0]] + list(rng.choice(names[1:], size=3, replace=False))
+        pred = [[gt[0]]] + [
+            list(rng.choice(names, size=int(rng.integers(1, 3))))
+            for _ in range(int(rng.integers(1, 4)))]
+        pred_obj = rng.choice(["obj0", "obj1", 0, None])
+        cases.append((pred, gt, pred_obj))
+    # engineered: stop exactly at a goal viewpoint, correct grounding
+    cases.append(([[names[0]], [names[5], names[3]]],
+                  [names[0], names[4]], "obj0"))
+    # engineered: pass THROUGH a goal viewpoint but stop elsewhere
+    cases.append(([[names[0]], [names[7], names[1]]],
+                  [names[0], names[4]], "obj1"))
+
+    for pred, gt, pred_obj in cases:
+        ref_scores = ref_env._eval_item("scanX", pred, pred_obj, gt, "obj0")
+        ours = evaluate_reverie_trajectory(shortest, pred, gt, gt_end_vps,
+                                           pred_obj, "obj0")
+        for k in ref_scores:  # ours carries framework extras (nDTW/CLS)
+            np.testing.assert_allclose(ours[k], float(ref_scores[k]),
+                                       atol=1e-9, err_msg=k)
+
+
+def test_ref_oracle_eval_metrics_soon():
+    """SOON `_eval_item` (soon/env.py:331-393) executed directly — including
+    the goal UPDATE when the agent stops at any bbox viewpoint (:347-349),
+    the oracle-nearest computed against the ORIGINAL goal (:346), the
+    shapely polygon det test (:359-368, under tests/ref_oracle's ray-cast
+    stub), and the shortest-dist gt length (:389-390)."""
+    require_reference()
+    senv = load_ref_module("map_nav_src", "soon.env")
+    from gridmm_tpu.env.metrics import evaluate_soon_trajectory
+
+    rng = np.random.default_rng(23)
+    shortest, names = _toy_distances(rng)
+    ref_env = senv.SoonObjectNavBatch.__new__(senv.SoonObjectNavBatch)
+    ref_env.shortest_distances = {"scanX": shortest}
+
+    def bbox(h, e, dh=0.05, de=0.04):
+        return {"heading": h, "elevation": e, "target": {
+            "left_top": {"heading": h - dh, "elevation": e + de},
+            "right_top": {"heading": h + dh, "elevation": e + de},
+            "right_bottom": {"heading": h + dh, "elevation": e - de},
+            "left_bottom": {"heading": h - dh, "elevation": e - de}}}
+
+    goal_a, goal_b = names[4], names[8]
+    gt_bboxes = {goal_a: bbox(0.30, 0.55), goal_b: bbox(0.80, 0.45)}
+
+    cases = []
+    for case in range(8):
+        gt = [names[0]] + list(rng.choice(names[1:], size=3, replace=False))
+        gt[-1] = goal_a
+        pred = [[gt[0]]] + [
+            list(rng.choice(names, size=int(rng.integers(1, 3))))
+            for _ in range(int(rng.integers(1, 4)))]
+        oh, oe = float(rng.random()), float(rng.random())
+        cases.append((pred, gt, oh, oe))
+    # engineered: stop at the GT goal, direction INSIDE its polygon
+    cases.append(([[names[0]], [names[2], goal_a]],
+                  [names[0], names[2], goal_a], 0.31, 0.54))
+    # engineered: stop at the OTHER bbox viewpoint (goal update), inside
+    cases.append(([[names[0]], [goal_b]],
+                  [names[0], names[2], goal_a], 0.79, 0.46))
+    # engineered: stop at a bbox viewpoint, direction OUTSIDE the polygon
+    cases.append(([[names[0]], [goal_a]],
+                  [names[0], names[2], goal_a], 0.90, 0.10))
+
+    for pred, gt, oh, oe in cases:
+        gt_item = {"scan": "scanX", "path": gt, "bboxes": gt_bboxes,
+                   "instr_id": "x"}
+        ref_scores = ref_env._eval_item(pred, oh, oe, gt_item)
+        ours = evaluate_soon_trajectory(shortest, pred, gt, gt_bboxes, oh, oe)
+        for k in ref_scores:  # ours carries framework extras (nDTW/CLS)
+            np.testing.assert_allclose(
+                np.asarray(ref_scores[k], np.float64), ours[k],
+                atol=1e-9, err_msg=k)
+
+
 # ===========================================================================
 # CLIP oracle: the vendored OpenAI visual tower (preprocess/model_clip.py)
 # with seeded weights vs our ClipVisionTransformer through
