@@ -94,40 +94,60 @@ class WaypointPredictor(nn.Module):
 
 
 def waypoint_nms(heatmap: jnp.ndarray, max_predictions: int = 10,
-                 sigma: tuple = (4.0, 4.0)) -> jnp.ndarray:
+                 sigma: tuple = (7.0, 5.0)) -> jnp.ndarray:
     """Iterative non-maximum suppression over an (angles, dists) heatmap,
-    batched: keep the global max, zero a rectangular neighborhood (with
-    circular wrap on the angle axis), repeat (utils.py:37-64).
+    batched — reference-exact, including the call-site wrap rows: the Policy
+    concatenates the last angle row before and the first after, runs nms on
+    the (A+2, D) map, and strips the pads (Policy_ViewSelection_GridMap.py
+    :373-384; utils.py:37-64).
 
-    sigma follows the reference's (distance_radius, angle_radius) order: the
-    Policy calls nms(..., sigma=(7.0, 5.0)) where sigma[0] applies to the
-    LAST axis (distance bins, utils.py:55-58 x = ix % width) and sigma[1] to
-    the angle axis — with (7, 5) nearly the whole distance column within
-    +/-5 angle bins is suppressed.
+    Three executed-reference-verified quirks are reproduced deliberately
+    (pinned by tests/test_reference_oracle.py::test_ref_oracle_waypoint_nms):
+
+    * sigma follows the reference's (distance_radius, angle_radius) order —
+      sigma[0] applies to the LAST axis (distance bins, utils.py:55-58
+      x = ix % width), sigma[1] to the angle axis;
+    * the angle-axis suppression window is centered at the FRACTIONAL
+      y_mu = flat_ix / D (utils.py:54 `y = ix / shape[-1]` — torch true
+      division keeps the remainder), so for a peak at distance bin > 0 the
+      window covers rows [ang-(sigma_ang-1), ang+sigma_ang], not ±sigma_ang;
+    * the distance-axis wrap is ONE-SIDED: min(|dx|, |dx + D|)
+      (utils.py:25 `circular_x` adds +x_range only), so a peak at a far
+      distance bin also suppresses the near bins of the same column;
+    * a global max that lands on a duplicated pad row is recorded there and
+      stripped — the candidate burns an NMS iteration and the original row
+      survives to be re-picked (or lost if iterations run out), exactly as
+      in the reference (ties resolve to the first flat index in both
+      torch.max and jnp.argmax).
 
     heatmap: (B, A, D) non-negative scores. Returns (B, A, D) sparse map of
     kept peaks."""
     b, a, d = heatmap.shape
     sigma_dist, sigma_ang = sigma
+    pad = jnp.concatenate(
+        [heatmap[:, -1:, :], heatmap, heatmap[:, :1, :]], axis=1)
+    h = a + 2
 
     def body(_, carry):
         supp, out = carry
-        flat = supp.reshape(b, a * d)
+        flat = supp.reshape(b, h * d)
         ix = jnp.argmax(flat, axis=1)
-        val = jnp.take_along_axis(heatmap.reshape(b, a * d), ix[:, None],
+        val = jnp.take_along_axis(pad.reshape(b, h * d), ix[:, None],
                                   axis=1)[:, 0]
-        out = out.reshape(b, a * d).at[jnp.arange(b), ix].set(val).reshape(
-            b, a, d)
-        ang = (ix // d)[:, None, None]
-        dist = (ix % d)[:, None, None]
-        ai = jnp.arange(a)[None, :, None]
-        di = jnp.arange(d)[None, None, :]
-        ang_diff = jnp.abs(ai - ang)
-        ang_diff = jnp.minimum(ang_diff, a - ang_diff)  # circular angles
-        g = (ang_diff <= sigma_ang) & (jnp.abs(di - dist) <= sigma_dist)
+        out = out.reshape(b, h * d).at[jnp.arange(b), ix].set(val).reshape(
+            b, h, d)
+        # torch true division: y_mu keeps the col/D remainder (float32 on
+        # both sides — long/int division promotes to the default dtype)
+        y_mu = (ix.astype(jnp.float32) / d)[:, None, None]
+        x_mu = (ix % d).astype(jnp.float32)[:, None, None]
+        yi = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+        xi = jnp.arange(d, dtype=jnp.float32)[None, None, :]
+        x_diff = xi - x_mu
+        xd = jnp.minimum(jnp.abs(x_diff), jnp.abs(x_diff + d))
+        g = (xd <= sigma_dist) & (jnp.abs(yi - y_mu) <= sigma_ang)
         supp = supp * (1.0 - g.astype(supp.dtype))
         return supp, out
 
     supp, out = jax.lax.fori_loop(
-        0, max_predictions, body, (heatmap, jnp.zeros_like(heatmap)))
-    return jnp.maximum(out, 0.0)
+        0, max_predictions, body, (pad, jnp.zeros_like(pad)))
+    return jnp.maximum(out[:, 1:-1, :], 0.0)

@@ -1052,6 +1052,48 @@ def test_ref_oracle_ce_navigation():
 
 
 # ===========================================================================
+def test_ref_oracle_waypoint_nms():
+    """The real waypoint NMS (VLN_CE/waypoint_prediction/utils.py:37-64)
+    through the Policy's wrap-pad call site (Policy_ViewSelection_GridMap.py
+    :373-384) vs our waypoint_nms — bit-exact kept-peak maps on random
+    softmax heatmaps plus engineered boundary/wrap/fractional-center cases.
+    Pins the three reference quirks: fractional y_mu from torch true
+    division, one-sided circular distance wrap, pad-row duplicate capture."""
+    require_reference()
+    wutils = load_ref_module("VLN_CE", "waypoint_prediction.utils")
+    import jax.numpy as jnp
+
+    from gridmm_tpu.models.waypoint import waypoint_nms
+
+    def ref_nms(hm, mp=5, sigma=(7.0, 5.0)):
+        t = torch.from_numpy(hm)
+        wrap = torch.cat((t[:, -1:, :], t, t[:, :1, :]), dim=1)
+        out = wutils.nms(wrap.unsqueeze(1), max_predictions=mp, sigma=sigma)
+        return out.squeeze(1)[:, 1:-1, :].numpy()
+
+    rng = np.random.default_rng(31)
+    A, D = 120, 12
+    logits = rng.normal(size=(16, A * D)).astype(np.float32) * 3
+    probs = torch.softmax(torch.from_numpy(logits), dim=1).reshape(
+        16, A, D).numpy()
+    np.testing.assert_array_equal(
+        ref_nms(probs),
+        np.asarray(waypoint_nms(jnp.asarray(probs), max_predictions=5,
+                                sigma=(7.0, 5.0))))
+
+    eng = np.zeros((4, A, D), np.float32)
+    eng[0, 0, 5], eng[0, 118, 5] = 3.0, 2.5       # pad-row duplicate
+    eng[1, 50, 11], eng[1, 50, 1] = 3.0, 2.5      # one-sided distance wrap
+    eng[2, 50, 6], eng[2, 46, 6], eng[2, 54, 6] = 3.0, 2.5, 2.0  # frac y_mu
+    eng[3, 119, 0], eng[3, 2, 3] = 3.0, 2.5       # boundary + near-dist
+    for mp in (2, 5):
+        np.testing.assert_array_equal(
+            ref_nms(eng, mp=mp, sigma=(4.0, 4.0)),
+            np.asarray(waypoint_nms(jnp.asarray(eng), max_predictions=mp,
+                                    sigma=(4.0, 4.0))))
+
+
+# ===========================================================================
 # Waypoint-predictor oracle (V5): the real BinaryDistPredictor_TRM /
 # DepthDistPredictor_TRM (VLN_CE/waypoint_prediction/TRM_net.py:9-164) at
 # FULL released dims with seeded weights, state_dict through

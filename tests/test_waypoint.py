@@ -59,15 +59,56 @@ def test_nms_selects_separated_peaks():
     assert len(kept) == 3
 
 
-def test_nms_circular_suppression():
+def test_nms_pad_row_duplicate_burns_iteration():
+    """Reference-exact pad-row behavior (Policy:373-384): an angle-0 peak is
+    duplicated onto the trailing pad row; the duplicate is picked on a later
+    iteration and stripped, AND its suppression window reaches back across
+    the boundary to kill the weaker angle-118 peak — which the direct
+    suppression from angle 0 never touches (the pad wrap is only +/-1 row).
+    Verified against the executed reference: angle 118 is lost at ANY
+    max_predictions."""
     a, d = 120, 12
     hm = np.zeros((1, a, d), np.float32)
     hm[0, 0, 5] = 3.0
-    hm[0, 118, 5] = 2.5  # circularly within radius 4 of angle 0 -> suppressed
+    hm[0, 118, 5] = 2.5
+    for mp in (2, 4):
+        out = np.asarray(waypoint_nms(jnp.asarray(hm), max_predictions=mp,
+                                      sigma=(4.0, 4.0)))
+        assert out[0, 0, 5] > 0
+        assert out[0, 118, 5] == 0
+
+
+def test_nms_one_sided_distance_wrap():
+    """utils.py:25 circular_x = min(|dx|, |dx + W|): a far-distance peak also
+    suppresses the NEAR bins of its column, but not vice versa."""
+    a, d = 120, 12
+    hm = np.zeros((1, a, d), np.float32)
+    hm[0, 50, 11] = 3.0
+    hm[0, 50, 1] = 2.5    # dx = -10, |dx + 12| = 2 <= 4 -> suppressed
     out = np.asarray(waypoint_nms(jnp.asarray(hm), max_predictions=2,
                                   sigma=(4.0, 4.0)))
-    assert out[0, 0, 5] > 0
-    assert out[0, 118, 5] == 0
+    assert out[0, 50, 11] > 0 and out[0, 50, 1] == 0
+    hm2 = np.zeros((1, a, d), np.float32)
+    hm2[0, 50, 1] = 3.0
+    hm2[0, 50, 11] = 2.5  # dx = +10, |dx + 12| = 22 -> NOT suppressed
+    out2 = np.asarray(waypoint_nms(jnp.asarray(hm2), max_predictions=2,
+                                   sigma=(4.0, 4.0)))
+    assert out2[0, 50, 1] > 0 and out2[0, 50, 11] == 2.5
+
+
+def test_nms_fractional_angle_center():
+    """utils.py:54 `y = ix / W` true division: at distance bin > 0 the angle
+    window is [ang - (sigma-1), ang + sigma], asymmetric."""
+    a, d = 120, 12
+    hm = np.zeros((1, a, d), np.float32)
+    hm[0, 50, 6] = 3.0    # y_mu = 50 + 6/12 = 50.5 on the unpadded grid
+    hm[0, 46, 6] = 2.5    # dy = -4.5 -> |dy| > 4 -> SURVIVES
+    hm[0, 54, 6] = 2.0    # dy = +3.5 -> suppressed
+    out = np.asarray(waypoint_nms(jnp.asarray(hm), max_predictions=3,
+                                  sigma=(4.0, 4.0)))
+    assert out[0, 50, 6] > 0
+    assert out[0, 46, 6] == 2.5
+    assert out[0, 54, 6] == 0
 
 
 # ------------------------------------------------- released-ckpt import parity
