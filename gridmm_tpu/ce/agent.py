@@ -266,14 +266,24 @@ class CEAgent:
                 img = ((a + per_img // 2) // per_img) % 12
                 # sector 0 wraps: original angle bins {-5..4} mod 120
                 # (the reference rolls by HEATMAP_OFFSET before reshaping,
-                # Policy:397-401)
+                # Policy:397-401). Sampling from the renormalized full-map
+                # softmax over the sector == softmax of the sector logits
+                # (Policy:412-413).
                 start = (img * per_img - per_img // 2) % NUM_ANGLES
                 rows = (start + np.arange(per_img)) % NUM_ANGLES
                 region = probs[rows]  # (10, 12)
                 p = region.reshape(-1).astype(np.float64)
                 p = p / p.sum() if p.sum() > 0 else np.full(p.size, 1 / p.size)
                 pick = rng.choice(p.size, p=p)
-                a = int(rows[pick // NUM_DISTS])
+                k = pick // NUM_DISTS
+                if img != 0:
+                    a = (img - 1) * per_img + per_img // 2 + k  # true angle
+                else:
+                    # reference quirk (Policy:417-421): angle_pointer = 0 for
+                    # sector 0, so its samples — drawn from the ROLLED rows
+                    # {115..119, 0..4} — are labeled angles 0..9 verbatim.
+                    # Released checkpoints trained through this off-by-5.
+                    a = int(k)
                 d = pick % NUM_DISTS
             abs_heading = heading + a * (2 * math.pi / NUM_ANGLES)
             out.append((abs_heading, (d + 1) * DIST_BIN, score))

@@ -54,6 +54,48 @@ def test_device_candidates_match_host():
             assert abs(float(dev.scores[i, j]) - sc) < 1e-6
 
 
+def test_train_sampling_sector_mapping():
+    """Train-time waypoint augmentation (Policy_ViewSelection_GridMap.py
+    :393-425): a peak's (angle, dist) is re-sampled from its 30-degree
+    sector of the ROLLED heatmap. The within-sector row k maps to angle
+    (img-1)*10+5+k for img != 0, but for sector 0 the reference's
+    angle_pointer is 0 so the sample is labeled angle k verbatim even
+    though rows {0..4} of the rolled sector hold original angles
+    {115..119} (:417-421) — the off-by-5 is reproduced deliberately."""
+
+    class _Pick:
+        def __init__(self, pick):
+            self.pick = pick
+
+        def choice(self, n, p=None):
+            assert p.shape == (120,) and abs(p.sum() - 1.0) < 1e-6
+            return self.pick
+
+    probs = np.full((NUM_ANGLES, 12), 1.0 / (NUM_ANGLES * 12), np.float32)
+
+    # peak at angle 57 -> sector img = (57+5)//10 = 6, rows 55..64
+    nms = np.zeros((NUM_ANGLES, 12), np.float32)
+    nms[57, 3] = 1.0
+    # pick flat 2*12+7 -> k=2, d=7 -> angle (6-1)*10+5+2 = 57
+    (h, dst, _sc), = CEAgent.candidates_from_nms(
+        nms, 0.0, 5, probs=probs, rng=_Pick(2 * 12 + 7))
+    assert abs(h - 57 * (2 * math.pi / NUM_ANGLES)) < 1e-9
+    assert abs(dst - (7 + 1) * DIST_BIN) < 1e-9
+
+    # peak at angle 117 -> sector img = (117+5)//10 = 12 -> 0 (wraps)
+    nms0 = np.zeros((NUM_ANGLES, 12), np.float32)
+    nms0[117, 3] = 1.0
+    # pick k=1 (rolled row = original angle 116) -> labeled angle 1
+    (h0, dst0, _), = CEAgent.candidates_from_nms(
+        nms0, 0.0, 5, probs=probs, rng=_Pick(1 * 12 + 4))
+    assert abs(h0 - 1 * (2 * math.pi / NUM_ANGLES)) < 1e-9
+    assert abs(dst0 - (4 + 1) * DIST_BIN) < 1e-9
+    # pick k=7 (rolled row = original angle 2) -> labeled angle 7
+    (h1, _, _), = CEAgent.candidates_from_nms(
+        nms0, 0.0, 5, probs=probs, rng=_Pick(7 * 12))
+    assert abs(h1 - 7 * (2 * math.pi / NUM_ANGLES)) < 1e-9
+
+
 def test_device_traj_and_start_features_match_host():
     rng = np.random.default_rng(1)
     af, max_dist, max_step = 4, 25.0, 20.0
