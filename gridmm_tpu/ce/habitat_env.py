@@ -28,6 +28,57 @@ except ImportError:
     HABITAT_AVAILABLE = False
 
 
+def get_camera_orientations(num_views: int = 12) -> dict:
+    """utils.get_camera_orientations (VLN_CE/vlnce_baselines/utils.py:155-163):
+    keys are degree strings str(360/num_views * k); the radian step is
+    HARDCODED pi/6 regardless of num_views (only consistent at 12) — kept
+    faithfully. The base sensor itself covers angle 0 (range starts at 1)."""
+    base_deg = 360 / num_views
+    base_rad = math.pi / 6
+    return {str(base_deg * k): [0.0, base_rad * k, 0.0]
+            for k in range(1, num_views)}
+
+
+def inject_panoramic_cameras(cfg, num_views: int = 12):
+    """Clone the base RGB/DEPTH sensors at the num_views-1 extra yaw
+    orientations and register them on AGENT_0, exactly as the reference
+    trainer does at config time (ss_trainer_GridMap.py:518-538): sensor
+    node name f"{TYPE}_{deg}", UUID lowercased, ORIENTATION from
+    get_camera_orientations, appended to AGENT_0.SENSORS; per-sensor
+    resizer sizes mirrored when the habitat_baselines RL node exists.
+    Idempotent: skips if the panoramic sensors are already registered
+    (e.g. a config file that defines them explicitly). Mutates and
+    returns cfg."""
+    import copy as _copy
+
+    task = cfg.TASK_CONFIG if hasattr(cfg, "TASK_CONFIG") else cfg
+    sim = getattr(task, "SIMULATOR", None)
+    if sim is None or not hasattr(sim, "RGB_SENSOR"):
+        return cfg
+    orients = get_camera_orientations(num_views)
+    first = f"RGB_{next(iter(orients))}"
+    if first in getattr(sim.AGENT_0, "SENSORS", []):
+        return cfg
+    try:
+        resize = cfg.RL.POLICY.OBS_TRANSFORMS.RESIZER_PER_SENSOR.SIZES
+    except AttributeError:
+        resize = None
+    for sensor_type in ("RGB", "DEPTH"):
+        sensor = getattr(sim, f"{sensor_type}_SENSOR")
+        size = (dict(resize)[sensor_type.lower()]
+                if resize is not None else None)
+        for action, orient in orients.items():
+            template = f"{sensor_type}_{action}"
+            cam = _copy.deepcopy(sensor)
+            cam.ORIENTATION = orient
+            cam.UUID = template.lower()
+            setattr(sim, template, cam)
+            sim.AGENT_0.SENSORS.append(template)
+            if resize is not None:
+                resize.append((template.lower(), size))
+    return cfg
+
+
 class HabitatContinuousEnv:
     """ContinuousEnv over a habitat-sim instance (one env per slot)."""
 
@@ -55,14 +106,18 @@ class HabitatContinuousEnv:
         self.step_size = step_size
         self.eval_mode = eval_mode
         cfg = habitat.get_config(config_path)
+        if hasattr(cfg, "defrost"):  # yacs config (real habitat)
+            cfg.defrost()
         if episodes_allowed is not None:
             ids = [str(i) for i in episodes_allowed]
-            if hasattr(cfg, "defrost"):  # yacs config (real habitat)
-                cfg.defrost()
+            if hasattr(cfg, "TASK_CONFIG"):
                 cfg.TASK_CONFIG.DATASET.EPISODES_ALLOWED = ids
-                cfg.freeze()
             else:  # mapping-shaped test doubles
                 cfg["EPISODES_ALLOWED"] = ids
+        # the 12-angle panorama cameras (ss_trainer_GridMap.py:518-538)
+        inject_panoramic_cameras(cfg)
+        if hasattr(cfg, "freeze"):
+            cfg.freeze()
         self.episodes_allowed = episodes_allowed
         self._envs = [habitat.Env(cfg) for _ in range(num_envs)]
         # advertised split size, used to derive batches_per_epoch =

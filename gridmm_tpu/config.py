@@ -135,6 +135,11 @@ class GridConfig:
     # (ix*pi/6 - heading, Policy:779) and global_y = pos_y - rel_y (Policy:782)
     view_angles_relative: bool = False
     y_sign: float = 1.0
+    # gridmap_pos_fts axis convention: "discrete" = map_nav's (x, y, z)
+    # unpacking; "ce" = VLN_CE's (x, z, y) unpacking, which degenerates cell
+    # heading to +/-pi/2 and routes cy into elevation
+    # (models/utils.py:125-144; ops/geometry.gridmap_pos_fts docstring)
+    pos_fts_convention: str = "discrete"
     # point-buffer storage dtype: bf16 quarters the pool's HBM traffic
     # (measured ~4x on the grid path); the reference stores grid features as
     # fp16 (r2r/env.py:111), so reduced precision is reference-consistent.
@@ -357,6 +362,7 @@ def r2r_ce_config() -> GridMMConfig:
             map_x_sign=-1.0,
             view_angles_relative=True,
             y_sign=-1.0,
+            pos_fts_convention="ce",
         ),
     )
 

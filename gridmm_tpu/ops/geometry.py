@@ -177,18 +177,31 @@ def angle_fts(headings: jnp.ndarray, elevations: jnp.ndarray, angle_feat_size: i
     return base
 
 
-@functools.partial(jax.jit, static_argnames=("grid_width", "grid_height", "max_dist"))
+@functools.partial(jax.jit, static_argnames=("grid_width", "grid_height",
+                                              "max_dist", "convention"))
 def gridmap_pos_fts(
     half_len: jnp.ndarray,  # (...,) scalar or batch of window half-sides
     grid_width: int = 14,
     grid_height: int = 14,
     max_dist: float = 30.0,
+    convention: str = "discrete",
 ) -> jnp.ndarray:
     """Per-cell positional features (..., W*H, 5): angle fts + dist/max_dist.
 
     Reference: get_gridmap_pos_fts (env.py:242-265) loops i over width and j
     over height with flat index i*H + j and cell centers at
     (i*cell - half + cell/2, j*cell - half + cell/2, 0).
+
+    convention:
+      * "discrete": map_nav's calculate_vp_rel_pos_fts unpacks (x, y, z) —
+        cell centers [cx, cy, 0] give the full arcsin heading with the dy<0
+        reflection and elevation 0 (r2r/env.py:60-77).
+      * "ce": VLN_CE's helper unpacks (x, z, y) (models/utils.py:125-144),
+        so [cx, cy, 0] degenerates to heading = arcsin(cx/|cx|) = +/-pi/2
+        (the reflection tests the always-equal third component) and the cy
+        component lands in ELEVATION = arcsin(cy/dist). The released CE
+        checkpoints trained through this; reproduced deliberately
+        (executed-oracle: test_ref_oracle_grid_build_ce).
     """
     half = jnp.asarray(half_len, jnp.float32)[..., None]
     cell = half * 2.0 / grid_width
@@ -196,7 +209,14 @@ def gridmap_pos_fts(
     j = jnp.arange(grid_width * grid_height, dtype=jnp.float32) % grid_height
     cx = i * cell - half + cell / 2.0
     cy = j * cell - half + cell / 2.0
-    heading, elevation, dist = rel_heading_elevation(cx, cy, jnp.zeros_like(cx))
+    if convention == "ce":
+        xy = jnp.maximum(jnp.abs(cx), 1e-8)
+        dist = jnp.maximum(jnp.sqrt(cx * cx + cy * cy), 1e-8)
+        heading = jnp.arcsin(jnp.clip(cx / xy, -1.0, 1.0))
+        elevation = jnp.arcsin(jnp.clip(cy / dist, -1.0, 1.0))
+    else:
+        heading, elevation, dist = rel_heading_elevation(
+            cx, cy, jnp.zeros_like(cx))
     ang = angle_fts(heading, elevation)
     return jnp.concatenate([ang, (dist / max_dist)[..., None]], axis=-1)
 
@@ -364,7 +384,8 @@ def egocentric_grid_assignment(
     )
     cells = jnp.where(valid, cells, -1)
     pos_fts = gridmap_pos_fts(
-        half_len, cfg.grid_width, cfg.grid_height, cfg.max_dist
+        half_len, cfg.grid_width, cfg.grid_height, cfg.max_dist,
+        convention=cfg.pos_fts_convention,
     )
     return cells, half_len, pos_fts
 

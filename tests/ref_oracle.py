@@ -300,3 +300,112 @@ def nav_bert_config(num_l_layers=1, num_x_layers=2, num_pano_layers=1,
     cfg.pred_head_dropout_prob = 0.0
     cfg.use_lang2visn_attn = False
     return cfg
+
+
+# ----------------------------------------------------- CE policy (GridMap)
+def load_ce_policy():
+    """Load Policy_ViewSelection_GridMap.py standalone (the CE GridMap net
+    with the online getGlobalMap grid builder, :689-807). Its habitat/gym
+    import surface is stubbed — none of it is touched by the geometry
+    methods under test; the two real helper modules it uses
+    (vlnce_baselines/models/utils.py, waypoint_prediction/utils.py) are
+    loaded from the reference tree under their import names."""
+    require_reference()
+    _install_stubs()
+    name = "ce_policy_gridmap"
+    if name in sys.modules:
+        return sys.modules[name]
+
+    import torch
+
+    def _sentinel(*a, **k):
+        raise RuntimeError("stubbed habitat-stack symbol was actually used")
+
+    def _cls_stub(names, base=object):
+        mod_names = {}
+        for n in names:
+            mod_names[n] = type(n, (base,), {})
+        return mod_names
+
+    if "gym" not in sys.modules:
+        gym = _stub_module("gym")
+        gym.Space = type("Space", (), {})
+        sys.modules["gym"] = gym
+    if "cv2" not in sys.modules:
+        try:
+            importlib.import_module("cv2")
+        except ImportError:
+            sys.modules["cv2"] = _stub_module("cv2")
+    if "habitat" not in sys.modules:
+        hab = _stub_module("habitat")
+        hab.Config = type("Config", (dict,), {})
+        hab.logger = types.SimpleNamespace(info=lambda *a, **k: None,
+                                           warning=lambda *a, **k: None)
+        sys.modules["habitat"] = hab
+    for mn, attrs in (
+        ("habitat_baselines", {}),
+        ("habitat_baselines.common", {}),
+        ("habitat_baselines.common.baseline_registry",
+         {"baseline_registry": types.SimpleNamespace(
+             register_policy=lambda cls=None, **k: (
+                 cls if cls is not None else (lambda c: c)),
+             register_trainer=lambda cls=None, **k: (
+                 cls if cls is not None else (lambda c: c)))}),
+        ("habitat_baselines.rl", {}),
+        ("habitat_baselines.rl.models", {}),
+        ("habitat_baselines.rl.models.rnn_state_encoder",
+         {"build_rnn_state_encoder": _sentinel}),
+        ("habitat_baselines.rl.ppo", {}),
+        ("habitat_baselines.rl.ppo.policy", {"Net": torch.nn.Module}),
+        ("vlnce_baselines", {}),
+        ("vlnce_baselines.models", {}),
+        ("vlnce_baselines.models.gridmap", {}),
+        ("vlnce_baselines.models.gridmap.vlnbert_init",
+         {"get_vlnbert_models": _sentinel}),
+        ("vlnce_baselines.common", {}),
+        ("vlnce_baselines.common.aux_losses",
+         {"AuxLosses": type("AuxLosses", (), {})}),
+        ("vlnce_baselines.models.encoders", {}),
+        ("vlnce_baselines.models.encoders.instruction_encoder",
+         {"InstructionEncoder": type("InstructionEncoder",
+                                     (torch.nn.Module,), {})}),
+        ("vlnce_baselines.models.encoders.resnet_encoders",
+         _cls_stub(["TorchVisionResNet50", "VlnResnetDepthEncoder"],
+                   torch.nn.Module)),
+        ("vlnce_baselines.models.policy",
+         {"ILPolicy": type("ILPolicy", (torch.nn.Module,), {})}),
+    ):
+        if mn not in sys.modules:
+            m = _stub_module(mn)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[mn] = m
+    # the two REAL helper modules the geometry path uses. waypoint_prediction
+    # gets a REAL package path (not a stub) so a later
+    # load_ref_module("VLN_CE", "waypoint_prediction.TRM_net") still resolves
+    if "waypoint_prediction" not in sys.modules:
+        wspec = importlib.machinery.ModuleSpec(
+            "waypoint_prediction", loader=None, is_package=True)
+        wspec.submodule_search_locations = [
+            str(REF / "VLN_CE/waypoint_prediction")]
+        sys.modules["waypoint_prediction"] = importlib.util.module_from_spec(
+            wspec)
+    for full, rel in (
+        ("vlnce_baselines.models.utils",
+         "VLN_CE/vlnce_baselines/models/utils.py"),
+        ("waypoint_prediction.utils", "VLN_CE/waypoint_prediction/utils.py"),
+    ):
+        if full in sys.modules:
+            continue
+        mspec = importlib.util.spec_from_file_location(full, REF / rel)
+        mod = importlib.util.module_from_spec(mspec)
+        sys.modules[full] = mod
+        mspec.loader.exec_module(mod)
+
+    mspec = importlib.util.spec_from_file_location(
+        name,
+        REF / "VLN_CE/vlnce_baselines/models/Policy_ViewSelection_GridMap.py")
+    mod = importlib.util.module_from_spec(mspec)
+    sys.modules[name] = mod
+    mspec.loader.exec_module(mod)
+    return mod

@@ -240,3 +240,54 @@ def test_eval_mode_records_substeps(monkeypatch):
     # reset clears the recordings
     env.reset()
     assert len(env.paths[0]) == 1 and env.collisions[0] == []
+
+
+def test_panoramic_camera_injection():
+    """inject_panoramic_cameras mirrors ss_trainer_GridMap.py:518-538: the
+    base RGB/DEPTH sensors are cloned at 11 extra yaw orientations (keys
+    str(30.0*k), ORIENTATION [0, pi/6*k, 0], UUID lowercased), registered
+    as SIMULATOR nodes + AGENT_0.SENSORS entries, resizer sizes mirrored.
+    Idempotent on a config that already carries them."""
+    import gridmm_tpu.ce.habitat_env as he
+
+    def node(**kw):
+        return types.SimpleNamespace(**kw)
+
+    def make_cfg():
+        sim = node(
+            RGB_SENSOR=node(WIDTH=224, ORIENTATION=[0.0, 0.0, 0.0],
+                            UUID="rgb"),
+            DEPTH_SENSOR=node(WIDTH=256, ORIENTATION=[0.0, 0.0, 0.0],
+                              UUID="depth"),
+            AGENT_0=node(SENSORS=["RGB_SENSOR", "DEPTH_SENSOR"]))
+        sizes = [("rgb", (224, 224)), ("depth", (256, 256))]
+        rl = node(POLICY=node(OBS_TRANSFORMS=node(
+            RESIZER_PER_SENSOR=node(SIZES=sizes))))
+        return node(TASK_CONFIG=node(SIMULATOR=sim, DATASET=node()), RL=rl)
+
+    cfg = make_cfg()
+    he.inject_panoramic_cameras(cfg)
+    sim = cfg.TASK_CONFIG.SIMULATOR
+    orients = he.get_camera_orientations(12)
+    assert list(orients) == [str(30.0 * k) for k in range(1, 12)]
+    for k in range(1, 12):
+        key = str(30.0 * k)
+        for st, base in (("RGB", sim.RGB_SENSOR), ("DEPTH",
+                                                   sim.DEPTH_SENSOR)):
+            cam = getattr(sim, f"{st}_{key}")
+            assert cam is not base
+            np.testing.assert_allclose(cam.ORIENTATION,
+                                       [0.0, math.pi / 6 * k, 0.0])
+            assert cam.UUID == f"{st.lower()}_{key}"
+            assert cam.WIDTH == base.WIDTH
+            assert f"{st}_{key}" in sim.AGENT_0.SENSORS
+    assert len(sim.AGENT_0.SENSORS) == 2 + 22
+    sizes = cfg.RL.POLICY.OBS_TRANSFORMS.RESIZER_PER_SENSOR.SIZES
+    assert ("rgb_30.0", (224, 224)) in sizes
+    assert ("depth_330.0", (256, 256)) in sizes
+    assert len(sizes) == 2 + 22
+
+    # idempotent: a second call (or a config file that already defines the
+    # panorama) must not double-register
+    he.inject_panoramic_cameras(cfg)
+    assert len(sim.AGENT_0.SENSORS) == 2 + 22

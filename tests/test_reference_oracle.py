@@ -776,6 +776,134 @@ def test_ref_oracle_clip_visual():
 
 
 # ===========================================================================
+def test_ref_oracle_ce_pos_helpers():
+    """The real VLN_CE helpers executed directly: calculate_vp_rel_pos_fts
+    (models/utils.py:125-144, the (x, z, y) unpacking our
+    ce/agent.rel_pos_features transcribes) and get_camera_orientations
+    (vlnce_baselines/utils.py:155-163, hardcoded pi/6 radian step)."""
+    require_reference()
+    from ref_oracle import load_ce_policy
+
+    load_ce_policy()
+    import sys as _sys
+
+    mu = _sys.modules["vlnce_baselines.models.utils"]
+    from gridmm_tpu.ce.agent import rel_pos_features
+    from gridmm_tpu.ce.habitat_env import get_camera_orientations
+
+    rng = np.random.default_rng(47)
+    for _ in range(64):
+        a = rng.uniform(-12, 12, 3)
+        b = rng.uniform(-12, 12, 3)
+        bh = float(rng.uniform(-np.pi, np.pi))
+        be = float(rng.uniform(-1.0, 1.0))
+        want = mu.calculate_vp_rel_pos_fts(a, b, bh, be)
+        got = rel_pos_features(a, b, bh, be)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+    # degenerate same-point case returns the (0, 0, 0) triple (:130-131)
+    same = np.array([1.5, 2.0, -3.0])
+    assert rel_pos_features(same, same.copy(), 0.7, 0.1) == (0.0, 0.0, 0.0)
+    assert mu.calculate_vp_rel_pos_fts(same, same.copy(), 0.7, 0.1) \
+        == (0, 0, 0)
+
+    # vlnce_baselines/__init__ pulls habitat, so load utils.py by file path
+    # (its module scope needs only torch/numpy/math)
+    import importlib.util as _ilu
+    spec = _ilu.spec_from_file_location(
+        "_ref_vlnce_utils", "/root/reference/VLN_CE/vlnce_baselines/utils.py")
+    ref_utils = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(ref_utils)
+    for nv in (12, 6):
+        want = ref_utils.get_camera_orientations(nv)
+        got = get_camera_orientations(nv)
+        assert list(got) == list(want)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], atol=1e-12)
+
+
+def test_ref_oracle_grid_build_ce():
+    """Grid-build oracle (G3): the real CE GridMap.getGlobalMap
+    (VLN_CE/.../Policy_ViewSelection_GridMap.py:689-807) driven standalone
+    over a 3-step synthetic episode (habitat metre depth at the 7 patch
+    centers 19+36i of a 256px frame, CLIP-p32 features) vs our ops/geometry
+    with the r2r_ce GridConfig — per-point cell ids, window half_len (the
+    CE 2/3 scale + (W-1) clamp quantization), and gridmap_pos_fts at every
+    step. Upgrades the transcription-golden test
+    (tests/test_geometry.py::test_ce_grid_build_matches_reference) to an
+    executed-reference oracle."""
+    require_reference()
+    from ref_oracle import load_ce_policy
+
+    vm = load_ce_policy()
+    from gridmm_tpu.config import r2r_ce_config
+    from gridmm_tpu.ops import geometry as G
+
+    rng = np.random.default_rng(41)
+    cfg = r2r_ce_config().grid
+    b, steps = 2, 3
+    pci = np.array([19 + i * 36 for i in range(7)])
+
+    refs = []
+    for _ in range(b):
+        g = vm.GridMap.__new__(vm.GridMap)
+        # per-env state exactly as reset by ss_trainer_GridMap.py:242-249 /
+        # Policy:194-204 (batch lists of size 1 per instance)
+        g.global_fts = [[]]
+        g.global_position_x = [[]]
+        g.global_position_y = [[]]
+        g.global_mask = [[]]
+        g.global_map_index = [[]]
+        g.max_x, g.min_x = [-10000], [10000]
+        g.max_y, g.min_y = [-10000], [10000]
+        g.headings = [0.0]
+        refs.append(g)
+
+    state = G.PointCloudState.create(b, cfg)
+    for t in range(steps):
+        depth49 = rng.uniform(0.0, 8.0, size=(b, 12, 49)).astype(np.float32)
+        depth49[rng.random((b, 12, 49)) < 0.08] = 0.0
+        feats = rng.standard_normal((b, 588, 768)).astype(np.float32)
+        pos = rng.uniform(-5, 5, size=(b, 2)).astype(np.float32)
+        heading = rng.uniform(-np.pi, np.pi, size=(b,)).astype(np.float32)
+
+        state = G.append_panorama(
+            state, jnp.asarray(depth49), jnp.asarray(feats),
+            jnp.asarray(pos), cfg, headings=jnp.asarray(heading))
+        cells, half_len, _ = G.egocentric_grid_assignment(
+            state, jnp.asarray(pos), jnp.asarray(heading), cfg)
+        our_pos_fts = np.asarray(G.gridmap_pos_fts(
+            half_len, cfg.grid_width, cfg.grid_height, cfg.max_dist,
+            convention=cfg.pos_fts_convention))
+
+        for i in range(b):
+            # scatter the 49 per-view samples onto a full habitat frame at
+            # the reference's own patch-center indices (Policy:729-731)
+            frame = np.zeros((12, 256, 256), np.float32)
+            for vx in range(7):
+                for vy in range(7):
+                    frame[:, pci[vx], pci[vy]] = depth49[i, :, vx * 7 + vy]
+            grid_ft = np.zeros((12, 50, 768), np.float32)
+            grid_ft[:, 1:] = feats[i].reshape(12, 49, 768)
+            refs[i].headings = [float(heading[i])]
+            (gf, _gx, _gy, _gm, map_index, _mx, _mnx, _my, _mny,
+             r_pos_fts) = refs[i].getGlobalMap(
+                 0, {"x": float(pos[i, 0]), "y": float(pos[i, 1])},
+                 float(heading[i]), frame, grid_ft, [])
+            # numpy 2: `ndarray == []` raises on broadcast; the reference's
+            # step-0 test (Policy:745) relies on numpy<2's scalar False —
+            # re-wrap the accumulator like the rollout oracle's _CmpArr
+            from test_ref_oracle_rollout import _CmpArr
+            refs[i].global_fts[0] = np.asarray(
+                refs[i].global_fts[0]).view(_CmpArr)
+
+            n = (t + 1) * 588
+            assert gf.shape == (n, 768)
+            np.testing.assert_array_equal(
+                np.asarray(cells[i])[:n], map_index.astype(np.int32))
+            np.testing.assert_allclose(our_pos_fts[i], r_pos_fts, atol=1e-5)
+
+
+# ===========================================================================
 # Grid-build oracle (G2): the real ReverieTextPathData.getGlobalMap
 # (pretrain_src/data/dataset.py:351-473) runs over a synthetic 3-step
 # trajectory (uint16 depth store, CLIP-p32 features, viewpoint_info) and our
