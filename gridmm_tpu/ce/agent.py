@@ -287,7 +287,9 @@ class CEAgent:
                 d = pick % NUM_DISTS
             abs_heading = heading + a * (2 * math.pi / NUM_ANGLES)
             out.append((abs_heading, (d + 1) * DIST_BIN, score))
-        out.sort(key=lambda x: -x[2])
+        # reference order: np.nonzero row-major = angle-major ascending
+        # (Policy:446-449 batch_output_map.nonzero()); NMS already bounds the
+        # count at max_predictions == max_candidates
         return out[:max_candidates]
 
     def rollout(self, env: ContinuousEnv, max_steps: int = 8,
@@ -548,6 +550,17 @@ class CEAgent:
             self._traj_pos[i].append(p3)
             self._traj_dist[i].append(step_d)
 
+        # the reference initializes the 12-view angle table ONCE before its
+        # per-env loop and OVERWRITES the same variable with each env's
+        # assembled [cand|non-cand] angle rows (Policy:461,470-480): for
+        # batch index >= 1 the non-candidate angle features are read from
+        # the PREVIOUS env's assembled sequence — batch-position-dependent
+        # aliasing the released checkpoints trained through, reproduced
+        # deliberately (executed-oracle: test_ref_oracle_ce_full_step)
+        ang_table = np.stack([
+            angle_features(ix * 2 * math.pi / 12, 0.0, af)
+            for ix in range(12)]).astype(np.float32)
+
         for i, ob in enumerate(obs):
             cands = cand_lists[i]
             # panorama tokens: one feature per view, candidates first — timm
@@ -555,6 +568,8 @@ class CEAgent:
             view_cls_i = (view_feats[i][:, :d] if view_feats is not None
                           else view_cls[i])  # (12, d)
             k = 0
+            used_views = set()
+            cand_angs = []
             for heading_c, dist_c, _score in cands:
                 rel = heading_c - ob.heading
                 # nearest 30-degree sector via the INTEGER angle bin (the
@@ -564,23 +579,45 @@ class CEAgent:
                 a_bin = int(round((rel % (2 * math.pi)) /
                                   (2 * math.pi / NUM_ANGLES))) % NUM_ANGLES
                 per_img = NUM_ANGLES // 12
-                img_idx = ((a_bin + per_img // 2) // per_img) % 12
+                # COUNTER-clockwise image index over the clockwise-ordered
+                # frames (Policy:456-459: 12 - (a+5)//10, 12 -> 0)
+                img_idx = (12 - (a_bin + per_img // 2) // per_img) % 12
+                used_views.add(img_idx)
+                # the reference's candidate angle is the CCW conversion of
+                # the bin (Policy:451-452 angle_rad_cc = 2pi - a*3deg, NO
+                # modulo: bin 0 keeps the literal 2pi)
+                ang_cc = 2 * math.pi - a_bin * (2 * math.pi / NUM_ANGLES)
+                cand_angs.append(ang_cc)
                 view_img_fts[i, k] = view_cls_i[img_idx]
-                loc_fts[i, k, :af] = angle_features(rel, 0.0, af)
+                loc_fts[i, k, :af] = angle_features(ang_cc, 0.0, af)
                 loc_fts[i, k, af:] = 1.0
                 nav_types[i, k] = 1
                 k += 1
+            # non-candidate views EXCLUDE the sectors claimed by candidates
+            # (Policy:466-476); angle rows come from the (aliased, see
+            # above) running table rather than the raw view azimuths
             for ix in range(12):
-                if k >= vm1:
-                    break
+                if ix in used_views or k >= vm1:
+                    continue
                 view_img_fts[i, k] = view_cls_i[ix]
-                loc_fts[i, k, :af] = angle_features(
-                    ix * 2 * math.pi / 12, 0.0, af)
+                loc_fts[i, k, :af] = ang_table[ix]
                 loc_fts[i, k, af:] = 1.0
                 k += 1
             view_mask[i, :k] = True
+            # the overwrite that feeds the NEXT env's non-cand rows
+            ang_table = loc_fts[i, :12, :af].copy()
 
-            dm = ob.depth[:, centers][:, :, centers]
+            frame = ob.depth
+            if gc.depth_normalized:
+                # habitat [0,1] depth -> metres for the grid build with the
+                # reference's column-max zero substitution + x100//100 scale
+                # dance (GridMap.preprocess_depth, Policy:225-247)
+                colmax = frame.max(axis=1, keepdims=True)
+                frame = np.where(frame == 0,
+                                 np.broadcast_to(colmax, frame.shape), frame)
+                frame = (gc.min_depth * 100.0 +
+                         frame * (gc.max_depth - gc.min_depth) * 100.0) / 100.0
+            dm = frame[:, centers][:, :, centers]
             depth_p[i] = dm.reshape(gc.num_views, gc.patches_per_view)
             pos_xy[i] = ob.position
             heading[i] = ob.heading
@@ -610,17 +647,20 @@ class CEAgent:
             gmap_pos_fts[i, cur] = tf[-1]
 
             # waypoints as ephemeral frontier slots after the visited chain
-            # (Policy:537-547: [d/MAX_DIST, d/MAX_DIST, 1/MAX_STEP], step id
-            # = len(traj_map)+1)
-            for j, (heading_c, dist_c, _s) in enumerate(cands):
+            # (Policy:537-547). The trainer calls the navigation forward with
+            # batch_distances=batch_ANGLES (ss_trainer_GridMap.py:275), so
+            # the "distance" entries of the candidate pos features are the
+            # CCW angle values — a reference bug the released checkpoints
+            # trained through; env stepping still uses the true distance
+            # (ss_trainer:293-296 reads the waypoint-branch distances).
+            for j, ang_cc in enumerate(cand_angs):
                 s = cur + 1 + j
                 if s >= g:
                     break
                 gmap_mask[i, s] = True
-                rel = heading_c - ob.heading
-                gmap_pos_fts[i, s, :af] = angle_features(rel, 0.0, af)
-                gmap_pos_fts[i, s, af] = dist_c / gc.max_dist
-                gmap_pos_fts[i, s, af + 1] = dist_c / gc.max_dist
+                gmap_pos_fts[i, s, :af] = angle_features(ang_cc, 0.0, af)
+                gmap_pos_fts[i, s, af] = ang_cc / gc.max_dist
+                gmap_pos_fts[i, s, af + 1] = ang_cc / gc.max_dist
                 gmap_pos_fts[i, s, af + 2] = 1.0 / gc.pos_step_norm
                 gmap_step_ids[i, s] = min(cur + 1,
                                           cfg.model.max_action_steps - 1)
@@ -634,14 +674,13 @@ class CEAgent:
                 gc.max_dist, gc.pos_step_norm)
             vp_nav_mask[i, 0] = True
             vp_nav_mask[i, 1: 1 + len(cands)] = True
-            for j, (heading_c, dist_c, _s) in enumerate(cands):
-                rel = heading_c - ob.heading
+            for j, ang_cc in enumerate(cand_angs):
                 vp_pos_fts[i, j + 1, af + 3: 2 * af + 3] = angle_features(
-                    rel, 0.0, af)
-                # cur_cand_pos_fts dist triple [d/MAX_DIST, d/MAX_DIST,
-                # 1/MAX_STEP] (Policy:576-584)
-                vp_pos_fts[i, j + 1, 2 * af + 3] = dist_c / gc.max_dist
-                vp_pos_fts[i, j + 1, 2 * af + 4] = dist_c / gc.max_dist
+                    ang_cc, 0.0, af)
+                # cur_cand_pos_fts triple (Policy:576-584) with the same
+                # batch_distances=batch_angles substitution as the gmap rows
+                vp_pos_fts[i, j + 1, 2 * af + 3] = ang_cc / gc.max_dist
+                vp_pos_fts[i, j + 1, 2 * af + 4] = ang_cc / gc.max_dist
                 vp_pos_fts[i, j + 1, 2 * af + 5] = 1.0 / gc.pos_step_norm
 
         ig = np.full((b,), self.cfg.train.ignoreid, np.int32)

@@ -117,18 +117,22 @@ class DeviceCandidates(NamedTuple):
 
 def device_candidates(nms_maps: jnp.ndarray,
                       max_candidates: int) -> DeviceCandidates:
-    """Nonzero NMS peaks sorted by score -> fixed-K candidate slots.
+    """Nonzero NMS peaks in the reference's enumeration order -> fixed-K
+    candidate slots.
 
     Twin of CEAgent.candidates_from_nms (no sampling): the host enumerates
-    nonzero entries row-major and stable-sorts by -score; `lax.top_k` returns
-    descending scores with ties broken by the lower (row-major) flat index —
-    the same ordering."""
+    nonzero entries row-major (Policy:446-449 nonzero() = angle-major
+    ascending). Nonzero peaks get their flat index as sort key, zeros sort
+    to the back; NMS bounds the count at max_predictions."""
     b = nms_maps.shape[0]
     flat = nms_maps.reshape(b, -1)
-    scores, flat_idx = jax.lax.top_k(flat, max_candidates)
+    n_flat = flat.shape[1]
+    key = jnp.where(flat > 0, jnp.arange(n_flat)[None, :], n_flat)
+    order = jnp.argsort(key, axis=1)[:, :max_candidates]
+    scores = jnp.take_along_axis(flat, order, axis=1)
     return DeviceCandidates(
-        ang_bins=(flat_idx // NUM_DISTS).astype(jnp.int32),
-        dist_bins=(flat_idx % NUM_DISTS).astype(jnp.int32),
+        ang_bins=(order // NUM_DISTS).astype(jnp.int32),
+        dist_bins=(order % NUM_DISTS).astype(jnp.int32),
         scores=scores,
         mask=scores > 0,
     )
@@ -165,25 +169,35 @@ def device_build_step(
                 else view_cls)  # (B, 12, d)
     n = cand.mask.sum(axis=1).astype(jnp.int32)  # (B,) candidate count
 
-    # candidate geometry (host computes abs heading then rel = abs - heading;
-    # the difference is the raw bin angle)
-    rel = cand.ang_bins.astype(jnp.float32) * (2 * jnp.pi / NUM_ANGLES)
-    dist = (cand.dist_bins.astype(jnp.float32) + 1.0) * DIST_BIN
-    # nearest 30-degree view sector, computed in INTEGER bin space with the
-    # same half-up tie rule as the host path and the sector-sampling
-    # augmentation — float rounding of rel would flip midpoint bins
-    # (ang_bin % 10 == 5) on f32-vs-f64 noise
+    # candidate geometry. The reference's candidate angle is the CCW
+    # conversion 2pi - bin*3deg with NO modulo (Policy:451-452), and its
+    # view index is the COUNTER-clockwise sector over the clockwise-ordered
+    # frames (Policy:456-459: 12 - (a+5)//10, 12 -> 0). The integer bin
+    # space keeps half-up ties exact (float rounding of rel would flip
+    # midpoint bins on f32-vs-f64 noise).
+    ang_cc = (2 * jnp.pi -
+              cand.ang_bins.astype(jnp.float32) * (2 * jnp.pi / NUM_ANGLES))
     per_img = NUM_ANGLES // 12
-    img_idx = ((cand.ang_bins + per_img // 2) // per_img) % 12  # (B, K)
-    cand_ang = device_angle_features(rel, jnp.zeros_like(rel), af)  # (B,K,af)
+    img_idx = (12 - (cand.ang_bins + per_img // 2) // per_img) % 12  # (B, K)
+    cand_ang = device_angle_features(ang_cc, jnp.zeros_like(ang_cc), af)
 
-    # ---- panorama tokens: candidates first, then the 12 raw views ---------
+    # ---- panorama tokens: candidates first, then the views NOT claimed by
+    # a candidate, in ascending view order (Policy:466-476) ----------------
     rows = jnp.arange(vm1)
     is_cand = rows[None, :] < n[:, None]                       # (B, vm1)
     crow = jnp.minimum(rows, k - 1)                            # cand index
-    vrow = jnp.clip(rows[None, :] - n[:, None], 0, 11)         # view index
+    # per-view used mask: view claimed by any valid candidate
+    vix = jnp.arange(12)
+    used = jnp.any((img_idx[:, None, :] == vix[None, :, None]) &
+                   cand.mask[:, None, :], axis=2)              # (B, 12)
+    n_unused = (12 - used.sum(axis=1)).astype(jnp.int32)
+    # unused views first in ascending order, used views sorted to the back
+    view_order = jnp.argsort(
+        vix[None, :] + used.astype(jnp.int32) * 100, axis=1)   # (B, 12)
+    vslot = jnp.clip(rows[None, :] - n[:, None], 0, 11)
+    vrow = jnp.take_along_axis(view_order, vslot, axis=1)      # actual view
     in_view = (rows[None, :] >= n[:, None]) & \
-        (rows[None, :] < (n + 12)[:, None])
+        (rows[None, :] < (n + n_unused)[:, None])
     cand_img = jnp.take_along_axis(
         view_src, jnp.take_along_axis(
             img_idx, jnp.broadcast_to(crow, (b, vm1)), axis=1)[..., None],
@@ -192,13 +206,26 @@ def device_build_step(
     view_img_fts = jnp.where(is_cand[..., None], cand_img,
                              jnp.where(in_view[..., None], view_img, 0.0))
 
-    view_ang = device_angle_features(
-        vrow.astype(jnp.float32) * (2 * jnp.pi / 12),
-        jnp.zeros((b, vm1), jnp.float32), af)
     cand_ang_rows = jnp.take_along_axis(
         cand_ang, jnp.broadcast_to(crow, (b, vm1))[..., None], axis=1)
-    loc_ang = jnp.where(is_cand[..., None], cand_ang_rows,
-                        jnp.where(in_view[..., None], view_ang, 0.0))
+    # non-candidate angle rows come from a RUNNING table: the reference
+    # initializes the 12-view angle table once before its per-env loop and
+    # overwrites the variable with each env's assembled rows
+    # (Policy:461,470-480) — env i >= 1 reads the previous env's sequence.
+    # Batch-position-dependent aliasing reproduced deliberately (host twin
+    # in ce/agent._build_step; executed-oracle test_ref_oracle_ce_full_step)
+    table = device_angle_features(
+        jnp.arange(12, dtype=jnp.float32) * (2 * jnp.pi / 12),
+        jnp.zeros((12,), jnp.float32), af)              # (12, af)
+    loc_ang_rows = []
+    for i in range(b):
+        view_ang_i = table[vrow[i]]                     # (vm1, af)
+        loc_ang_i = jnp.where(is_cand[i][:, None], cand_ang_rows[i],
+                              jnp.where(in_view[i][:, None], view_ang_i,
+                                        0.0))
+        loc_ang_rows.append(loc_ang_i)
+        table = loc_ang_i[:12]
+    loc_ang = jnp.stack(loc_ang_rows)
     loc_box = jnp.where((is_cand | in_view)[..., None],
                         jnp.ones((b, vm1, 3), jnp.float32), 0.0)
     loc_fts = jnp.concatenate([loc_ang, loc_box], axis=-1)
@@ -206,6 +233,14 @@ def device_build_step(
     view_mask = is_cand | in_view
 
     # ---- grid-memory ingredients ------------------------------------------
+    if gc.depth_normalized:
+        # habitat [0,1] depth -> metres with the reference's column-max zero
+        # substitution + x100/100 scale (GridMap.preprocess_depth,
+        # Policy:225-247); the waypoint towers upstream consume the raw maps
+        colmax = jnp.max(depth, axis=2, keepdims=True)
+        depth = jnp.where(depth == 0, colmax, depth)
+        depth = (gc.min_depth * 100.0 +
+                 depth * (gc.max_depth - gc.min_depth) * 100.0) / 100.0
     # depth patch centers (Policy:728-730): 19 + 36*i over 256px maps
     side = int(round(gc.patches_per_view ** 0.5))
     centers = 19 + 36 * jnp.arange(side)
@@ -237,7 +272,11 @@ def device_build_step(
     chain_fts = jnp.take_along_axis(tf, tf_idx[..., None], axis=1)
     fr_ang = jnp.take_along_axis(
         cand_ang, jnp.clip(fr_j, 0, k - 1)[..., None], axis=1)
-    fr_dist = jnp.take_along_axis(dist, jnp.clip(fr_j, 0, k - 1), axis=1)
+    # the trainer passes batch_distances=batch_ANGLES into the navigation
+    # forward (ss_trainer_GridMap.py:275), so the candidate pos-feature
+    # "distance" entries carry the CCW angle value — a reference bug the
+    # released checkpoints trained through (env stepping keeps true dists)
+    fr_dist = jnp.take_along_axis(ang_cc, jnp.clip(fr_j, 0, k - 1), axis=1)
     fr_fts = jnp.concatenate([
         fr_ang,
         (fr_dist / gc.max_dist)[..., None],
@@ -268,7 +307,8 @@ def device_build_step(
     vp_is_cand = (jv[None, :] >= 1) & (jv[None, :] <= n[:, None])
     vj = jnp.clip(jv[None, :] - 1, 0, k - 1)
     vp_cand_ang = jnp.take_along_axis(cand_ang, vj[..., None], axis=1)
-    vp_cand_dist = jnp.take_along_axis(dist, vj, axis=1)
+    # same batch_distances=batch_angles substitution as the frontier rows
+    vp_cand_dist = jnp.take_along_axis(ang_cc, vj, axis=1)
     vp_tail = jnp.concatenate([
         vp_cand_ang,
         (vp_cand_dist / gc.max_dist)[..., None],

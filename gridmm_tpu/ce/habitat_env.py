@@ -197,14 +197,20 @@ class HabitatContinuousEnv:
     def _angle_sorted(raw, prefix):
         """Sensor UUIDs are 'rgb', 'rgb_30.0', ... 'rgb_330.0'
         (ss_trainer_GridMap.py:521-535); lexicographic sort would scramble the
-        angular order — sort by the numeric suffix instead."""
+        angular order — sort by the numeric suffix, then REVERSE into the
+        reference's clockwise frame order (Policy:301-308: clockwise view j
+        takes sensor (12-j)%12; habitat's positive yaw turns counter-
+        clockwise, so ascending sensor angles are CCW). The agent's heatmap
+        bins, view sectors and back-projection all assume clockwise views."""
 
         def angle_of(k):
             parts = k.split("_", 1)
             return float(parts[1]) if len(parts) > 1 else 0.0
 
         keys = [k for k in raw if k == prefix or k.startswith(prefix + "_")]
-        return [raw[k] for k in sorted(keys, key=angle_of)]
+        ccw = [raw[k] for k in sorted(keys, key=angle_of)]
+        nv = len(ccw)
+        return [ccw[(nv - j) % nv] for j in range(nv)]
 
     def _to_obs(self, i: int, raw) -> CEStepObs:
         env = self._envs[i]

@@ -75,6 +75,14 @@ class ModelConfig:
     # cleaner semantics, but NOT checkpoint-compatible with released weights.
     mask_txt_relevance: bool = False
 
+    # Candidate gmap-slot embedding semantics. True = the discrete GraphMap
+    # accumulates candidate view embeddings across steps (running average,
+    # map_nav_src agent.py:312-320). False = VLN-CE semantics: candidate
+    # tokens are EPHEMERAL per-step pano embeddings, rebuilt fresh every step
+    # (Policy:522-537 batch_traj_img_embeds = [stop] + pano_embeds[:L-1] +
+    # reversed traj averages — no cross-step candidate state).
+    frontier_accumulate: bool = True
+
     # TPU-native knobs (no reference equivalent)
     compute_dtype: str = "float32"  # "bfloat16" on real TPU runs
     use_pallas_attention: bool = False
@@ -140,6 +148,14 @@ class GridConfig:
     # heading to +/-pi/2 and routes cy into elevation
     # (models/utils.py:125-144; ops/geometry.gridmap_pos_fts docstring)
     pos_fts_convention: str = "discrete"
+    # habitat depth sensors emit NORMALIZED [0, 1] maps; the reference scales
+    # them to metres for the grid build with a column-max substitution for
+    # zero pixels (GridMap.preprocess_depth, Policy:225-247: zeros take the
+    # max of their image column, then d -> min + d*(max-min)). The waypoint
+    # towers keep consuming the raw normalized maps.
+    depth_normalized: bool = False
+    min_depth: float = 0.0   # R2R-CE 0..10 m; RxR-CE 0.5..5 m (Policy:228-233)
+    max_depth: float = 10.0
     # point-buffer storage dtype: bf16 quarters the pool's HBM traffic
     # (measured ~4x on the grid path); the reference stores grid features as
     # fp16 (r2r/env.py:111), so reduced precision is reference-consistent.
@@ -345,6 +361,7 @@ def r2r_ce_config() -> GridMMConfig:
         # (dynamic_update_slice clamps, so an undersized buffer silently
         # overwrites the tail window instead of erroring)
         shapes=dataclasses.replace(base.shapes, max_points=11776),
+        model=dataclasses.replace(base.model, frontier_accumulate=False),
         train=dataclasses.replace(base.train, max_action_len=20,
                                   loss_norm="actions", loss_head="ce"),
         grid=dataclasses.replace(
@@ -363,6 +380,9 @@ def r2r_ce_config() -> GridMMConfig:
             view_angles_relative=True,
             y_sign=-1.0,
             pos_fts_convention="ce",
+            depth_normalized=True,
+            min_depth=0.0,
+            max_depth=10.0,
         ),
     )
 
@@ -379,5 +399,6 @@ def rxr_ce_config() -> GridMMConfig:
                                   max_position_embeddings=512),
         shapes=dataclasses.replace(base.shapes, max_txt_len=256),
         grid=dataclasses.replace(base.grid, max_dist=40.0,
-                                 pos_step_norm=30.0),
+                                 pos_step_norm=30.0,
+                                 min_depth=0.5, max_depth=5.0),
     )

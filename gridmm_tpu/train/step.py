@@ -93,14 +93,28 @@ def create_train_state(cfg: GridMMConfig, params, tx=None) -> TrainState:
 
 
 def _update_node_embeds(gmap_sum, gmap_cnt, pano_embeds, pano_mask,
-                        cur_node_idx, cand_gmap_idx, gmap_visited_mask):
+                        cur_node_idx, cand_gmap_idx, gmap_visited_mask,
+                        accumulate: bool = True):
     """On-device GraphMap.update_node_embed (agent.py:312-320):
     current node <- rewrite with masked-average pano embedding;
-    unvisited candidate nodes <- running sum of their view embeddings."""
+    unvisited candidate nodes <- running sum of their view embeddings.
+
+    accumulate=False (VLN-CE, ModelConfig.frontier_accumulate): candidate
+    slots are EPHEMERAL — every slot past the current node is cleared first,
+    so a frontier slot holds exactly this step's candidate pano embedding.
+    The CE reference rebuilds its candidate tokens from scratch each step
+    (Policy:522-537); without the clear, a slot reused by a later step's
+    frontier would average in stale sums from earlier steps."""
     b = pano_embeds.shape[0]
     bi = jnp.arange(b)
     avg = jnp.sum(pano_embeds * pano_mask[..., None], axis=1) / jnp.maximum(
         jnp.sum(pano_mask, axis=1, keepdims=True), 1)
+
+    if not accumulate:
+        g = gmap_sum.shape[1]
+        future = jnp.arange(g)[None, :] > cur_node_idx[:, None]
+        gmap_sum = jnp.where(future[..., None], 0.0, gmap_sum)
+        gmap_cnt = jnp.where(future, 0.0, gmap_cnt)
 
     # rewrite current node
     gmap_sum = gmap_sum.at[bi, cur_node_idx].set(avg)
@@ -220,7 +234,8 @@ def nav_device_step(
 
     gmap_sum, gmap_cnt = _update_node_embeds(
         carry.gmap_sum, carry.gmap_cnt, pano_embeds.astype(jnp.float32),
-        pano_mask, x.cur_node_idx, x.cand_gmap_idx, x.gmap_visited_mask)
+        pano_mask, x.cur_node_idx, x.cand_gmap_idx, x.gmap_visited_mask,
+        accumulate=cfg.model.frontier_accumulate)
     gmap_img_embeds = gmap_sum / jnp.maximum(gmap_cnt, 1.0)[..., None]
     # slot 0 is the [stop] token: zero embedding (agent.py:127-129)
     gmap_img_embeds = gmap_img_embeds.at[:, 0].set(0.0)
@@ -301,9 +316,9 @@ def _trajectory_loss_stacked(
     def gmap_step(carry, xs):
         gsum, gcnt = carry
         pano_t, mask_t, cur_t, cand_t, vis_t = xs
-        gsum, gcnt = _update_node_embeds(gsum, gcnt,
-                                         pano_t.astype(jnp.float32), mask_t,
-                                         cur_t, cand_t, vis_t)
+        gsum, gcnt = _update_node_embeds(
+            gsum, gcnt, pano_t.astype(jnp.float32), mask_t, cur_t, cand_t,
+            vis_t, accumulate=cfg.model.frontier_accumulate)
         emb = gsum / jnp.maximum(gcnt, 1.0)[..., None]
         emb = emb.at[:, 0].set(0.0)  # slot 0 = [stop] (agent.py:127-129)
         return (gsum, gcnt), emb

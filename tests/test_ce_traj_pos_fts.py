@@ -164,10 +164,15 @@ def test_build_step_fills_visited_and_start_fts():
         np.testing.assert_allclose(vp[i, 0, af + 2],
                                    2.0 / cfg.grid.pos_step_norm)
         assert vp[i, 0, af] > 0.0  # moved away from start
-        # candidate rows carry cur_cand_pos_fts' full dist triple
-        # [d/MAX_DIST, d/MAX_DIST, 1/MAX_STEP] (Policy:576-584)
-        d = cands[i][0][1] / cfg.grid.max_dist
-        np.testing.assert_allclose(vp[i, 1, 2 * af + 3], d)
-        np.testing.assert_allclose(vp[i, 1, 2 * af + 4], d)
+        # candidate rows carry cur_cand_pos_fts' triple, whose "distance"
+        # entries are the CCW ANGLE value — the trainer passes
+        # batch_distances=batch_angles into the navigation forward
+        # (ss_trainer_GridMap.py:275; Policy:576-584)
+        rel = cands[i][0][0] - obs[i].heading
+        a_bin = int(round((rel % (2 * math.pi)) / (2 * math.pi / 120))) % 120
+        ang_cc = 2 * math.pi - a_bin * (2 * math.pi / 120)
+        d = ang_cc / cfg.grid.max_dist
+        np.testing.assert_allclose(vp[i, 1, 2 * af + 3], d, rtol=1e-6)
+        np.testing.assert_allclose(vp[i, 1, 2 * af + 4], d, rtol=1e-6)
         np.testing.assert_allclose(vp[i, 1, 2 * af + 5],
                                    1.0 / cfg.grid.pos_step_norm)

@@ -183,10 +183,12 @@ def test_reset_and_sensor_order(monkeypatch):
     he, env = _build_env(monkeypatch)
     obs = env.reset()[0]
     assert obs.rgb.shape == (12, 4, 4, 3)
-    # angular order 0,30,...,330 — NOT lexicographic
-    np.testing.assert_array_equal(obs.rgb[:, 0, 0, 0], np.arange(12))
-    np.testing.assert_allclose(obs.depth[:, 0, 0],
-                               np.arange(12) * 30.0 / 330.0, atol=1e-6)
+    # clockwise frame order (Policy:301-308): view j = sensor (12-j)%12,
+    # sensors themselves ascending 0,30,...,330 CCW — NOT lexicographic
+    cw = np.array([(12 - j) % 12 for j in range(12)])
+    np.testing.assert_array_equal(obs.rgb[:, 0, 0, 0], cw)
+    np.testing.assert_allclose(obs.depth[:, 0, 0], cw * 30.0 / 330.0,
+                               atol=1e-6)
     assert obs.episode_id == "42"
     np.testing.assert_array_equal(obs.instruction_ids, [101, 7, 8, 102])
     # gt path projected to (x, z)
