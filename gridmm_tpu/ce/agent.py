@@ -458,7 +458,8 @@ class CEAgent:
                 on_step(t, obs)
             r = min(t, cap - 1)
             for i, ob in enumerate(obs):
-                p3 = np.array([ob.position[0], 0.0, ob.position[1]],
+                p3 = np.array([ob.position[0], getattr(ob, "height", 0.0),
+                               ob.position[1]],
                               np.float32)
                 traj_dist[i, r] = (0.0 if t == 0 else float(
                     np.linalg.norm(p3 - traj_pos[i, max(r - 1, 0)])))
@@ -544,7 +545,8 @@ class CEAgent:
             self._traj_pos = [[] for _ in range(b)]
             self._traj_dist = [[] for _ in range(b)]
         for i, ob in enumerate(obs):
-            p3 = np.asarray([ob.position[0], 0.0, ob.position[1]], np.float64)
+            p3 = np.asarray([ob.position[0], getattr(ob, "height", 0.0),
+                             ob.position[1]], np.float64)
             step_d = (0.0 if not self._traj_pos[i] else
                       float(np.linalg.norm(p3 - self._traj_pos[i][-1])))
             self._traj_pos[i].append(p3)

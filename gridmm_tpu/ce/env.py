@@ -33,6 +33,11 @@ class CEStepObs:
     episode_id: str
     gt_path: np.ndarray           # (L, 2) reference path positions
     goal: np.ndarray              # (2,)
+    # habitat y (vertical) of the agent; the reference's positional features
+    # use full (x, height, z) triples (calculate_vp_rel_pos_fts dz term) so
+    # slopes/stairs produce nonzero elevation features. Synthetic arenas are
+    # flat (0.0).
+    height: float = 0.0
 
 
 class ContinuousEnv(Protocol):

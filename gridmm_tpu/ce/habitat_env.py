@@ -233,6 +233,7 @@ class HabitatContinuousEnv:
         heading = math.atan2(fwd[0], -fwd[2])
         return CEStepObs(
             position=self._pos(env), heading=float(heading),
+            height=float(state.position[1]),
             rgb=np.stack(rgbs), depth=np.stack(depths).astype(np.float32),
             instruction_ids=np.asarray(instr, np.int32),
             episode_id=str(ep.episode_id), gt_path=gt,

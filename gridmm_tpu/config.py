@@ -400,5 +400,8 @@ def rxr_ce_config() -> GridMMConfig:
         shapes=dataclasses.replace(base.shapes, max_txt_len=256),
         grid=dataclasses.replace(base.grid, max_dist=40.0,
                                  pos_step_norm=30.0,
-                                 min_depth=0.5, max_depth=5.0),
+                                 min_depth=0.5, max_depth=5.0,
+                                 # RxR cameras: HFOV 79 deg (Policy:637-638
+                                 # tan(pi*79/360) in the depth back-projection)
+                                 tan_half_hfov=0.8243363858174957),
     )

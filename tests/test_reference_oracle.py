@@ -821,25 +821,31 @@ def test_ref_oracle_ce_pos_helpers():
             np.testing.assert_allclose(got[k], want[k], atol=1e-12)
 
 
-def test_ref_oracle_grid_build_ce():
+@pytest.mark.parametrize("dataset", ["R2R", "RxR"])
+def test_ref_oracle_grid_build_ce(dataset, monkeypatch):
     """Grid-build oracle (G3): the real CE GridMap.getGlobalMap
     (VLN_CE/.../Policy_ViewSelection_GridMap.py:689-807) driven standalone
     over a 3-step synthetic episode (habitat metre depth at the 7 patch
     centers 19+36i of a 256px frame, CLIP-p32 features) vs our ops/geometry
-    with the r2r_ce GridConfig — per-point cell ids, window half_len (the
-    CE 2/3 scale + (W-1) clamp quantization), and gridmap_pos_fts at every
-    step. Upgrades the transcription-golden test
+    with the r2r_ce/rxr_ce GridConfig — per-point cell ids, window half_len
+    (the CE 2/3 scale + (W-1) clamp quantization), and gridmap_pos_fts at
+    every step. RxR flips the Policy's DATASET global: HFOV 79 deg depth
+    back-projection (:637-638) and MAX_DIST 40 (:280-286). Upgrades the
+    transcription-golden test
     (tests/test_geometry.py::test_ce_grid_build_matches_reference) to an
     executed-reference oracle."""
     require_reference()
     from ref_oracle import load_ce_policy
 
     vm = load_ce_policy()
-    from gridmm_tpu.config import r2r_ce_config
+    from gridmm_tpu.config import r2r_ce_config, rxr_ce_config
     from gridmm_tpu.ops import geometry as G
 
+    monkeypatch.setattr(vm, "DATASET", dataset)
+    if dataset == "RxR":
+        monkeypatch.setattr(vm, "MAX_DIST", 40)
     rng = np.random.default_rng(41)
-    cfg = r2r_ce_config().grid
+    cfg = (r2r_ce_config() if dataset == "R2R" else rxr_ce_config()).grid
     b, steps = 2, 3
     pci = np.array([19 + i * 36 for i in range(7)])
 
