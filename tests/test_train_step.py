@@ -228,6 +228,11 @@ def test_prepare_train_step_single_executable():
     from gridmm_tpu.parallel.mesh import make_mesh, prepare_train_step
     from gridmm_tpu.train.step import TrainState
 
+    # the _cache_size()==1 invariant is about THIS function's executables;
+    # start from a clean jit cache so state left by earlier tests in a full
+    # -m "" run (observed once: a spurious second executable after ~40 min
+    # of suite history) cannot alias into the count
+    jax.clear_caches()
     mesh = make_mesh(MeshConfig(mp_size=2), jax.devices())
     params = {
         "kernel": jax.device_put(jnp.ones((8, 8)),
