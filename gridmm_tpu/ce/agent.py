@@ -214,7 +214,7 @@ class CEAgent:
     def _full_step_impl(self, nav_params, wp_params, rgb_params, depth_params,
                         clip_params, view_params, txt_embeds, txt_mask, carry,
                         rgb, depth, pos_xy, heading, traj_pos, traj_dist,
-                        traj_len, t):
+                        traj_len, t, ended=None):
         """The ENTIRE greedy policy step as one XLA graph: perception towers,
         waypoint candidates from the NMS heatmap (lax.top_k), step assembly
         (ce/device_step.py twin of _build_step), navigation forward. One
@@ -228,7 +228,7 @@ class CEAgent:
         cand = device_candidates(nms_maps, self.max_candidates)
         x = device_build_step(self.cfg, cand, view_cls, depth, pos_xy,
                               heading, traj_pos, traj_dist, traj_len, t,
-                              view_feats=view_feats)
+                              view_feats=view_feats, ended=ended)
         x = x._replace(patch_fts=patch)
         carry, out = nav_device_step(self.navigator, self.cfg, nav_params,
                                      txt_embeds, txt_mask, carry, x)
@@ -387,7 +387,7 @@ class CEAgent:
             with sec("build_step"):
                 x, cur_slots = self._build_step(
                     obs, cand_lists, view_cls, centers, next_slot, t,
-                    view_feats=view_feats)
+                    view_feats=view_feats, ended=ended)
             if feedback == "teacher":
                 # the oracle (geodesic RPC per candidate) is a training-only
                 # signal; greedy eval/inference skip it like the reference's
@@ -477,7 +477,8 @@ class CEAgent:
                     self.depth_params, self.clip_params, self.view_params,
                     txt_embeds, txt_mask_dev, carry, rgb, depth, pos, hd,
                     jnp.asarray(traj_pos), jnp.asarray(traj_dist),
-                    jnp.full((b,), min(t + 1, cap), jnp.int32), np.int32(t))
+                    jnp.full((b,), min(t + 1, cap), jnp.int32), np.int32(t),
+                    jnp.asarray(ended))
                 logits = np.asarray(logits, np.float64)
                 ang = np.asarray(cand.ang_bins)
                 dbin = np.asarray(cand.dist_bins)
@@ -508,7 +509,8 @@ class CEAgent:
 
     def _build_step(self, obs: List[CEStepObs], cand_lists, view_cls,
                     centers, next_slot, t,
-                    view_feats=None) -> Tuple[StepInputs, np.ndarray]:
+                    view_feats=None, ended=None
+                    ) -> Tuple[StepInputs, np.ndarray]:
         """Assemble host-side StepInputs. view_cls is (B, 12, d) per-view cls
         features; the returned patch_fts field is a zero placeholder — the
         caller replaces it with the device-resident patch tokens from
@@ -606,8 +608,13 @@ class CEAgent:
                 loc_fts[i, k, af:] = 1.0
                 k += 1
             view_mask[i, :k] = True
-            # the overwrite that feeds the NEXT env's non-cand rows
-            ang_table = loc_fts[i, :12, :af].copy()
+            # the overwrite that feeds the NEXT env's non-cand rows — only
+            # ACTIVE envs participate: the reference PAUSES ended envs
+            # (removes them and pops the policy state lists,
+            # ss_trainer_GridMap.py:436-450), so an ended env contributes
+            # nothing to the chain the remaining envs read
+            if ended is None or not ended[i]:
+                ang_table = loc_fts[i, :12, :af].copy()
 
             frame = ob.depth
             if gc.depth_normalized:

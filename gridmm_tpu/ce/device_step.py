@@ -150,6 +150,7 @@ def device_build_step(
     traj_len: jnp.ndarray,            # (B,) valid rows (incl. current)
     t: jnp.ndarray,                   # scalar i32 step index
     view_feats: Optional[jnp.ndarray] = None,  # (B, 12, d_view) timm cls
+    ended: Optional[jnp.ndarray] = None,       # (B,) bool ended episodes
 ) -> StepInputs:
     """jnp twin of CEAgent._build_step (candidate/graph/vp assembly).
 
@@ -224,7 +225,12 @@ def device_build_step(
                               jnp.where(in_view[i][:, None], view_ang_i,
                                         0.0))
         loc_ang_rows.append(loc_ang_i)
-        table = loc_ang_i[:12]
+        # only ACTIVE envs feed the chain (the reference pauses ended envs
+        # out of the batch, ss_trainer_GridMap.py:436-450)
+        if ended is None:
+            table = loc_ang_i[:12]
+        else:
+            table = jnp.where(ended[i], table, loc_ang_i[:12])
     loc_ang = jnp.stack(loc_ang_rows)
     loc_box = jnp.where((is_cand | in_view)[..., None],
                         jnp.ones((b, vm1, 3), jnp.float32), 0.0)

@@ -192,7 +192,8 @@ class CETrainer:
                                               probs=probs[i], rng=rng)
                     for i in range(b)]
                 x, _ = agent._build_step(obs, cand_lists, view_cls, centers,
-                                         next_slot, t, view_feats=view_feats)
+                                         next_slot, t, view_feats=view_feats,
+                                         ended=ended)
                 targets = agent._teacher(env, obs, cand_lists, ended)
                 x = x._replace(target=targets.astype(np.int32),
                                patch_fts=patch_dev)

@@ -293,3 +293,71 @@ def test_fused_auto_selection_by_batch():
     assert "fused_step" in one and "perception" not in one
     two = sections(2)
     assert "perception" in two and "fused_step" not in two
+
+
+def test_angle_table_chain_skips_ended_envs():
+    """The per-env angle-table aliasing chain (Policy:461,470-480) covers
+    only ACTIVE envs: the reference pauses ended envs out of the batch
+    (ss_trainer_GridMap.py:436-450), so env i's non-candidate rows read the
+    chain formed by the previous active env, skipping ended slots. Host and
+    device twins must agree."""
+    import gridmm_tpu.ce.agent as agent_mod
+    from gridmm_tpu.ce.factory import build_ce_agent
+
+    cfg, agent = build_ce_agent(tiny=True)
+    b, af = 3, cfg.model.angle_feat_size
+    d = cfg.model.image_feat_size
+    centers = np.asarray([19 + 36 * i for i in range(7)])
+    rng = np.random.default_rng(5)
+    view_cls = rng.standard_normal((b, 12, d)).astype(np.float32)
+    obs = [
+        type("O", (), {"position": np.zeros(2, np.float32), "heading": 0.0,
+                       "depth": np.ones((12, 256, 256), np.float32),
+                       "height": 0.0})()
+        for _ in range(b)]
+    # env0 has a candidate (mutates the chain if active), envs 1-2 have none
+    cands = [[(0.3, 1.0, 0.9)], [], []]
+
+    ended = np.array([True, False, False])
+    x_skip, _ = agent._build_step(obs, cands, view_cls, centers,
+                                  np.ones(b, np.int32), 0, ended=ended)
+    x_all, _ = agent._build_step(obs, cands, view_cls, centers,
+                                 np.ones(b, np.int32), 0,
+                                 ended=np.zeros(b, bool))
+    pristine = np.stack([
+        np.asarray(agent_mod.angle_features(ix * 2 * np.pi / 12, 0.0, af))
+        for ix in range(12)])
+    # with env0 ended, env1 reads the PRISTINE table
+    np.testing.assert_allclose(
+        np.asarray(x_skip.loc_fts)[1, :12, :af], pristine, atol=1e-6)
+    # with env0 active, env1's chain was mutated by env0's candidate row
+    assert not np.allclose(np.asarray(x_all.loc_fts)[1, :12, :af], pristine)
+    # env2 chains off env1's assembled rows (env1 has no candidates, so in
+    # the skip case env2 also reads the pristine table through it)
+    np.testing.assert_allclose(
+        np.asarray(x_skip.loc_fts)[2, :12, :af], pristine, atol=1e-6)
+    # device twin agrees with the host on the skip case
+    from gridmm_tpu.ce.device_step import DeviceCandidates
+    k = agent.max_candidates
+    ang = np.zeros((b, k), np.int32)
+    dbin = np.zeros((b, k), np.int32)
+    mask = np.zeros((b, k), bool)
+    sc = np.zeros((b, k), np.float32)
+    rel = (cands[0][0][0] - obs[0].heading) % (2 * np.pi)
+    ang[0, 0] = int(round(rel / (2 * np.pi / 120))) % 120
+    dbin[0, 0] = int(round(cands[0][0][1] / DIST_BIN)) - 1
+    mask[0, 0] = True
+    sc[0, 0] = cands[0][0][2]
+    dc = DeviceCandidates(jnp.asarray(ang), jnp.asarray(dbin),
+                          jnp.asarray(sc), jnp.asarray(mask))
+    cap = cfg.model.max_action_steps
+    x_dev = device_build_step(
+        cfg, dc, jnp.asarray(view_cls),
+        jnp.asarray(np.ones((b, 12, 256, 256), np.float32)),
+        jnp.zeros((b, 2)), jnp.zeros((b,)),
+        jnp.zeros((b, cap, 3)), jnp.zeros((b, cap)),
+        jnp.ones((b,), jnp.int32), jnp.int32(0),
+        ended=jnp.asarray(ended))
+    np.testing.assert_allclose(np.asarray(x_dev.loc_fts)[1:, :12, :af],
+                               np.asarray(x_skip.loc_fts)[1:, :12, :af],
+                               atol=1e-6)
