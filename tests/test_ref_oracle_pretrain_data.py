@@ -411,3 +411,113 @@ def test_ref_oracle_pretrain_data_truncation():
     assert int(inp["traj_step_mask"].sum()) == 21
     walked = path[:20] + [path[end_idx]]
     _compare(outs, inp, ds, walked, ref)
+
+
+def test_ref_oracle_pretrain_data_soon():
+    """SOON flavor (SoonTextPathData, dataset.py:833-905): 'pos' pins
+    end_vp to path[-1] even when pos_vps offers alternatives (:892-905);
+    everything else shares the REVERIE machinery. Also pins get_obj_label's
+    trust-the-annotation contract (:886-892): the precomputed index passes
+    through verbatim below max_objects (no availability check — our
+    pipeline adds a defensive bound, identical on clean data), -100 at or
+    above."""
+    require_reference()
+    ds_mod = load_ref_module("pretrain_src", "data.dataset")
+    rng = np.random.default_rng(59)
+    names, g, vpinfo, view_tbl, depth_tbl, sem_tbl = _build_scene(rng)
+    path = [names[0], names[2], names[4], names[5]]
+    pos_vps = [names[5], names[6]]  # 'pos' must STILL walk to path[-1]
+    item = dict(instr_id=f"{SCAN}_soon_0", scan=SCAN, path=path, heading=0.3,
+                pos_vps=pos_vps, instr_encoding=list(range(1, 10)),
+                obj_pseudo_label={"idx": 1})
+
+    ref = _make_ref(ds_mod, "SoonTextPathData", item, g, names, vpinfo,
+                    view_tbl, depth_tbl, sem_tbl, obj=True)
+    ref.obj_image_h = ref.obj_image_w = 600   # SOON ctor overrides (:849-850)
+    ref.obj_image_size = 600 * 600
+    world = _FakeWorld(vpinfo, view_tbl, depth_tbl, sem_tbl)
+    ds = _our_dataset(item, g, world, "soon")
+    dists, paths = _plain_tables(g, names)
+
+    # 'pos' with NO explicit end_vp: the SOON override must choose path[-1]
+    outs = ref.get_input(0, "pos", return_act_label=True)
+    ds.rng = _FixedRng(choice_value=names[6])  # would pick the wrong pos_vp
+    inp = ds.get_input(0, "pos")
+    # reverie/soon walk the SHORTEST path to end_vp (:247), which may cut
+    # the annotated route; the SOON pin is about the ENDPOINT: path[-1],
+    # never a pos_vps sample
+    walked = paths[path[0]][path[-1]]
+    assert walked[-1] == path[-1] != names[6]
+    _compare(outs, inp, ds, walked, ref)
+
+    for end_type, end_vp in (("neg_in_gt_path", names[2]),
+                             ("neg_others", names[7])):
+        outs = ref.get_input(0, end_type, return_act_label=True,
+                             end_vp=end_vp)
+        ds.rng = _FixedRng(choice_value=end_vp)
+        inp = ds.get_input(0, end_type)
+        _compare(outs, inp, ds, paths[path[0]][end_vp], ref)
+
+    # get_obj_label trust contract (executed directly)
+    assert ref.get_obj_label({"obj_pseudo_label": {"idx": 3}}, []) == 3
+    assert ref.get_obj_label(
+        {"obj_pseudo_label": {"idx": ref.max_objects}}, []) == -100
+
+
+def test_ref_oracle_soon_scanvp_feature_aug_mix(tmp_path, monkeypatch):
+    """SoonTextPathData.get_scanvp_feature executed against REAL hdf5 files
+    (dataset.py:852-885): eval reads the base bank; train mixes per-view
+    with the EnvEdit aug bank where random() > 0.5 — the exact contract our
+    AugmentedViewWorld reproduces (env/world.py)."""
+    require_reference()
+    h5py = pytest.importorskip("h5py")
+    ds_mod = load_ref_module("pretrain_src", "data.dataset")
+
+    rng = np.random.default_rng(61)
+    base = rng.standard_normal((36, D)).astype(np.float32)
+    aug = rng.standard_normal((36, D)).astype(np.float32)
+    key = f"{SCAN}_vp00"
+    with h5py.File(tmp_path / "pth_vit_base_patch16_224_imagenet.hdf5",
+                   "w") as f:
+        f[key] = base
+    with h5py.File(tmp_path / "aug_views.hdf5", "w") as f:
+        f[key] = aug
+
+    ref = ds_mod.SoonTextPathData.__new__(ds_mod.SoonTextPathData)
+    ref.img_ft_file = str(tmp_path)
+    ref.obj_ft_file = None
+    ref.obj_feat_size = 0
+    ref.obj_prob_size = 0
+    ref.max_objects = 20
+    ref.in_memory = False
+
+    ref.is_train = False
+    view, obj_fts, obj_attrs = ref.get_scanvp_feature(SCAN, "vp00")
+    np.testing.assert_array_equal(view, base)
+    assert obj_fts.shape == (0, 0) and obj_attrs == {}
+
+    # train: monkeypatch random.random to a fixed pattern; views with
+    # draw > 0.5 take the aug bank
+    pattern = (np.arange(36) % 3 == 0).astype(np.float64) * 0.9 + 0.05
+    draws = iter(pattern.tolist())
+    monkeypatch.setattr(ds_mod.random, "random", lambda: next(draws))
+    ref.is_train = True
+    view_tr, _, _ = ref.get_scanvp_feature(SCAN, "vp00")
+    want = base.copy()
+    want[pattern > 0.5] = aug[pattern > 0.5]
+    np.testing.assert_array_equal(view_tr, want)
+
+    # our AugmentedViewWorld under the same draw pattern
+    from gridmm_tpu.env.world import AugmentedViewWorld
+
+    class _W:
+        def view_features(self, scan, vp):
+            return base
+
+    class _Rng:
+        def random(self, n):
+            return pattern
+
+    aw = AugmentedViewWorld(_W(), lambda scan, vp: aug, seed=0)
+    aw._rng = _Rng()
+    np.testing.assert_array_equal(aw.view_features(SCAN, "vp00"), want)
