@@ -55,6 +55,13 @@ def parse_args(argv=None):
     p.add_argument("--dagger_sum", action="store_true",
                    help="sum teacher+sample losses per iteration "
                         "(reference DAgger gradient shape)")
+    p.add_argument("--scene_shard", action="store_true",
+                   help="partition the train split by scene across ranks "
+                        "(feature-store locality). Default OFF = the "
+                        "reference's discrete DDP: every rank keeps the "
+                        "FULL train split with a rank-decorrelated shuffle "
+                        "(main_nav.py:54-58 sel_data_idxs=None, seed+rank); "
+                        "val always shards (rank, world) like the reference")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first (TPU pod "
                         "slices / multi-process runs; coordinator discovered "
@@ -197,14 +204,18 @@ def build_real(args, cfg):
 
     rank, n_procs = process_index(), process_count()
     val_shard = (rank, n_procs) if n_procs > 1 else None
-    if n_procs > 1:
+    # the reference's discrete DDP keeps the FULL train split on every rank
+    # with a decorrelated shuffle (main_nav.py:54-58: sel_data_idxs=None,
+    # seed=args.seed+rank); --scene_shard opts into the scene-balanced
+    # partition (the CE trainer's allocation, better feature locality)
+    if n_procs > 1 and args.scene_shard:
         train_data = allocate_episodes_by_scene(train_data, n_procs)[rank]
     # augmented-instruction env, interleaved with GT (main_nav.py:35-47)
     aug_data = None
     if args.aug:
         aug_data = construct_instrs(anno, ds, [args.aug], tok,
                                     cfg.shapes.max_txt_len)
-        if n_procs > 1:
+        if n_procs > 1 and args.scene_shard:
             aug_data = allocate_episodes_by_scene(aug_data, n_procs)[rank]
     scans = {x["scan"] for x in train_data} | {x["scan"] for x in val_data}
     if aug_data:
