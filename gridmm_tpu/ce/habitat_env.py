@@ -127,7 +127,23 @@ class HabitatContinuousEnv:
             else len(getattr(self._envs[0], "episodes", []) or []) or None)
         self.paths: List[List[np.ndarray]] = [[] for _ in range(num_envs)]
         self.collisions: List[List[bool]] = [[] for _ in range(num_envs)]
+        # leaderboard get_info records (habitat_extensions/nav.py:127-137):
+        # 3D position + heading + the hardcoded stop=False, one per recorded
+        # path point — the inference writer emits them verbatim
+        self.path_infos: List[List[dict]] = [[] for _ in range(num_envs)]
         self._obs = [None] * num_envs
+
+    def _get_info(self, env) -> dict:
+        """nav.py:127-137 get_info: habitat 3D position, polar heading,
+        stop always False (the reference never flips it)."""
+        state = env.sim.get_agent_state()
+        import quaternion
+
+        fwd = quaternion.rotate_vectors(state.rotation,
+                                        np.asarray([0.0, 0.0, -1.0]))
+        heading = math.atan2(fwd[0], -fwd[2])
+        return {"position": [float(c) for c in state.position],
+                "heading": float(heading), "stop": False}
 
     # -- protocol ------------------------------------------------------------
     def reset(self) -> List[CEStepObs]:
@@ -135,6 +151,7 @@ class HabitatContinuousEnv:
         for i, env in enumerate(self._envs):
             raw = env.reset()
             self.paths[i] = [self._pos(env)]
+            self.path_infos[i] = [self._get_info(env)]
             self.collisions[i] = []
             self._obs[i] = raw
             out.append(self._to_obs(i, raw))
@@ -160,10 +177,12 @@ class HabitatContinuousEnv:
                 # per-sub-step position + collision flag
                 # (MoveHighToLowEval, nav.py:112-140)
                 self.paths[i].append(self._pos(env))
+                self.path_infos[i].append(self._get_info(env))
                 self.collisions[i].append(
                     bool(getattr(sim, "previous_step_collided", False)))
         self._obs[i] = env.step(1)
         self.paths[i].append(self._pos(env))
+        self.path_infos[i].append(self._get_info(env))
         if self.eval_mode:
             self.collisions[i].append(
                 bool(getattr(env.sim, "previous_step_collided", False)))

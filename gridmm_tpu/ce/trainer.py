@@ -413,7 +413,12 @@ class CETrainer:
         (same wraparound detection as evaluate); max_steps defaults to the
         reference's IL.max_traj_len=20 cap (run_GridMap.yaml:23).
 
-        fmt='r2r': JSON {episode_id: [{"position": [x, y], "stop": bool}]}
+        fmt='r2r': JSON {episode_id: [{"position": [x, y, z], "heading": h,
+        "stop": false}]} — the reference's get_info records verbatim
+        (habitat_extensions/nav.py:127-137; stop is hardcoded False there
+        and nothing in the reference ever flips it). Envs that expose
+        `path_infos` (the habitat adapter) supply real 3D positions +
+        headings; the synthetic arena synthesizes [x, 0, y] / heading 0.
         fmt='rxr': jsonlines of {"instruction_id", "path"} with consecutive
         duplicate positions dropped, sorted by instruction_id."""
         import json
@@ -425,15 +430,20 @@ class CETrainer:
             rollouts += 1
             self.agent.rollout(env, max_steps=max_steps, feedback="argmax")
             obs = env.observations()
+            infos_all = getattr(env, "path_infos", None)
             fresh = 0
             for i, ob in enumerate(obs):
                 if ob.episode_id in episode_predictions:
                     continue
                 fresh += 1
-                path = [[float(c) for c in p] for p in env.paths[i]]
-                episode_predictions[ob.episode_id] = [
-                    {"position": p, "stop": j == len(path) - 1}
-                    for j, p in enumerate(path)]
+                if infos_all is not None:
+                    episode_predictions[ob.episode_id] = [
+                        dict(rec) for rec in infos_all[i]]
+                else:
+                    episode_predictions[ob.episode_id] = [
+                        {"position": [float(p[0]), 0.0, float(p[1])],
+                         "heading": 0.0, "stop": False}
+                        for p in env.paths[i]]
             if batches == 0:
                 done = total and len(episode_predictions) >= total
                 if fresh == 0 or done:

@@ -97,8 +97,13 @@ def test_ce_inference_writer(tmp_path):
     data = json.loads(r2r.read_text())
     assert n == len(data) == 3  # every split episode predicted exactly once
     for eid, infos in data.items():
-        assert infos[-1]["stop"] is True
-        assert all(len(rec["position"]) >= 2 for rec in infos)
+        # get_info record shape (habitat_extensions/nav.py:127-137): 3D
+        # position + heading + stop hardcoded False (the reference never
+        # flips it)
+        for rec in infos:
+            assert len(rec["position"]) == 3
+            assert rec["stop"] is False
+            assert "heading" in rec
 
     rxr = tmp_path / "preds.jsonl"
     trainer.inference(env, str(rxr), fmt="rxr", max_steps=3)
