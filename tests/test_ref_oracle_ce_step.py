@@ -295,3 +295,128 @@ class _CmpArrRef(np.ndarray):
         return np.ndarray.__eq__(self, other)
 
     __hash__ = None
+
+
+def test_ref_oracle_ce_full_step_train_sampling(monkeypatch):
+    """One in_train=True step: the reference re-samples each candidate's
+    (angle, dist) from its rolled heatmap sector (Policy:393-425) and builds
+    ALL candidate tokens/features from the SAMPLED bins — including the
+    sector-0 angle_pointer=0 off-by-5. Categorical is patched to argmax on
+    both sides (argmax of the sector softmax == argmax of our renormalized
+    full-softmax region), making the stochastic path deterministic and
+    executable end to end."""
+    require_reference()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    vm = load_ce_policy()
+    import types as _types
+
+    cevm = load_ref_package_dir("VLN_CE/vlnce_baselines/models/gridmap",
+                                "ce_gridmap", "vilmodel")
+    cevm.timm = _types.SimpleNamespace(
+        create_model=lambda *a, **k: torch.nn.Identity())
+    cevm.CLIP = lambda **kw: torch.nn.Identity()
+    torch.manual_seed(77)
+    ref_bert = cevm.GlocalTextPathNavCMT(nav_bert_config(
+        num_l_layers=NL, num_x_layers=NX, num_pano_layers=NP, heads=HEADS,
+        intermediate=INTER, image_feat_size=HID, angle_feat_size=ANGLE,
+        vocab=VOCAB)).eval()
+    net = _make_ref_net(ref_bert, vm)
+
+    class _ArgmaxCat:
+        def __init__(self, probs):
+            self.probs = probs
+
+        def sample(self):
+            return self.probs.argmax(1)
+
+    monkeypatch.setattr(torch.distributions, "Categorical", _ArgmaxCat)
+
+    from gridmm_tpu.ce.agent import CEAgent
+    from gridmm_tpu.models.navigator import GridMMNavigator, init_navigator
+    from gridmm_tpu.models.waypoint import waypoint_nms
+    from gridmm_tpu.utils import checkpoint as CK
+
+    cfg = _our_cfg()
+    model = GridMMNavigator(cfg.model)
+    params = init_navigator(model, cfg.shapes, jax.random.PRNGKey(0))
+    loaded, _ = CK.import_torch_navigator(
+        ref_bert.state_dict(), params, num_l_layers=NL, num_x_layers=NX,
+        num_pano_layers=NP)
+    agent = CEAgent(cfg, model, loaded, waypoint=None, wp_params=None,
+                    max_candidates=K)
+
+    class _ArgmaxRng:
+        def choice(self, n, p=None):
+            return int(np.argmax(p))
+
+    rng = np.random.default_rng(79)
+    heat = (rng.standard_normal((B, 120, 12)) * 3).astype(np.float32)
+    grid_tokens = (rng.standard_normal((B, 12, 50, HID)) * 0.3
+                   ).astype(np.float32)
+    view_tokens = (rng.standard_normal((B, 12, 3, HID)) * 0.3
+                   ).astype(np.float32)
+    depth_cw = rng.uniform(0.0, 1.0, (B, 12, DEPTH_HW, DEPTH_HW)
+                           ).astype(np.float32)
+    rgb_cw = rng.integers(0, 255, (B, 12, 8, 8, 3)).astype(np.uint8)
+    pos3 = rng.uniform(-3, 3, size=(B, 3)).astype(np.float64)
+    pos3[:, 1] = 0.0
+    headings = rng.uniform(-np.pi, np.pi, size=(B,)).astype(np.float64)
+    plist = [pos3[i] for i in range(B)]
+    hlist_raw = [float(headings[i]) for i in range(B)]
+    hlist = [(h + 2 * math.pi) % (2 * math.pi) for h in hlist_raw]
+
+    net.action_step = 1
+    net.positions = plist
+    net.headings = hlist
+    net.start_positions = plist
+    net.start_headings = hlist
+    object.__setattr__(net.vln_bert, "clip",
+                       lambda x: torch.from_numpy(
+                           grid_tokens.reshape(-1, 50, HID)))
+    object.__setattr__(
+        net.vln_bert, "visual_encoder",
+        SimpleNamespace(forward_features=lambda x: torch.from_numpy(
+            view_tokens.reshape(-1, 3, HID))))
+
+    obs_t = _ref_observations(depth_cw, rgb_cw)
+    with torch.no_grad():
+        (cand_mask, cand_lens, b_angles, b_dists, bvif, blf, bnt, bvl,
+         *_rest) = net.forward(
+             mode="waypoint",
+             waypoint_predictor=lambda r, d: torch.from_numpy(heat),
+             observations=obs_t, in_train=True, headings=hlist,
+             positions=plist)
+
+    probs = jax.nn.softmax(
+        jnp.asarray(heat).reshape(B, -1), -1).reshape(B, 120, 12)
+    probs_np = np.asarray(probs)
+    nms_np = np.asarray(waypoint_nms(probs, max_predictions=K,
+                                     sigma=(7.0, 5.0)))
+    from types import SimpleNamespace as NS
+    obs_list = [NS(position=np.array([pos3[i, 0], pos3[i, 2]], np.float32),
+                   heading=hlist_raw[i], depth=depth_cw[i], height=0.0)
+                for i in range(B)]
+    cand_lists = [
+        agent.candidates_from_nms(nms_np[i], hlist_raw[i], K,
+                                  probs=probs_np[i], rng=_ArgmaxRng())
+        for i in range(B)]
+    centers = np.asarray([19 + 36 * i for i in range(7)])
+    x, _ = agent._build_step(obs_list, cand_lists, None, centers,
+                             np.ones((B,), np.int32), 0,
+                             view_feats=view_tokens[:, :, 0, :])
+
+    got_vif = np.asarray(x.view_img_fts)
+    got_lf = np.asarray(x.loc_fts)
+    for i in range(B):
+        vl = int(bvl[i])
+        assert cand_lens[i] == len(cand_lists[i]) + 1
+        # sampled candidate angles flow into the features on both sides
+        np.testing.assert_allclose(
+            [a for a in b_angles[i]],
+            [2 * math.pi - (int(round(((h - hlist_raw[i]) % (2 * math.pi)) /
+                                      (2 * math.pi / 120))) % 120) *
+             (2 * math.pi / 120) for h, _, _ in cand_lists[i]], atol=1e-5)
+        np.testing.assert_allclose(got_vif[i, :vl], bvif[i, :vl].numpy(),
+                                   atol=1e-6, err_msg=f"view i{i}")
+        np.testing.assert_allclose(got_lf[i, :vl], blf[i, :vl].numpy(),
+                                   atol=1e-6, err_msg=f"loc i{i}")
